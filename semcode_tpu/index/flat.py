@@ -1,0 +1,255 @@
+"""Flat (exact) vector index, sharded over the device mesh.
+
+The TPU-native replacement for a brute-force scan: the corpus lives in HBM as
+an ``(capacity, dim)`` matrix row-sharded over the mesh's ``data`` axis; a
+query batch is one jit step — per-shard MXU matmul (bf16 storage, f32
+accumulation), per-shard ``lax.top_k``, then an all-gather of the tiny
+``(Q, k)`` candidate sets and a final merge. No gRPC hop, no host round-trip.
+
+This index is also the recall oracle for the IVF index (SURVEY.md section 7
+step 1). Capability parity target: reference
+src/semcode/storage/milvus_store.py:135-148 (search) with exact instead of
+approximate results.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..parallel.mesh import DATA_AXIS, get_mesh, round_up
+
+_NEG_INF = np.float32(-3.0e38)
+
+
+def _storage_dtype(name: str):
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}.get(name, jnp.bfloat16)
+
+
+class FlatIndex:
+    """Exact-scan index over a row-sharded HBM matrix.
+
+    Host-authoritative storage: a float32 numpy buffer (amortized growth)
+    mirrors the device array so snapshots, growth, and IVF builds never read
+    back from HBM.
+    """
+
+    kind = "flat"
+
+    def __init__(
+        self,
+        dim: int,
+        *,
+        metric: str = "ip",
+        dtype: str = "bfloat16",
+        mesh: Optional[Mesh] = None,
+        capacity: int = 0,
+    ):
+        if metric not in ("ip", "cosine", "l2"):
+            raise ValueError(f"unknown metric: {metric}")
+        self.dim = int(dim)
+        self.metric = metric
+        self.mesh = mesh if mesh is not None else get_mesh()
+        self.n_shards = int(np.prod(self.mesh.devices.shape))
+        self._dtype = _storage_dtype(dtype)
+        self._row_multiple = max(self.n_shards * 8, 128)
+        self.capacity = round_up(max(capacity, self._row_multiple), self._row_multiple)
+        self.size = 0
+        self._host = np.zeros((self.capacity, self.dim), dtype=np.float32)
+        self._vecs: Optional[jax.Array] = None
+        self._norms: Optional[jax.Array] = None
+        self._dirty = True  # device arrays need (re)materialization
+
+    # -- host <-> device ------------------------------------------------------
+
+    def _vec_sharding(self) -> NamedSharding:
+        return NamedSharding(self.mesh, P(DATA_AXIS, None))
+
+    def _norm_sharding(self) -> NamedSharding:
+        return NamedSharding(self.mesh, P(DATA_AXIS))
+
+    def _materialize(self) -> None:
+        """Push the host buffer to (sharded) device arrays."""
+        host = self._host
+        if self._dtype == jnp.bfloat16:
+            import ml_dtypes
+
+            host = host.astype(ml_dtypes.bfloat16)
+        self._vecs = jax.device_put(host, self._vec_sharding())
+        norms = np.sum(self._host.astype(np.float32) ** 2, axis=1)
+        self._norms = jax.device_put(norms, self._norm_sharding())
+        self._dirty = False
+
+    def _ensure_device(self) -> None:
+        if self._dirty or self._vecs is None:
+            self._materialize()
+
+    # -- mutation ---------------------------------------------------------------
+
+    def _grow(self, min_capacity: int) -> None:
+        new_cap = round_up(max(min_capacity, self.capacity * 2), self._row_multiple)
+        host = np.zeros((new_cap, self.dim), dtype=np.float32)
+        host[: self.size] = self._host[: self.size]
+        self._host = host
+        self.capacity = new_cap
+        self._dirty = True
+
+    def _prepare(self, x: np.ndarray) -> np.ndarray:
+        x = np.ascontiguousarray(x, dtype=np.float32)
+        if x.ndim != 2 or x.shape[1] != self.dim:
+            raise ValueError(f"expected (n, {self.dim}) vectors, got {x.shape}")
+        if self.metric == "cosine":
+            norms = np.linalg.norm(x, axis=1, keepdims=True)
+            x = x / np.maximum(norms, 1e-12)
+        return x
+
+    def add(self, x: np.ndarray) -> np.ndarray:
+        """Append rows; returns assigned row ids."""
+        x = self._prepare(x)
+        n = x.shape[0]
+        if n == 0:
+            return np.zeros((0,), dtype=np.int64)
+        if self.size + n > self.capacity:
+            self._grow(self.size + n)
+        rows = np.arange(self.size, self.size + n, dtype=np.int64)
+        self._host[rows] = x
+        self.size += n
+        self._write_device(rows, x)
+        return rows
+
+    def update_rows(self, rows: np.ndarray, x: np.ndarray) -> None:
+        """Overwrite existing rows in place (upsert path)."""
+        x = self._prepare(x)
+        rows = np.asarray(rows, dtype=np.int64)
+        self._host[rows] = x
+        self._write_device(rows, x)
+
+    def _write_device(self, rows: np.ndarray, x: np.ndarray) -> None:
+        """Incremental scatter into the device arrays (keeps HBM warm)."""
+        if self._dirty or self._vecs is None:
+            return  # will materialize lazily before the next search
+        self._vecs, self._norms = _scatter_rows(
+            self._vecs,
+            self._norms,
+            jnp.asarray(rows, dtype=jnp.int32),
+            jnp.asarray(x),
+        )
+
+    # -- search -----------------------------------------------------------------
+
+    def search(self, queries: np.ndarray, k: int = 10) -> Tuple[np.ndarray, np.ndarray]:
+        """Top-k search; returns (scores f32 (Q,k), ids int64 (Q,k), -1 = empty)."""
+        q = np.ascontiguousarray(np.atleast_2d(queries), dtype=np.float32)
+        if q.shape[1] != self.dim:
+            raise ValueError(f"expected queries of dim {self.dim}, got {q.shape}")
+        n_q = q.shape[0]
+        if self.size == 0:
+            return (
+                np.full((n_q, k), _NEG_INF, dtype=np.float32),
+                np.full((n_q, k), -1, dtype=np.int64),
+            )
+        if self.metric == "cosine":
+            q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+        self._ensure_device()
+        q_pad = round_up(n_q, 8)
+        if q_pad != n_q:
+            q = np.pad(q, ((0, q_pad - n_q), (0, 0)))
+        k_eff = min(k, self.capacity // self.n_shards)
+        scores, ids = _flat_search(
+            self.mesh,
+            self._vecs,
+            self._norms,
+            jax.device_put(q, NamedSharding(self.mesh, P(None, None))),
+            jnp.int32(self.size),
+            k_eff,
+            self.metric,
+        )
+        scores = np.asarray(scores[:n_q]).astype(np.float32)
+        ids = np.asarray(ids[:n_q]).astype(np.int64)
+        invalid = ids >= self.size
+        scores = np.where(invalid | (scores <= _NEG_INF / 2), _NEG_INF, scores)
+        ids = np.where(invalid | (scores <= _NEG_INF / 2), -1, ids)
+        if k_eff < k:
+            scores = np.pad(scores, ((0, 0), (0, k - k_eff)), constant_values=_NEG_INF)
+            ids = np.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=-1)
+        return scores, ids
+
+    # -- persistence ---------------------------------------------------------------
+
+    def state_dict(self) -> dict:
+        return {
+            "kind": self.kind,
+            "dim": self.dim,
+            "metric": self.metric,
+            "size": self.size,
+            "vectors": self._host[: self.size].copy(),
+        }
+
+    @classmethod
+    def from_state(cls, state: dict, **kwargs) -> "FlatIndex":
+        idx = cls(int(state["dim"]), metric=str(state["metric"]), **kwargs)
+        vecs = np.asarray(state["vectors"], dtype=np.float32)
+        if vecs.size:
+            # rows were normalized already if cosine; bypass _prepare's re-norm
+            n = vecs.shape[0]
+            if idx.size + n > idx.capacity:
+                idx._grow(idx.size + n)
+            idx._host[: n] = vecs
+            idx.size = n
+            idx._dirty = True
+        return idx
+
+
+@partial(jax.jit, donate_argnums=(0, 1))
+def _scatter_rows(vecs, norms, rows, x):
+    new_norms = jnp.sum(x.astype(jnp.float32) ** 2, axis=1)
+    vecs = vecs.at[rows].set(x.astype(vecs.dtype))
+    norms = norms.at[rows].set(new_norms)
+    return vecs, norms
+
+
+@partial(
+    jax.jit,
+    static_argnums=(0, 5, 6),
+    static_argnames=(),
+)
+def _flat_search(mesh, vecs, norms, q, size, k, metric):
+    """One fused query step: per-shard scan+top-k, all-gather, global merge."""
+    n_shards = int(np.prod(mesh.devices.shape))
+    shard_rows = vecs.shape[0] // n_shards
+
+    def shard_fn(v, nrm, qq, sz):
+        base = jax.lax.axis_index(DATA_AXIS).astype(jnp.int32) * shard_rows
+        # (Q, rows) scores on the MXU with f32 accumulation
+        scores = jax.lax.dot_general(
+            qq,
+            v,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if metric == "l2":
+            scores = 2.0 * scores - nrm[None, :]
+        local = jax.lax.broadcasted_iota(jnp.int32, (1, shard_rows), 1)
+        valid = (local + base) < sz
+        scores = jnp.where(valid, scores, _NEG_INF)
+        s, i = jax.lax.top_k(scores, k)  # (Q, k)
+        return s, (i + base)
+
+    s, ids = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS, None), P(DATA_AXIS), P(None, None), P()),
+        out_specs=(P(None, DATA_AXIS), P(None, DATA_AXIS)),
+    )(vecs, norms, q, size)
+    # s, ids: (Q, n_shards * k) replicated-ish small arrays; final merge.
+    top_s, top_i = jax.lax.top_k(s, k)
+    top_ids = jnp.take_along_axis(ids, top_i, axis=1)
+    if metric == "l2":
+        qnorm = jnp.sum(q.astype(jnp.float32) ** 2, axis=1, keepdims=True)
+        top_s = top_s - qnorm  # score = -||q - x||^2 (higher = closer)
+    return top_s, top_ids

@@ -1,0 +1,452 @@
+"""IVF_FLAT-equivalent ANN index on TPU.
+
+The reference delegates ANN entirely to an external Milvus server (IVF_FLAT,
+metric IP, nlist=128, nprobe=16 — reference src/semcode/storage/milvus_store.py
+:76-85,:141-147). Here the whole thing is in-process and TPU-resident:
+
+- **Build**: k-means coarse quantizer trained on device (`ops.kmeans_fit`),
+  then vectors are laid out in capacity-padded cluster blocks
+  ``data[nlist, cmax, dim]`` so every shape is static for XLA.
+- **Sharding**: cluster lists are row-sharded over the mesh ``data`` axis;
+  centroids are replicated. Each query probes ``nprobe`` clusters; every shard
+  scans the probed clusters it owns and contributes a local top-k, and the
+  tiny ``(Q, k)`` candidate sets are all-gathered and merged — collectives
+  ride ICI, no host round-trip.
+- **Scan**: one jit step — centroid scores (MXU), per-query probe selection,
+  a `lax.scan` over probe slots with gathered cluster blocks (bf16 storage,
+  f32 accumulation) and a running top-k merge.
+- **Streaming inserts**: coarse assignment on device, scatter into free
+  cluster slots; layout rebuilds (cluster overflow / retrain) are amortized.
+
+Tombstones (``ids == -1``) support upsert-by-id from the store layer.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..logger import get_logger
+from ..ops.kmeans import assign_clusters, kmeans_fit
+from ..parallel.mesh import DATA_AXIS, get_mesh, round_up
+
+log = get_logger("index.ivf")
+
+_NEG_INF = np.float32(-3.0e38)
+
+
+def _storage_dtype(name: str):
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}.get(name, jnp.bfloat16)
+
+
+class IVFIndex:
+    """Inverted-file index with capacity-padded cluster blocks on TPU."""
+
+    kind = "ivf"
+
+    def __init__(
+        self,
+        dim: int,
+        *,
+        nlist: int = 128,
+        nprobe: int = 16,
+        metric: str = "ip",
+        dtype: str = "bfloat16",
+        mesh: Optional[Mesh] = None,
+        kmeans_iters: int = 12,
+        seed: int = 0,
+    ):
+        if metric not in ("ip", "cosine", "l2"):
+            raise ValueError(f"unknown metric: {metric}")
+        self.dim = int(dim)
+        self.metric = metric
+        self.mesh = mesh if mesh is not None else get_mesh()
+        self.n_shards = int(np.prod(self.mesh.devices.shape))
+        self.nlist = round_up(int(nlist), self.n_shards)
+        self.nprobe = min(int(nprobe), self.nlist)
+        self.kmeans_iters = kmeans_iters
+        self.seed = seed
+        self._dtype = _storage_dtype(dtype)
+
+        # host-authoritative storage
+        self._host = np.zeros((0, self.dim), dtype=np.float32)
+        self.size = 0  # live rows (excluding tombstones)
+        self._n_rows = 0  # total rows ever added (= len of host buffer used)
+        self._assign = np.zeros((0,), dtype=np.int32)
+        self._loc = np.zeros((0, 2), dtype=np.int32)  # row -> (cluster, slot)
+        self._alive = np.zeros((0,), dtype=bool)
+        self.centroids: Optional[np.ndarray] = None  # (nlist, dim) f32
+        self._counts = np.zeros((self.nlist,), dtype=np.int32)  # slots used
+        self.cmax = 0
+
+        # device arrays
+        self._data: Optional[jax.Array] = None  # (nlist, cmax, dim)
+        self._ids: Optional[jax.Array] = None  # (nlist, cmax) int32
+        self._sqnorms: Optional[jax.Array] = None  # (nlist, cmax) f32
+        self._centroids_dev: Optional[jax.Array] = None
+        self._dirty = True
+
+    # -- helpers ---------------------------------------------------------------
+
+    @property
+    def is_trained(self) -> bool:
+        return self.centroids is not None
+
+    def _prepare(self, x: np.ndarray) -> np.ndarray:
+        x = np.ascontiguousarray(x, dtype=np.float32)
+        if x.ndim != 2 or x.shape[1] != self.dim:
+            raise ValueError(f"expected (n, {self.dim}) vectors, got {x.shape}")
+        if self.metric == "cosine":
+            x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        return x
+
+    def _append_host(self, x: np.ndarray) -> np.ndarray:
+        n = x.shape[0]
+        rows = np.arange(self._n_rows, self._n_rows + n, dtype=np.int64)
+        self._host = np.concatenate([self._host, x], axis=0)
+        self._assign = np.concatenate(
+            [self._assign, np.full(n, -1, dtype=np.int32)]
+        )
+        self._loc = np.concatenate(
+            [self._loc, np.full((n, 2), -1, dtype=np.int32)], axis=0
+        )
+        self._alive = np.concatenate([self._alive, np.ones(n, dtype=bool)])
+        self._n_rows += n
+        self.size += n
+        return rows
+
+    # -- build -------------------------------------------------------------------
+
+    def train(self, x: Optional[np.ndarray] = None) -> None:
+        """Train the coarse quantizer (on provided sample or current rows)."""
+        sample = self._prepare(x) if x is not None else self._host[self._alive]
+        if sample.shape[0] == 0:
+            raise ValueError("cannot train IVF on an empty corpus")
+        self.centroids, _ = kmeans_fit(
+            sample, self.nlist, iters=self.kmeans_iters, seed=self.seed
+        )
+        self._centroids_dev = None
+
+    def add(self, x: np.ndarray) -> np.ndarray:
+        """Append rows; trains the quantizer on first call. Returns row ids."""
+        x = self._prepare(x)
+        if x.shape[0] == 0:
+            return np.zeros((0,), dtype=np.int64)
+        rows = self._append_host(x)
+        if not self.is_trained:
+            self.train()
+            self._rebuild_layout()
+            return rows
+        assign = assign_clusters(x, self.centroids)
+        new_counts = np.bincount(assign, minlength=self.nlist) + self._counts
+        if self.cmax == 0 or new_counts.max() > self.cmax:
+            self._assign[rows] = assign
+            self._rebuild_layout()
+        else:
+            self._place_rows(rows, assign)
+        return rows
+
+    def remove(self, rows: np.ndarray) -> None:
+        """Tombstone rows (device slots masked via ids == -1)."""
+        rows = np.asarray(rows, dtype=np.int64)
+        rows = rows[self._alive[rows]]
+        if rows.size == 0:
+            return
+        self._alive[rows] = False
+        self.size -= int(rows.size)
+        locs = self._loc[rows]
+        placed = locs[:, 0] >= 0
+        if placed.any() and not self._dirty and self._ids is not None:
+            c = jnp.asarray(locs[placed, 0])
+            s = jnp.asarray(locs[placed, 1])
+            self._ids = _tombstone(self._ids, c, s)
+
+    def _place_rows(self, rows: np.ndarray, assign: np.ndarray) -> None:
+        """Assign slots for new rows and scatter them into the device layout."""
+        slots = np.zeros_like(assign)
+        for i, c in enumerate(assign):  # vectorize later; batches are small
+            slots[i] = self._counts[c]
+            self._counts[c] += 1
+        self._assign[rows] = assign
+        self._loc[rows, 0] = assign
+        self._loc[rows, 1] = slots
+        if self._dirty or self._data is None:
+            return
+        x = self._host[rows]
+        self._data, self._ids, self._sqnorms = _scatter_slots(
+            self._data,
+            self._ids,
+            self._sqnorms,
+            jnp.asarray(assign),
+            jnp.asarray(slots),
+            jnp.asarray(x),
+            jnp.asarray(rows, dtype=jnp.int32),
+        )
+
+    def _rebuild_layout(self) -> None:
+        """Re-pack live rows into capacity-padded cluster blocks (host side)."""
+        live = np.flatnonzero(self._alive)
+        x = self._host[live]
+        assign = self._assign[live]
+        missing = assign < 0
+        if missing.any():
+            assign = assign.copy()
+            assign[missing] = assign_clusters(x[missing], self.centroids)
+            self._assign[live] = assign
+        counts = np.bincount(assign, minlength=self.nlist).astype(np.int32)
+        # headroom so streaming inserts don't immediately re-trigger a rebuild
+        self.cmax = max(8, round_up(int(counts.max() * 1.25) + 8, 8))
+        order = np.argsort(assign, kind="stable")
+        sorted_rows = live[order]
+        sorted_assign = assign[order]
+        starts = np.zeros(self.nlist + 1, dtype=np.int64)
+        np.cumsum(counts, out=starts[1:])
+        slots = np.arange(len(order), dtype=np.int64) - starts[sorted_assign]
+        self._loc[sorted_rows, 0] = sorted_assign
+        self._loc[sorted_rows, 1] = slots.astype(np.int32)
+        self._counts = counts
+        self._dirty = True
+        log.info(
+            "ivf_layout_rebuilt",
+            nlist=self.nlist,
+            cmax=self.cmax,
+            rows=int(live.size),
+            fill=float(live.size / max(self.nlist * self.cmax, 1)),
+        )
+
+    def _materialize(self) -> None:
+        """Push the packed layout to sharded device arrays."""
+        live = np.flatnonzero(self._alive)
+        data = np.zeros((self.nlist, self.cmax, self.dim), dtype=np.float32)
+        ids = np.full((self.nlist, self.cmax), -1, dtype=np.int32)
+        locs = self._loc[live]
+        data[locs[:, 0], locs[:, 1]] = self._host[live]
+        ids[locs[:, 0], locs[:, 1]] = live.astype(np.int32)
+        sqnorms = np.sum(data.astype(np.float32) ** 2, axis=2)
+        if self._dtype == jnp.bfloat16:
+            import ml_dtypes
+
+            data = data.astype(ml_dtypes.bfloat16)
+        shard3 = NamedSharding(self.mesh, P(DATA_AXIS, None, None))
+        shard2 = NamedSharding(self.mesh, P(DATA_AXIS, None))
+        self._data = jax.device_put(data, shard3)
+        self._ids = jax.device_put(ids, shard2)
+        self._sqnorms = jax.device_put(sqnorms, shard2)
+        self._centroids_dev = jax.device_put(
+            np.ascontiguousarray(self.centroids, dtype=np.float32),
+            NamedSharding(self.mesh, P(None, None)),
+        )
+        self._dirty = False
+
+    def _ensure_device(self) -> None:
+        if self._dirty or self._data is None:
+            self._materialize()
+        if self._centroids_dev is None and self.centroids is not None:
+            self._centroids_dev = jax.device_put(
+                np.ascontiguousarray(self.centroids, dtype=np.float32),
+                NamedSharding(self.mesh, P(None, None)),
+            )
+
+    # -- search ------------------------------------------------------------------
+
+    def search(
+        self, queries: np.ndarray, k: int = 10, nprobe: Optional[int] = None
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        q = np.ascontiguousarray(np.atleast_2d(queries), dtype=np.float32)
+        if q.shape[1] != self.dim:
+            raise ValueError(f"expected queries of dim {self.dim}, got {q.shape}")
+        n_q = q.shape[0]
+        if self.size == 0 or not self.is_trained:
+            return (
+                np.full((n_q, k), _NEG_INF, dtype=np.float32),
+                np.full((n_q, k), -1, dtype=np.int64),
+            )
+        if self.metric == "cosine":
+            q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+        self._ensure_device()
+        np_probe = min(nprobe or self.nprobe, self.nlist)
+        q_pad = round_up(n_q, 8)
+        if q_pad != n_q:
+            q = np.pad(q, ((0, q_pad - n_q), (0, 0)))
+        k_eff = min(k, self.cmax * np_probe)
+        scores, ids = _ivf_search(
+            self.mesh,
+            self._data,
+            self._ids,
+            self._sqnorms,
+            self._centroids_dev,
+            jax.device_put(q, NamedSharding(self.mesh, P(None, None))),
+            k_eff,
+            np_probe,
+            self.metric,
+        )
+        scores = np.asarray(scores[:n_q]).astype(np.float32)
+        ids = np.asarray(ids[:n_q]).astype(np.int64)
+        bad = (ids < 0) | (scores <= _NEG_INF / 2)
+        scores = np.where(bad, _NEG_INF, scores)
+        ids = np.where(bad, -1, ids)
+        if k_eff < k:
+            scores = np.pad(scores, ((0, 0), (0, k - k_eff)), constant_values=_NEG_INF)
+            ids = np.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=-1)
+        return scores, ids
+
+    # -- maintenance / persistence -------------------------------------------------
+
+    def retrain(self) -> None:
+        """Re-train the quantizer on the live corpus and re-pack the layout."""
+        self.train()
+        self._assign[self._alive] = assign_clusters(
+            self._host[self._alive], self.centroids
+        )
+        self._rebuild_layout()
+
+    def compact(self) -> None:
+        """Drop tombstoned rows from host storage and re-pack."""
+        live = np.flatnonzero(self._alive)
+        remap = np.full(self._n_rows, -1, dtype=np.int64)
+        remap[live] = np.arange(live.size)
+        self._host = self._host[live].copy()
+        self._assign = self._assign[live].copy()
+        self._loc = self._loc[live].copy()
+        self._alive = np.ones(live.size, dtype=bool)
+        self._n_rows = int(live.size)
+        self.size = int(live.size)
+        self._rebuild_layout()
+
+    def state_dict(self) -> dict:
+        live = np.flatnonzero(self._alive)
+        return {
+            "kind": self.kind,
+            "dim": self.dim,
+            "metric": self.metric,
+            "nlist": self.nlist,
+            "nprobe": self.nprobe,
+            "centroids": None if self.centroids is None else self.centroids.copy(),
+            "vectors": self._host[live].copy(),
+            "assignments": self._assign[live].copy(),
+            "rows": live.copy(),
+        }
+
+    @classmethod
+    def from_state(cls, state: dict, **kwargs) -> "IVFIndex":
+        idx = cls(
+            int(state["dim"]),
+            nlist=int(state["nlist"]),
+            nprobe=int(state["nprobe"]),
+            metric=str(state["metric"]),
+            **kwargs,
+        )
+        vecs = np.asarray(state["vectors"], dtype=np.float32)
+        if state.get("centroids") is not None:
+            idx.centroids = np.asarray(state["centroids"], dtype=np.float32)
+        if vecs.size:
+            n = vecs.shape[0]
+            idx._host = vecs.copy()
+            idx._assign = np.asarray(state["assignments"], dtype=np.int32).copy()
+            idx._loc = np.full((n, 2), -1, dtype=np.int32)
+            idx._alive = np.ones(n, dtype=bool)
+            idx._n_rows = n
+            idx.size = n
+            if not idx.is_trained:
+                idx.train()
+            idx._rebuild_layout()
+        return idx
+
+
+@partial(jax.jit, donate_argnums=(0, 1, 2))
+def _scatter_slots(data, ids, sqnorms, clusters, slots, x, rows):
+    data = data.at[clusters, slots].set(x.astype(data.dtype))
+    ids = ids.at[clusters, slots].set(rows)
+    sqnorms = sqnorms.at[clusters, slots].set(
+        jnp.sum(x.astype(jnp.float32) ** 2, axis=1)
+    )
+    return data, ids, sqnorms
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _tombstone(ids, clusters, slots):
+    return ids.at[clusters, slots].set(-1)
+
+
+@partial(jax.jit, static_argnums=(0, 6, 7, 8))
+def _ivf_search(mesh, data, ids, sqnorms, centroids, q, k, nprobe, metric):
+    """Fused IVF query step: probe selection + sharded cluster scans + merge."""
+    n_shards = int(np.prod(mesh.devices.shape))
+    nlist = data.shape[0]
+    nlist_s = nlist // n_shards
+    cmax = data.shape[1]
+
+    # ---- probe selection (replicated; tiny) ----
+    qc = jax.lax.dot_general(
+        q,
+        centroids,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (Q, nlist)
+    if metric == "l2":
+        c_sq = jnp.sum(centroids * centroids, axis=1)[None, :]
+        probe_scores = 2.0 * qc - c_sq
+    else:
+        probe_scores = qc
+    _, probes = jax.lax.top_k(probe_scores, nprobe)  # (Q, nprobe) int32
+
+    def shard_fn(data_s, ids_s, sqn_s, qq, probes_s):
+        me = jax.lax.axis_index(DATA_AXIS).astype(jnp.int32)
+        base = me * nlist_s
+        owned = (probes_s // nlist_s) == me  # (Q, nprobe)
+        local = jnp.clip(probes_s - base, 0, nlist_s - 1)
+        n_q = qq.shape[0]
+
+        def step(carry, inputs):
+            best_s, best_i = carry
+            pl, own = inputs  # (Q,), (Q,)
+            blocks = data_s[pl]  # (Q, cmax, d) gather
+            scores = jnp.einsum(
+                "qd,qcd->qc",
+                qq,
+                blocks.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            )
+            ids_blk = ids_s[pl]  # (Q, cmax)
+            if metric == "l2":
+                scores = 2.0 * scores - sqn_s[pl]
+            valid = (ids_blk >= 0) & own[:, None]
+            scores = jnp.where(valid, scores, _NEG_INF)
+            merged_s = jnp.concatenate([best_s, scores], axis=1)
+            merged_i = jnp.concatenate([best_i, ids_blk], axis=1)
+            s, pos = jax.lax.top_k(merged_s, k)
+            i = jnp.take_along_axis(merged_i, pos, axis=1)
+            return (s, i), None
+
+        init = (
+            jnp.full((n_q, k), _NEG_INF, dtype=jnp.float32),
+            jnp.full((n_q, k), -1, dtype=jnp.int32),
+        )
+        (best_s, best_i), _ = jax.lax.scan(
+            step, init, (local.T, owned.T)
+        )
+        return best_s, best_i
+
+    s, ids_out = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(
+            P(DATA_AXIS, None, None),
+            P(DATA_AXIS, None),
+            P(DATA_AXIS, None),
+            P(None, None),
+            P(None, None),
+        ),
+        out_specs=(P(None, DATA_AXIS), P(None, DATA_AXIS)),
+    )(data, ids, sqnorms, q, probes)
+    top_s, top_pos = jax.lax.top_k(s, k)
+    top_ids = jnp.take_along_axis(ids_out, top_pos, axis=1)
+    if metric == "l2":
+        qnorm = jnp.sum(q.astype(jnp.float32) ** 2, axis=1, keepdims=True)
+        top_s = top_s - qnorm
+    return top_s, top_ids

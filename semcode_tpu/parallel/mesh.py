@@ -1,0 +1,82 @@
+"""Device-mesh construction and sharding helpers.
+
+The engine scales across chips the TPU way: a `jax.sharding.Mesh` over all
+local devices, arrays annotated with `NamedSharding`, and XLA collectives
+inserted automatically (the reference instead delegated scale-out to an
+external Milvus server over gRPC — SURVEY.md section 2 rows 23-24).
+
+The primary axis is ``"data"``: the vector corpus is row-sharded over it, and
+per-shard top-k results are merged with an all-gather that rides ICI.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    shape: Optional[Sequence[int]] = None,
+    axis_names: Tuple[str, ...] = (DATA_AXIS,),
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a mesh; defaults to a 1-D mesh over every local device."""
+    devs = list(devices) if devices is not None else jax.devices()
+    if shape is None:
+        shape = (len(devs),)
+    if int(np.prod(shape)) != len(devs):
+        raise ValueError(
+            f"mesh shape {tuple(shape)} does not match {len(devs)} devices"
+        )
+    arr = np.asarray(devs, dtype=object).reshape(tuple(shape))
+    return Mesh(arr, axis_names)
+
+
+def parse_mesh_shape(spec: str) -> Optional[Tuple[int, ...]]:
+    """Parse ``"8"`` / ``"4x2"`` style mesh shape strings ('' -> None)."""
+    spec = spec.strip()
+    if not spec:
+        return None
+    return tuple(int(part) for part in spec.replace("X", "x").split("x"))
+
+
+@lru_cache(maxsize=None)
+def _cached_default_mesh(n_devices: int, axis_names: Tuple[str, ...]) -> Mesh:
+    return make_mesh((n_devices,), axis_names)
+
+
+def get_mesh(
+    shape_spec: str = "", axis_names: Tuple[str, ...] = (DATA_AXIS,)
+) -> Mesh:
+    """The process-wide mesh used by the index engine.
+
+    ``shape_spec`` comes from ``settings.mesh_shape``; empty means a 1-D mesh
+    over all local devices (the common single-host case).
+    """
+    shape = parse_mesh_shape(shape_spec)
+    if shape is None:
+        return _cached_default_mesh(len(jax.devices()), axis_names)
+    return make_mesh(shape, axis_names)
+
+
+def row_sharded(mesh: Mesh, axis: str = DATA_AXIS, ndim: int = 2) -> NamedSharding:
+    """Sharding for an array split along dim 0 (corpus rows / cluster lists)."""
+    spec = P(axis, *([None] * (ndim - 1)))
+    return NamedSharding(mesh, spec)
+
+
+def replicated(mesh: Mesh, ndim: int = 2) -> NamedSharding:
+    return NamedSharding(mesh, P(*([None] * ndim)))
+
+
+def round_up(value: int, multiple: int) -> int:
+    if multiple <= 0:
+        return value
+    return ((value + multiple - 1) // multiple) * multiple

@@ -1,0 +1,285 @@
+"""Centralized application settings.
+
+Layered configuration shared by the CLI, API server, and background jobs:
+
+1. built-in defaults (the ``AppSettings`` model below),
+2. a TOML file (``$SEMCODE_CONFIG_PATH`` or ``./semcode_settings.toml``),
+   whose grouped sections are flattened into model fields,
+3. ``SEMCODE_``-prefixed environment variable overrides.
+
+Capability parity with the reference settings layer
+(/root/reference/src/semcode/settings.py:30-255), re-implemented on plain
+pydantic (pydantic-settings is not available in this environment) and extended
+with the TPU engine knobs (index type, nlist/nprobe, mesh shape, dtypes) that
+replace the reference's Milvus connection settings.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tomllib
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+from pydantic import BaseModel, ConfigDict
+
+
+class LLMProviderSettings(BaseModel):
+    """One configured LLM endpoint (reference settings.py:22-27)."""
+
+    provider: str
+    model: str
+    api_base: Optional[str] = None
+
+
+class AppSettings(BaseModel):
+    """Project-wide settings; every field can be overridden via SEMCODE_* env."""
+
+    model_config = ConfigDict(extra="allow")
+
+    # -- workspace / registry -------------------------------------------------
+    workspace_root: Path = Path("./workspace")
+
+    # -- API service ----------------------------------------------------------
+    api_key: Optional[str] = None
+    api_host: str = "0.0.0.0"
+    api_port: int = 8000
+    telemetry_enabled: bool = True
+
+    # -- embedding (on-TPU by default; remote providers are optional) ---------
+    embedding_provider: str = "tpu-hash"  # tpu-hash | tpu-encoder | openai | jina
+    embedding_model: str = "code-hash-v1"
+    embedding_dimension: int = 384
+    embedding_api_base: Optional[str] = None
+    embedding_api_key: Optional[str] = None
+    embedding_batch_size: int = 64
+    embedding_max_tokens: int = 512
+    # tpu-encoder specifics
+    encoder_preset: str = "mini"  # mini (L6/H384) | base (L12/H768) | large (L24/H1024)
+    encoder_weights_path: Optional[Path] = None  # local HF-style dir (safetensors)
+    encoder_dtype: str = "bfloat16"
+
+    # -- TPU vector index (replaces the reference's Milvus section) -----------
+    index_kind: str = "auto"  # flat | ivf | auto (flat until ivf_min_size rows)
+    index_metric: str = "ip"  # ip | l2 | cosine
+    index_dtype: str = "bfloat16"  # storage dtype; accumulation is float32
+    index_nlist: int = 128  # reference milvus_store.py:81
+    index_nprobe: int = 16  # reference milvus_store.py:144
+    index_ivf_min_size: int = 8192  # below this, auto uses flat exact scan
+    index_kmeans_iters: int = 12
+    index_capacity: int = 0  # 0 = grow on demand
+    index_snapshot_dir: Optional[Path] = None  # default: workspace_root/"index"
+    upsert_batch_size: int = 128  # reference milvus_upsert_batch_size
+    search_batch_size: int = 16
+
+    # -- mesh / parallelism ----------------------------------------------------
+    mesh_shape: str = ""  # e.g. "8" or "4x2"; empty = all local devices, 1-D
+    mesh_axis_names: str = "data"
+
+    # -- RAG ------------------------------------------------------------------
+    rag_provider: str = "fallback"  # fallback | openai | openai-compatible
+    rag_model: str = "gpt-4o"
+    rag_api_base: Optional[str] = None
+    rag_api_key: Optional[str] = None
+    rag_temperature: float = 0.0
+    rag_system_prompt: str = (
+        "You are a senior software engineer helping teammates understand codebases. "
+        "Use the provided context to answer succinctly and cite files that support "
+        "your answer."
+    )
+    rag_prompt_template: Optional[str] = None
+    rag_fallback_enabled: bool = True
+    rag_max_context_sources: int = 5
+    rag_fallback_max_sources: int = 3
+    rag_fallback_summary_sentences: int = 3
+    default_llm: str = "gpt-4o"
+    llm_endpoints: List[LLMProviderSettings] = []
+
+    # -- chunking / ingestion ---------------------------------------------------
+    chunk_max_lines: int = 200  # reference tree_sitter_chunker.py:64
+    chunk_max_chars: int = 6000  # reference tree_sitter_chunker.py:65
+    chunk_chars_per_token_estimate: float = 1.0
+
+    # -- frontend ---------------------------------------------------------------
+    frontend_api_root: str = "http://localhost:8000"
+    frontend_api_key: Optional[str] = None
+    frontend_port: int = 8501
+    frontend_request_timeout: int = 30
+
+
+_CONFIG_ENV_VAR = "SEMCODE_CONFIG_PATH"
+_DEFAULT_CONFIG_FILE = Path("semcode_settings.toml")
+_PROVIDER_ENV_MAPPING = {
+    "openai_api_key": "OPENAI_API_KEY",
+    "cohere_api_key": "COHERE_API_KEY",
+    "jina_api_key": "JINA_API_KEY",
+    "huggingfacehub_api_token": "HUGGINGFACEHUB_API_TOKEN",
+}
+
+
+def _load_toml_config() -> Dict[str, Any]:
+    """Load the primary TOML config file, if present."""
+    candidates: List[Path] = []
+    override = os.getenv(_CONFIG_ENV_VAR)
+    if override:
+        candidates.append(Path(override))
+    candidates.append(_DEFAULT_CONFIG_FILE)
+    for candidate in candidates:
+        if candidate.is_file():
+            with candidate.open("rb") as handle:
+                return tomllib.load(handle)
+    return {}
+
+
+def _blank_to_none(value: Any) -> Any:
+    if isinstance(value, str) and value.strip() == "":
+        return None
+    return value
+
+
+# TOML section -> (toml key, settings field) mappings. Keeps the grouped file
+# layout of the reference (semcode_settings.toml.sample) while the model stays
+# flat.
+_SECTION_FIELDS: Dict[str, Dict[str, str]] = {
+    "workspace": {"root": "workspace_root"},
+    "general": {"api_key": "api_key", "telemetry_enabled": "telemetry_enabled"},
+    "api": {"host": "api_host", "port": "api_port"},
+    "embedding": {
+        "provider": "embedding_provider",
+        "model": "embedding_model",
+        "dimension": "embedding_dimension",
+        "api_base": "embedding_api_base",
+        "api_key": "embedding_api_key",
+        "batch_size": "embedding_batch_size",
+        "max_tokens": "embedding_max_tokens",
+    },
+    "encoder": {
+        "preset": "encoder_preset",
+        "weights_path": "encoder_weights_path",
+        "dtype": "encoder_dtype",
+    },
+    "index": {
+        "kind": "index_kind",
+        "metric": "index_metric",
+        "dtype": "index_dtype",
+        "nlist": "index_nlist",
+        "nprobe": "index_nprobe",
+        "ivf_min_size": "index_ivf_min_size",
+        "kmeans_iters": "index_kmeans_iters",
+        "capacity": "index_capacity",
+        "snapshot_dir": "index_snapshot_dir",
+        "upsert_batch_size": "upsert_batch_size",
+        "search_batch_size": "search_batch_size",
+    },
+    "mesh": {"shape": "mesh_shape", "axis_names": "mesh_axis_names"},
+    "rag": {
+        "provider": "rag_provider",
+        "model": "rag_model",
+        "api_base": "rag_api_base",
+        "api_key": "rag_api_key",
+        "temperature": "rag_temperature",
+        "system_prompt": "rag_system_prompt",
+        "prompt_template": "rag_prompt_template",
+        "fallback_enabled": "rag_fallback_enabled",
+        "max_context_sources": "rag_max_context_sources",
+        "fallback_max_sources": "rag_fallback_max_sources",
+        "fallback_summary_sentences": "rag_fallback_summary_sentences",
+    },
+    "chunking": {
+        "max_lines": "chunk_max_lines",
+        "max_chars": "chunk_max_chars",
+        "chars_per_token_estimate": "chunk_chars_per_token_estimate",
+    },
+    "ingestion": {"chunk_chars_per_token_estimate": "chunk_chars_per_token_estimate"},
+    "frontend": {
+        "api_root": "frontend_api_root",
+        "api_key": "frontend_api_key",
+        "port": "frontend_port",
+        "request_timeout": "frontend_request_timeout",
+    },
+}
+
+
+def _flatten_config(raw: Dict[str, Any]) -> Dict[str, Any]:
+    """Translate grouped TOML sections into AppSettings keyword arguments."""
+    data: Dict[str, Any] = {}
+    for section, fields in _SECTION_FIELDS.items():
+        body = raw.get(section, {})
+        if not isinstance(body, dict):
+            continue
+        for key, field in fields.items():
+            if key in body:
+                data[field] = _blank_to_none(body[key])
+    llm = raw.get("llm", {})
+    if isinstance(llm, dict):
+        if "default" in llm:
+            data["default_llm"] = llm["default"]
+        endpoints = llm.get("endpoints")
+        if isinstance(endpoints, list):
+            data["llm_endpoints"] = [LLMProviderSettings(**e) for e in endpoints]
+    return data
+
+
+def _apply_environment_overrides(raw: Dict[str, Any]) -> None:
+    """Export [environment]/[providers] TOML keys into the process env."""
+    env_section = raw.get("environment", {})
+    tok = env_section.get("tokenizers_parallelism")
+    if tok is not None:
+        os.environ["TOKENIZERS_PARALLELISM"] = str(tok).lower()
+    providers = raw.get("providers", {})
+    for key, env_name in _PROVIDER_ENV_MAPPING.items():
+        value = providers.get(key)
+        if value:
+            os.environ[env_name] = value
+
+
+_ENV_PREFIX = "SEMCODE_"
+
+
+def _coerce(field: str, value: str) -> Any:
+    """Coerce an env-var string to the declared field type."""
+    info = AppSettings.model_fields.get(field)
+    if info is None:
+        return value
+    ann = str(info.annotation)
+    if "bool" in ann:
+        return value.strip().lower() in {"1", "true", "yes", "on"}
+    if "int" in ann and "Path" not in ann:
+        try:
+            return int(value)
+        except ValueError:
+            return value
+    if "float" in ann:
+        try:
+            return float(value)
+        except ValueError:
+            return value
+    if "List" in ann or "list" in ann:
+        try:
+            return json.loads(value)
+        except json.JSONDecodeError:
+            return [v for v in value.split(",") if v]
+    return _blank_to_none(value)
+
+
+def _env_overrides() -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    for name, value in os.environ.items():
+        if not name.startswith(_ENV_PREFIX) or name == _CONFIG_ENV_VAR:
+            continue
+        field = name[len(_ENV_PREFIX):].lower()
+        if field in AppSettings.model_fields:
+            out[field] = _coerce(field, value)
+    return out
+
+
+def load_settings() -> AppSettings:
+    raw = _load_toml_config()
+    _apply_environment_overrides(raw)
+    flattened = _flatten_config(raw)
+    flattened.update(_env_overrides())
+    return AppSettings(**flattened)
+
+
+settings = load_settings()
