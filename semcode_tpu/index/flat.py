@@ -59,10 +59,13 @@ class FlatIndex:
         self._dtype = _storage_dtype(dtype)
         self._row_multiple = max(self.n_shards * 8, 128)
         self.capacity = round_up(max(capacity, self._row_multiple), self._row_multiple)
-        self.size = 0
+        self.size = 0  # rows allocated (including tombstones)
+        self.n_live = 0  # rows alive
         self._host = np.zeros((self.capacity, self.dim), dtype=np.float32)
+        self._alive = np.zeros((self.capacity,), dtype=bool)
         self._vecs: Optional[jax.Array] = None
         self._norms: Optional[jax.Array] = None
+        self._valid: Optional[jax.Array] = None
         self._dirty = True  # device arrays need (re)materialization
 
     # -- host <-> device ------------------------------------------------------
@@ -83,6 +86,7 @@ class FlatIndex:
         self._vecs = jax.device_put(host, self._vec_sharding())
         norms = np.sum(self._host.astype(np.float32) ** 2, axis=1)
         self._norms = jax.device_put(norms, self._norm_sharding())
+        self._valid = jax.device_put(self._alive, self._norm_sharding())
         self._dirty = False
 
     def _ensure_device(self) -> None:
@@ -95,7 +99,10 @@ class FlatIndex:
         new_cap = round_up(max(min_capacity, self.capacity * 2), self._row_multiple)
         host = np.zeros((new_cap, self.dim), dtype=np.float32)
         host[: self.size] = self._host[: self.size]
+        alive = np.zeros((new_cap,), dtype=bool)
+        alive[: self.size] = self._alive[: self.size]
         self._host = host
+        self._alive = alive
         self.capacity = new_cap
         self._dirty = True
 
@@ -118,7 +125,9 @@ class FlatIndex:
             self._grow(self.size + n)
         rows = np.arange(self.size, self.size + n, dtype=np.int64)
         self._host[rows] = x
+        self._alive[rows] = True
         self.size += n
+        self.n_live += n
         self._write_device(rows, x)
         return rows
 
@@ -126,16 +135,30 @@ class FlatIndex:
         """Overwrite existing rows in place (upsert path)."""
         x = self._prepare(x)
         rows = np.asarray(rows, dtype=np.int64)
+        self.n_live += int(np.sum(~self._alive[rows]))
         self._host[rows] = x
+        self._alive[rows] = True
         self._write_device(rows, x)
+
+    def remove(self, rows: np.ndarray) -> None:
+        """Tombstone rows; they stop appearing in search results."""
+        rows = np.asarray(rows, dtype=np.int64)
+        rows = rows[self._alive[rows]]
+        if rows.size == 0:
+            return
+        self._alive[rows] = False
+        self.n_live -= int(rows.size)
+        if not self._dirty and self._valid is not None:
+            self._valid = _clear_valid(self._valid, jnp.asarray(rows, jnp.int32))
 
     def _write_device(self, rows: np.ndarray, x: np.ndarray) -> None:
         """Incremental scatter into the device arrays (keeps HBM warm)."""
         if self._dirty or self._vecs is None:
             return  # will materialize lazily before the next search
-        self._vecs, self._norms = _scatter_rows(
+        self._vecs, self._norms, self._valid = _scatter_rows(
             self._vecs,
             self._norms,
+            self._valid,
             jnp.asarray(rows, dtype=jnp.int32),
             jnp.asarray(x),
         )
@@ -148,7 +171,7 @@ class FlatIndex:
         if q.shape[1] != self.dim:
             raise ValueError(f"expected queries of dim {self.dim}, got {q.shape}")
         n_q = q.shape[0]
-        if self.size == 0:
+        if self.n_live == 0:
             return (
                 np.full((n_q, k), _NEG_INF, dtype=np.float32),
                 np.full((n_q, k), -1, dtype=np.int64),
@@ -164,8 +187,8 @@ class FlatIndex:
             self.mesh,
             self._vecs,
             self._norms,
+            self._valid,
             jax.device_put(q, NamedSharding(self.mesh, P(None, None))),
-            jnp.int32(self.size),
             k_eff,
             self.metric,
         )
@@ -188,6 +211,7 @@ class FlatIndex:
             "metric": self.metric,
             "size": self.size,
             "vectors": self._host[: self.size].copy(),
+            "alive": self._alive[: self.size].copy(),
         }
 
     @classmethod
@@ -199,31 +223,41 @@ class FlatIndex:
             n = vecs.shape[0]
             if idx.size + n > idx.capacity:
                 idx._grow(idx.size + n)
-            idx._host[: n] = vecs
+            idx._host[:n] = vecs
+            alive = state.get("alive")
+            alive = (
+                np.asarray(alive, dtype=bool)
+                if alive is not None
+                else np.ones(n, dtype=bool)
+            )
+            idx._alive[:n] = alive
             idx.size = n
+            idx.n_live = int(alive.sum())
             idx._dirty = True
         return idx
 
 
-@partial(jax.jit, donate_argnums=(0, 1))
-def _scatter_rows(vecs, norms, rows, x):
+@partial(jax.jit, donate_argnums=(0, 1, 2))
+def _scatter_rows(vecs, norms, valid, rows, x):
     new_norms = jnp.sum(x.astype(jnp.float32) ** 2, axis=1)
     vecs = vecs.at[rows].set(x.astype(vecs.dtype))
     norms = norms.at[rows].set(new_norms)
-    return vecs, norms
+    valid = valid.at[rows].set(True)
+    return vecs, norms, valid
 
 
-@partial(
-    jax.jit,
-    static_argnums=(0, 5, 6),
-    static_argnames=(),
-)
-def _flat_search(mesh, vecs, norms, q, size, k, metric):
+@partial(jax.jit, donate_argnums=(0,))
+def _clear_valid(valid, rows):
+    return valid.at[rows].set(False)
+
+
+@partial(jax.jit, static_argnums=(0, 5, 6))
+def _flat_search(mesh, vecs, norms, valid, q, k, metric):
     """One fused query step: per-shard scan+top-k, all-gather, global merge."""
     n_shards = int(np.prod(mesh.devices.shape))
     shard_rows = vecs.shape[0] // n_shards
 
-    def shard_fn(v, nrm, qq, sz):
+    def shard_fn(v, nrm, vld, qq):
         base = jax.lax.axis_index(DATA_AXIS).astype(jnp.int32) * shard_rows
         # (Q, rows) scores on the MXU with f32 accumulation
         scores = jax.lax.dot_general(
@@ -234,18 +268,16 @@ def _flat_search(mesh, vecs, norms, q, size, k, metric):
         )
         if metric == "l2":
             scores = 2.0 * scores - nrm[None, :]
-        local = jax.lax.broadcasted_iota(jnp.int32, (1, shard_rows), 1)
-        valid = (local + base) < sz
-        scores = jnp.where(valid, scores, _NEG_INF)
+        scores = jnp.where(vld[None, :], scores, _NEG_INF)
         s, i = jax.lax.top_k(scores, k)  # (Q, k)
         return s, (i + base)
 
     s, ids = jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(DATA_AXIS, None), P(DATA_AXIS), P(None, None), P()),
+        in_specs=(P(DATA_AXIS, None), P(DATA_AXIS), P(DATA_AXIS), P(None, None)),
         out_specs=(P(None, DATA_AXIS), P(None, DATA_AXIS)),
-    )(vecs, norms, q, size)
+    )(vecs, norms, valid, q)
     # s, ids: (Q, n_shards * k) replicated-ish small arrays; final merge.
     top_s, top_i = jax.lax.top_k(s, k)
     top_ids = jnp.take_along_axis(ids, top_i, axis=1)

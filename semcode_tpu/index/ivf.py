@@ -424,8 +424,14 @@ def _ivf_search(mesh, data, ids, sqnorms, centroids, q, k, nprobe, metric):
             return (s, i), None
 
         init = (
-            jnp.full((n_q, k), _NEG_INF, dtype=jnp.float32),
-            jnp.full((n_q, k), -1, dtype=jnp.int32),
+            jax.lax.pcast(
+                jnp.full((n_q, k), _NEG_INF, dtype=jnp.float32),
+                (DATA_AXIS,),
+                to="varying",
+            ),
+            jax.lax.pcast(
+                jnp.full((n_q, k), -1, dtype=jnp.int32), (DATA_AXIS,), to="varying"
+            ),
         )
         (best_s, best_i), _ = jax.lax.scan(
             step, init, (local.T, owned.T)

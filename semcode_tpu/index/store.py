@@ -1,22 +1,372 @@
-"""Host-side vector store facade (placeholder; implemented next)."""
+"""Host-side vector store facade over the TPU indexes.
+
+Mirrors the reference's Milvus client surface
+(/root/reference/src/semcode/storage/milvus_store.py:29-148):
+``connect`` / ``upsert_embeddings`` / ``search`` — but the engine is
+in-process: upserts scatter into HBM-resident sharded arrays and searches are
+one jit step. Adds what Milvus provided server-side: snapshot persistence
+(save/load), deletes, and automatic flat->IVF promotion once the corpus is
+large enough for ANN to pay off.
+"""
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-from typing import Any, Dict, Optional
+import json
+import threading
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..logger import get_logger
+from ..parallel.mesh import get_mesh
+from ..settings import AppSettings, settings as default_settings
+from .flat import FlatIndex
+from .ivf import IVFIndex
+
+log = get_logger("index.store")
+
+ProgressCallback = Callable[[int, int], None]
 
 
 @dataclass
 class SearchHit:
+    """One retrieval result (the reference returns Milvus hit entities with
+    repo/path/language/text/metadata fields — milvus_store.py:135-148)."""
+
     id: str
     score: float
     repo: Optional[str] = None
     path: Optional[str] = None
     language: Optional[str] = None
     text: Optional[str] = None
-    metadata: Optional[Dict[str, Any]] = None
+    metadata: Dict[str, Any] = field(default_factory=dict)
 
 
-class VectorStore:  # pragma: no cover - placeholder
-    def __init__(self, *args, **kwargs):
-        raise NotImplementedError("VectorStore lands in the next milestone")
+class VectorStore:
+    """In-process TPU vector store with upsert/search/delete + snapshots."""
+
+    def __init__(
+        self,
+        config: Optional[AppSettings] = None,
+        *,
+        dim: Optional[int] = None,
+        mesh=None,
+    ):
+        self.config = config or default_settings
+        self.dim = int(dim or self.config.embedding_dimension)
+        self.metric = self.config.index_metric
+        self._mesh = mesh
+        self._index = None  # FlatIndex | IVFIndex, created lazily
+        self._id_to_row: Dict[str, int] = {}
+        self._row_meta: Dict[int, Dict[str, Any]] = {}
+        self._lock = threading.Lock()  # host-side write lock (streaming inserts)
+        self._connected = False
+
+    # -- lifecycle -----------------------------------------------------------
+
+    def connect(self) -> None:
+        """Initialize the engine; loads a snapshot if one exists."""
+        if self._connected:
+            return
+        if self._mesh is None:
+            self._mesh = get_mesh(
+                self.config.mesh_shape,
+                tuple(self.config.mesh_axis_names.split(",")),
+            )
+        snap = self.snapshot_dir()
+        if snap is not None and (snap / "store.json").exists():
+            self.load(snap)
+        self._connected = True
+        log.info(
+            "vector_store_connected",
+            dim=self.dim,
+            metric=self.metric,
+            shards=int(np.prod(self._mesh.devices.shape)),
+            rows=self.count(),
+        )
+
+    def snapshot_dir(self) -> Optional[Path]:
+        if self.config.index_snapshot_dir is not None:
+            return Path(self.config.index_snapshot_dir)
+        if self.config.workspace_root:
+            return Path(self.config.workspace_root) / "index"
+        return None
+
+    def _ensure_index(self):
+        if self._index is None:
+            kind = self.config.index_kind
+            if kind == "ivf":
+                self._index = self._new_ivf()
+            else:  # flat | auto start flat; auto promotes later
+                self._index = FlatIndex(
+                    self.dim,
+                    metric=self.metric,
+                    dtype=self.config.index_dtype,
+                    mesh=self._mesh,
+                    capacity=self.config.index_capacity,
+                )
+        return self._index
+
+    def _new_ivf(self) -> IVFIndex:
+        return IVFIndex(
+            self.dim,
+            nlist=self.config.index_nlist,
+            nprobe=self.config.index_nprobe,
+            metric=self.metric,
+            dtype=self.config.index_dtype,
+            mesh=self._mesh,
+            kmeans_iters=self.config.index_kmeans_iters,
+        )
+
+    def _maybe_promote(self) -> None:
+        """auto mode: switch flat -> IVF once the corpus justifies ANN."""
+        if self.config.index_kind != "auto":
+            return
+        idx = self._index
+        if not isinstance(idx, FlatIndex):
+            return
+        if idx.n_live < self.config.index_ivf_min_size:
+            return
+        log.info("index_promotion_started", rows=idx.n_live)
+        live = np.flatnonzero(idx._alive[: idx.size])
+        vectors = idx._host[live]
+        ivf = self._new_ivf()
+        new_rows = ivf.add(vectors)
+        remap = dict(zip(live.tolist(), new_rows.tolist()))
+        self._id_to_row = {k: remap[v] for k, v in self._id_to_row.items()}
+        self._row_meta = {remap[r]: m for r, m in self._row_meta.items()}
+        self._index = ivf
+        log.info("index_promotion_done", rows=int(ivf.size))
+
+    # -- mutation ----------------------------------------------------------------
+
+    def upsert_embeddings(
+        self,
+        payloads: Sequence["EmbeddingPayloadLike"],
+        *,
+        batch_size: Optional[int] = None,
+        progress: Optional[ProgressCallback] = None,
+    ) -> int:
+        """Idempotent upsert by payload id (reference milvus_store.py:87-133)."""
+        self.connect()
+        batch = batch_size or self.config.upsert_batch_size
+        total = len(payloads)
+        done = 0
+        with self._lock:
+            index = self._ensure_index()
+            for start in range(0, total, batch):
+                chunk = payloads[start : start + batch]
+                vecs = np.asarray([p.vector for p in chunk], dtype=np.float32)
+                new_mask = [p.id not in self._id_to_row for p in chunk]
+                new_items = [p for p, m in zip(chunk, new_mask) if m]
+                old_items = [p for p, m in zip(chunk, new_mask) if not m]
+                if new_items:
+                    new_vecs = vecs[np.asarray(new_mask)]
+                    rows = index.add(new_vecs)
+                    for p, r in zip(new_items, rows):
+                        self._id_to_row[p.id] = int(r)
+                        self._row_meta[int(r)] = self._payload_meta(p)
+                if old_items:
+                    old_vecs = vecs[~np.asarray(new_mask)]
+                    rows = np.asarray(
+                        [self._id_to_row[p.id] for p in old_items], dtype=np.int64
+                    )
+                    if isinstance(index, IVFIndex):
+                        # IVF slots are cluster-addressed: tombstone + re-add
+                        index.remove(rows)
+                        new_rows = index.add(old_vecs)
+                        for p, r in zip(old_items, new_rows):
+                            old_row = self._id_to_row[p.id]
+                            self._row_meta.pop(old_row, None)
+                            self._id_to_row[p.id] = int(r)
+                            self._row_meta[int(r)] = self._payload_meta(p)
+                    else:
+                        index.update_rows(rows, old_vecs)
+                        for p in old_items:
+                            self._row_meta[self._id_to_row[p.id]] = (
+                                self._payload_meta(p)
+                            )
+                done += len(chunk)
+                if progress is not None:
+                    progress(done, total)
+            self._maybe_promote()
+        return done
+
+    @staticmethod
+    def _payload_meta(p: "EmbeddingPayloadLike") -> Dict[str, Any]:
+        meta = dict(p.metadata or {})
+        meta.setdefault("text", p.text)
+        return meta
+
+    def delete(self, ids: Sequence[str]) -> int:
+        """Delete payloads by id (capability Milvus had server-side)."""
+        self.connect()
+        with self._lock:
+            rows = [self._id_to_row[i] for i in ids if i in self._id_to_row]
+            if not rows:
+                return 0
+            self._index.remove(np.asarray(rows, dtype=np.int64))
+            for i in ids:
+                row = self._id_to_row.pop(i, None)
+                if row is not None:
+                    self._row_meta.pop(row, None)
+            return len(rows)
+
+    def delete_repo(self, repo: str) -> int:
+        ids = [
+            i
+            for i, r in self._id_to_row.items()
+            if self._row_meta.get(r, {}).get("repo") == repo
+        ]
+        return self.delete(ids)
+
+    # -- query ---------------------------------------------------------------------
+
+    def search(
+        self,
+        vector: Sequence[float],
+        *,
+        top_k: int = 10,
+        nprobe: Optional[int] = None,
+        filters: Optional[Dict[str, Any]] = None,
+    ) -> List[SearchHit]:
+        """Single-vector ANN search returning enriched hits."""
+        self.connect()
+        if self._index is None or self.count() == 0:
+            return []
+        hits_batch = self.search_batch(
+            np.asarray(vector, dtype=np.float32)[None, :],
+            top_k=top_k,
+            nprobe=nprobe,
+            filters=filters,
+        )
+        return hits_batch[0]
+
+    def search_batch(
+        self,
+        vectors: np.ndarray,
+        *,
+        top_k: int = 10,
+        nprobe: Optional[int] = None,
+        filters: Optional[Dict[str, Any]] = None,
+    ) -> List[List[SearchHit]]:
+        self.connect()
+        if self._index is None or self.count() == 0:
+            return [[] for _ in range(len(np.atleast_2d(vectors)))]
+        index = self._index
+        # over-fetch when filtering so post-filter results can still fill top_k
+        fetch_k = top_k * 4 if filters else top_k
+        if isinstance(index, IVFIndex):
+            scores, ids = index.search(vectors, k=fetch_k, nprobe=nprobe)
+        else:
+            scores, ids = index.search(vectors, k=fetch_k)
+        row_to_id = {r: i for i, r in self._id_to_row.items()}
+        out: List[List[SearchHit]] = []
+        for q_scores, q_ids in zip(scores, ids):
+            hits: List[SearchHit] = []
+            for s, r in zip(q_scores.tolist(), q_ids.tolist()):
+                if r < 0 or len(hits) >= top_k:
+                    continue
+                pid = row_to_id.get(int(r))
+                if pid is None:
+                    continue
+                meta = self._row_meta.get(int(r), {})
+                if filters and any(meta.get(k) != v for k, v in filters.items()):
+                    continue
+                hits.append(
+                    SearchHit(
+                        id=pid,
+                        score=float(s),
+                        repo=meta.get("repo"),
+                        path=meta.get("path"),
+                        language=meta.get("language"),
+                        text=meta.get("text"),
+                        metadata={
+                            k: v for k, v in meta.items() if k != "text"
+                        },
+                    )
+                )
+            out.append(hits)
+        return out
+
+    def count(self) -> int:
+        return len(self._id_to_row)
+
+    # -- persistence ------------------------------------------------------------------
+
+    def save(self, directory: Optional[Path] = None) -> Path:
+        """Serialize the index + metadata (centroids, vectors, id map)."""
+        directory = Path(directory or self.snapshot_dir())
+        directory.mkdir(parents=True, exist_ok=True)
+        with self._lock:
+            state = self._index.state_dict() if self._index else None
+            arrays = {}
+            meta: Dict[str, Any] = {
+                "dim": self.dim,
+                "metric": self.metric,
+                "kind": state["kind"] if state else None,
+                "id_to_row": self._id_to_row,
+                "row_meta": {str(k): v for k, v in self._row_meta.items()},
+            }
+            if state:
+                for key, val in state.items():
+                    if isinstance(val, np.ndarray):
+                        arrays[key] = val
+                    else:
+                        meta[f"state_{key}"] = val
+            np.savez_compressed(directory / "index.npz", **arrays)
+            tmp = directory / "store.json.tmp"
+            tmp.write_text(json.dumps(meta), encoding="utf-8")
+            tmp.replace(directory / "store.json")
+        log.info("store_saved", path=str(directory), rows=self.count())
+        return directory
+
+    def load(self, directory: Path) -> None:
+        directory = Path(directory)
+        meta = json.loads((directory / "store.json").read_text(encoding="utf-8"))
+        arrays = dict(np.load(directory / "index.npz", allow_pickle=False))
+        state = {k[6:]: v for k, v in meta.items() if k.startswith("state_")}
+        state.update(arrays)
+        self.dim = int(meta["dim"])
+        self.metric = str(meta["metric"])
+        kind = meta.get("kind")
+        common = dict(dtype=self.config.index_dtype, mesh=self._mesh)
+        if kind == "ivf":
+            self._index = IVFIndex.from_state(state, **common)
+        elif kind == "flat":
+            self._index = FlatIndex.from_state(state, **common)
+        else:
+            self._index = None
+        self._id_to_row = {k: int(v) for k, v in meta["id_to_row"].items()}
+        self._row_meta = {int(k): v for k, v in meta["row_meta"].items()}
+        log.info("store_loaded", path=str(directory), rows=self.count())
+
+    # -- introspection ---------------------------------------------------------
+
+    def stats(self) -> Dict[str, Any]:
+        idx = self._index
+        info: Dict[str, Any] = {
+            "rows": self.count(),
+            "dim": self.dim,
+            "metric": self.metric,
+            "kind": idx.kind if idx else None,
+        }
+        if isinstance(idx, IVFIndex):
+            info.update(
+                nlist=idx.nlist,
+                nprobe=idx.nprobe,
+                cmax=idx.cmax,
+                trained=idx.is_trained,
+            )
+        return info
+
+
+class EmbeddingPayloadLike:
+    """Duck type for upsert payloads: id, text, vector, metadata."""
+
+    id: str
+    text: str
+    vector: Sequence[float]
+    metadata: Optional[Dict[str, Any]]

@@ -40,8 +40,8 @@ def _assign_step(x, centroids):
 
 
 @jax.jit
-def _accumulate(x, assign, k_onehot_dtype, sums, counts):
-    onehot = jax.nn.one_hot(assign, sums.shape[0], dtype=k_onehot_dtype)  # (B, K)
+def _accumulate(x, assign, sums, counts):
+    onehot = jax.nn.one_hot(assign, sums.shape[0], dtype=jnp.float32)  # (B, K)
     sums = sums + jax.lax.dot_general(
         onehot,
         x,
@@ -89,7 +89,7 @@ def kmeans_fit(
         for b in range(n_batches):
             xb = jnp.asarray(x[b * batch_size : (b + 1) * batch_size])
             assign, mind = _assign_step(xb, centroids)
-            sums, counts = _accumulate(xb, assign, jnp.float32, sums, counts)
+            sums, counts = _accumulate(xb, assign, sums, counts)
             mind_np = np.asarray(mind)
             inertia += float(mind_np.sum())
             assign_all[b * batch_size : b * batch_size + xb.shape[0]] = np.asarray(

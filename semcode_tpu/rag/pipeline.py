@@ -1,0 +1,184 @@
+"""Semantic search / RAG query pipeline.
+
+Parity with the reference pipeline (/root/reference/src/semcode/rag/
+pipeline.py:25-301): embed the question, retrieve top-k context from the
+vector store, assemble the prompt (template override + ``{system_prompt}``
+substitution, snippet truncation), call the LLM, and on any retrieval/LLM
+failure fall back to an extractive summary of the best sources. Response
+shape: ``{"answer", "sources", "meta": {"fallback_used", "reason"?}}``.
+
+Engine difference: query embedding is an on-TPU jit step and retrieval is an
+in-process sharded index scan — the query path never leaves the process
+unless an external LLM provider is configured.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, List, Optional
+
+from ..embeddings import EmbeddingProviderFactory
+from ..index.store import SearchHit, VectorStore
+from ..logger import get_logger
+from ..settings import AppSettings, settings as default_settings
+from .llm import create_llm
+
+log = get_logger("rag.pipeline")
+
+_DEFAULT_TEMPLATE = """{system_prompt}
+
+Use the context snippets below to answer the question. Cite the file paths
+that support your answer. If the context is insufficient, say so.
+
+Context:
+{context}
+
+Question: {question}
+
+Answer:"""
+
+_SNIPPET_CHARS = 1000  # reference pipeline.py:196-197
+
+
+class SemanticSearchPipeline:
+    def __init__(
+        self,
+        *,
+        config: Optional[AppSettings] = None,
+        vector_store: Optional[VectorStore] = None,
+        embeddings=None,
+    ) -> None:
+        self.config = config or default_settings
+        self._vector_store = vector_store
+        self._embeddings = embeddings
+        self._connected = False
+
+    # lazy collaborators (reference connects lazily too, pipeline.py:94-101)
+    @property
+    def vector_store(self) -> VectorStore:
+        if self._vector_store is None:
+            self._vector_store = VectorStore(self.config)
+        return self._vector_store
+
+    @property
+    def embeddings(self):
+        if self._embeddings is None:
+            self._embeddings = EmbeddingProviderFactory.create(self.config)
+        return self._embeddings
+
+    # -- public API -----------------------------------------------------------
+
+    def query(
+        self,
+        question: str,
+        *,
+        top_k: Optional[int] = None,
+        filters: Optional[Dict[str, Any]] = None,
+    ) -> Dict[str, Any]:
+        question = (question or "").strip()
+        if not question:
+            raise ValueError("Question cannot be empty.")
+        documents = self._retrieve_documents(question, top_k=top_k, filters=filters)
+        if not documents:
+            if self.config.rag_fallback_enabled:
+                return {
+                    "answer": (
+                        "I could not find any indexed context matching the "
+                        "question. Try ingesting the relevant repository first."
+                    ),
+                    "sources": [],
+                    "meta": {"fallback_used": True, "reason": "no_results"},
+                }
+            return {"answer": "", "sources": [], "meta": {"fallback_used": False}}
+
+        sources = [self._hit_to_source(h) for h in documents]
+        llm = None
+        try:
+            llm = create_llm(self.config)
+        except Exception as exc:
+            log.warning("llm_create_failed", error=str(exc))
+        if llm is None:
+            return {
+                "answer": self._summarize_documents(question, documents),
+                "sources": sources,
+                "meta": {"fallback_used": True, "reason": "no_llm_configured"},
+            }
+        try:
+            prompt = self._render_prompt(question, documents)
+            answer = llm.chat(self.config.rag_system_prompt, prompt)
+            return {
+                "answer": answer,
+                "sources": sources,
+                "meta": {"fallback_used": False},
+            }
+        except Exception as exc:
+            log.warning("llm_invoke_failed", error=str(exc))
+            if not self.config.rag_fallback_enabled:
+                raise
+            return {
+                "answer": self._summarize_documents(question, documents),
+                "sources": sources,
+                "meta": {"fallback_used": True, "reason": f"llm_error: {exc}"},
+            }
+
+    # -- retrieval ----------------------------------------------------------------
+
+    def _retrieve_documents(
+        self,
+        question: str,
+        *,
+        top_k: Optional[int] = None,
+        filters: Optional[Dict[str, Any]] = None,
+    ) -> List[SearchHit]:
+        k = top_k or self.config.rag_max_context_sources
+        try:
+            vector = self.embeddings.embed_query(question)
+            return self.vector_store.search(vector, top_k=k, filters=filters)
+        except Exception as exc:
+            log.warning("retrieval_failed", error=str(exc))
+            return []
+
+    @staticmethod
+    def _hit_to_source(hit: SearchHit) -> Dict[str, Any]:
+        return {
+            "path": hit.path,
+            "repo": hit.repo,
+            "language": hit.language,
+            "score": hit.score,
+            "snippet": (hit.text or "")[:_SNIPPET_CHARS],
+        }
+
+    # -- prompting -------------------------------------------------------------------
+
+    def _render_prompt(self, question: str, documents: List[SearchHit]) -> str:
+        template = self.config.rag_prompt_template or _DEFAULT_TEMPLATE
+        context = self._format_context(documents)
+        return template.format(
+            system_prompt=self.config.rag_system_prompt,
+            context=context,
+            question=question,
+        )
+
+    @staticmethod
+    def _format_context(documents: List[SearchHit]) -> str:
+        parts = []
+        for i, doc in enumerate(documents, 1):
+            snippet = (doc.text or "")[:_SNIPPET_CHARS]
+            parts.append(f"[{i}] {doc.repo}/{doc.path} ({doc.language})\n{snippet}")
+        return "\n\n".join(parts)
+
+    # -- extractive fallback (reference pipeline.py:219-249) --------------------------
+
+    def _summarize_documents(
+        self, question: str, documents: List[SearchHit]
+    ) -> str:
+        max_sources = self.config.rag_fallback_max_sources
+        max_lines = self.config.rag_fallback_summary_sentences
+        picked = documents[:max_sources]
+        lines = [
+            "No LLM answer available; here are the most relevant snippets:"
+        ]
+        for i, doc in enumerate(picked[:max_lines], 1):
+            snippet = re.sub(r"\s+", " ", (doc.text or "")).strip()[:300]
+            lines.append(f"{i}. {doc.repo}/{doc.path}: {snippet}")
+        return "\n".join(lines)

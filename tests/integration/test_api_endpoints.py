@@ -1,0 +1,245 @@
+"""API endpoint contract tests (stubbed pipeline/indexer, real aiohttp app).
+
+Mirrors the reference API tests (reference tests/integration/
+test_api_endpoints.py): auth via X-API-Key, /repos, /ingest, /query contracts
+— extended with jobs + telemetry coverage.
+"""
+
+import asyncio
+
+import pytest
+from aiohttp.test_utils import TestClient, TestServer
+
+from semcode_tpu.api.main import create_app
+from semcode_tpu.settings import AppSettings
+
+
+class StubRegistry:
+    def __init__(self):
+        from semcode_tpu.storage import RepositoryRecord
+
+        self._recs = [
+            RepositoryRecord(name="demo", languages=["python"], chunk_count=12)
+        ]
+
+    def list(self):
+        return self._recs
+
+
+class StubIngestion:
+    from pathlib import Path
+
+    workspace = Path("/tmp/ws")
+
+
+class StubIndexer:
+    def __init__(self, tmp_path):
+        self.registry = StubRegistry()
+        self.ingestion_manager = StubIngestion()
+        self.vector_store = None
+        self._tmp = tmp_path
+
+    def index_repository(self, paths, name, force=False, ignore_dirs=None,
+                         callbacks=None):
+        from semcode_tpu.ingestion import RepositoryMetadata
+        from semcode_tpu.services.indexer import IndexingResult
+
+        if callbacks and callbacks.stage:
+            callbacks.stage("chunking")
+            callbacks.stage("done")
+        repo = RepositoryMetadata(
+            name=name, path=self._tmp / name, languages=["python"]
+        )
+        return IndexingResult(
+            repository=repo,
+            chunk_count=3,
+            embedded_count=3,
+            upserted=True,
+            languages=["python"],
+        )
+
+
+class StubPipeline:
+    def query(self, question, top_k=None, filters=None):
+        if question == "boom":
+            raise RuntimeError("engine exploded")
+        return {
+            "answer": f"answer to: {question}",
+            "sources": [
+                {
+                    "path": "a.py",
+                    "repo": "demo",
+                    "language": "python",
+                    "score": 0.9,
+                    "snippet": "def a(): pass",
+                }
+            ],
+            "meta": {"fallback_used": True, "reason": "no_llm_configured"},
+        }
+
+
+def _client_app(tmp_path, **cfg_kw):
+    cfg = AppSettings(workspace_root=tmp_path, api_key="secret", **cfg_kw)
+    app = create_app(
+        config=cfg,
+        indexer=StubIndexer(tmp_path),
+        pipeline=StubPipeline(),
+    )
+    return app
+
+
+def _run(tmp_path, scenario, **cfg_kw):
+    async def go():
+        app = _client_app(tmp_path, **cfg_kw)
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            return await scenario(client)
+        finally:
+            await client.close()
+
+    return asyncio.run(go())
+
+
+AUTH = {"X-API-Key": "secret"}
+
+
+def test_healthz_open(tmp_path):
+    async def scenario(client):
+        resp = await client.get("/healthz")
+        assert resp.status == 200
+        assert await resp.json() == {"status": "ok"}
+
+    _run(tmp_path, scenario)
+
+
+def test_auth_required(tmp_path):
+    async def scenario(client):
+        resp = await client.get("/repos")
+        assert resp.status == 401
+        resp = await client.get("/repos", headers={"X-API-Key": "wrong"})
+        assert resp.status == 401
+        resp = await client.get("/repos", headers=AUTH)
+        assert resp.status == 200
+
+    _run(tmp_path, scenario)
+
+
+def test_repos_contract(tmp_path):
+    async def scenario(client):
+        resp = await client.get("/repos", headers=AUTH)
+        body = await resp.json()
+        assert body[0]["name"] == "demo"
+        assert body[0]["languages"] == ["python"]
+        assert body[0]["chunk_count"] == 12
+
+    _run(tmp_path, scenario)
+
+
+def test_ingest_sync(tmp_path):
+    (tmp_path / "src").mkdir()
+
+    async def scenario(client):
+        resp = await client.post(
+            "/ingest",
+            json={"name": "demo", "root": str(tmp_path), "include": ["src"]},
+            headers=AUTH,
+        )
+        assert resp.status == 200
+        body = await resp.json()
+        assert body["name"] == "demo" and body["chunk_count"] == 3
+        # empty include -> 400
+        resp = await client.post(
+            "/ingest",
+            json={"name": "demo", "root": str(tmp_path), "include": []},
+            headers=AUTH,
+        )
+        assert resp.status == 400
+        # missing folder -> 400
+        resp = await client.post(
+            "/ingest",
+            json={"name": "demo", "root": str(tmp_path), "include": ["nope"]},
+            headers=AUTH,
+        )
+        assert resp.status == 400
+
+    _run(tmp_path, scenario)
+
+
+def test_async_ingest_job(tmp_path):
+    (tmp_path / "src").mkdir()
+
+    async def scenario(client):
+        resp = await client.post(
+            "/jobs/ingest",
+            json={"name": "demo", "root": str(tmp_path), "include": ["src"]},
+            headers=AUTH,
+        )
+        assert resp.status == 200
+        job = await resp.json()
+        assert job["status"] == "queued" and job["type"] == "ingest"
+        for _ in range(100):
+            resp = await client.get(f"/jobs/{job['id']}", headers=AUTH)
+            body = await resp.json()
+            if body["status"] in ("completed", "failed"):
+                break
+            await asyncio.sleep(0.05)
+        assert body["status"] == "completed"
+        assert body["result"]["chunk_count"] == 3
+        resp = await client.get("/jobs", headers=AUTH)
+        assert len(await resp.json()) == 1
+        resp = await client.get("/jobs/nonexistent", headers=AUTH)
+        assert resp.status == 404
+
+    _run(tmp_path, scenario)
+
+
+def test_query_contract(tmp_path):
+    async def scenario(client):
+        resp = await client.post(
+            "/query", json={"question": "what is a?"}, headers=AUTH
+        )
+        assert resp.status == 200
+        body = await resp.json()
+        assert body["answer"].startswith("answer to")
+        assert body["sources"][0]["path"] == "a.py"
+        assert body["meta"]["fallback_used"] is True
+        # empty question -> 400
+        resp = await client.post("/query", json={"question": " "}, headers=AUTH)
+        assert resp.status == 400
+        # engine failure -> 502
+        resp = await client.post("/query", json={"question": "boom"}, headers=AUTH)
+        assert resp.status == 502
+
+    _run(tmp_path, scenario)
+
+
+def test_telemetry(tmp_path):
+    async def scenario(client):
+        await client.post("/query", json={"question": "q1"}, headers=AUTH)
+        resp = await client.get("/telemetry", headers=AUTH)
+        assert resp.status == 200
+        body = await resp.json()
+        assert body["query"]["count"] == 1
+        assert body["query"]["fallbacks"] == 1
+        assert len(body["recent_events"]) == 1
+
+    _run(tmp_path, scenario)
+
+
+def test_telemetry_disabled(tmp_path):
+    async def scenario(client):
+        resp = await client.get("/telemetry", headers=AUTH)
+        assert resp.status == 404
+
+    _run(tmp_path, scenario, telemetry_enabled=False)
+
+
+def test_webui_served(tmp_path):
+    async def scenario(client):
+        resp = await client.get("/")
+        assert resp.status == 200
+        text = await resp.text()
+        assert "semcode-tpu" in text and "/query" in text
+
+    _run(tmp_path, scenario)

@@ -1,0 +1,117 @@
+"""Chunker: budgets, symbol tagging, fallback behavior."""
+
+from pathlib import Path
+
+from semcode_tpu.chunking import CodeChunker
+from semcode_tpu.chunking.chunker import guess_language
+from semcode_tpu.chunking.symbols import scan_symbols
+
+PY_SRC = '''\
+import os
+
+def top_level(x):
+    return x + 1
+
+class Widget:
+    def method_a(self):
+        pass
+
+    def method_b(self):
+        return 42
+
+def another():
+    return os.getcwd()
+'''
+
+CPP_SRC = """\
+#include <vector>
+
+namespace util {
+
+class Buffer {
+ public:
+  int size() const { return n_; }
+ private:
+  int n_;
+};
+
+int add(int a, int b) {
+  return a + b;
+}
+
+}  // namespace util
+"""
+
+
+def test_single_chunk_python(tmp_path):
+    f = tmp_path / "sample.py"
+    f.write_text(PY_SRC)
+    chunks = CodeChunker().chunk_file(f)
+    assert len(chunks) == 1
+    assert chunks[0].start_line == 1
+    assert chunks[0].language == "python"
+    assert chunks[0].content.rstrip() == PY_SRC.rstrip()
+    assert chunks[0].symbol is not None
+
+
+def test_line_budget_splits_at_definitions(tmp_path):
+    blocks = []
+    for i in range(12):
+        blocks.append(f"def func_{i}():\n" + "\n".join(
+            f"    x{j} = {j}" for j in range(18)) + "\n    return 0\n")
+    src = "\n".join(blocks)
+    f = tmp_path / "big.py"
+    f.write_text(src)
+    chunks = CodeChunker(max_lines=50).chunk_file(f)
+    assert len(chunks) > 2
+    for c in chunks:
+        assert c.end_line - c.start_line + 1 <= 50
+    # non-first chunks should start at a def boundary (split-point preference)
+    for c in chunks[1:]:
+        assert c.content.lstrip().startswith("def func_"), c.content[:40]
+    # spans must tile the file
+    assert chunks[0].start_line == 1
+    for a, b in zip(chunks, chunks[1:]):
+        assert b.start_line == a.end_line + 1
+
+
+def test_char_budget_split(tmp_path):
+    f = tmp_path / "wide.py"
+    f.write_text("x = '" + "a" * 20000 + "'\n")
+    chunks = CodeChunker(max_chars=6000).chunk_file(f)
+    assert len(chunks) >= 3
+    assert all(len(c.content) <= 6000 for c in chunks)
+
+
+def test_cpp_symbols():
+    syms = scan_symbols(CPP_SRC.splitlines(), "cpp")
+    names = {s.name for s in syms}
+    assert "Buffer" in names and "add" in names and "util" in names
+
+
+def test_every_chunk_gets_symbol(tmp_path):
+    f = tmp_path / "multi.py"
+    f.write_text(PY_SRC)
+    chunks = CodeChunker(max_lines=5).chunk_file(f)
+    assert len(chunks) > 1
+    assert all(c.symbol for c in chunks[1:])  # improvement over reference
+
+
+def test_unknown_language_fallback(tmp_path):
+    f = tmp_path / "data.xyz"
+    f.write_text("some plain text\n" * 10)
+    chunks = CodeChunker().chunk_file(f)
+    assert len(chunks) == 1 and chunks[0].language == "text"
+
+
+def test_empty_file(tmp_path):
+    f = tmp_path / "empty.py"
+    f.write_text("")
+    assert CodeChunker().chunk_file(f) == []
+
+
+def test_guess_language():
+    assert guess_language(Path("a.py")) == "python"
+    assert guess_language(Path("a.hpp")) == "cpp"
+    assert guess_language(Path("a.ts")) == "typescript"
+    assert guess_language(Path("a.bin")) is None

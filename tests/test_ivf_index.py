@@ -1,0 +1,135 @@
+"""IVFIndex recall and streaming behavior vs brute-force oracle (8-shard mesh)."""
+
+import numpy as np
+import pytest
+
+from semcode_tpu.index.ivf import IVFIndex
+
+
+def _clustered(rng, n, d, n_centers=40, spread=0.15):
+    centers = rng.standard_normal((n_centers, d)).astype(np.float32)
+    assign = rng.integers(0, n_centers, size=n)
+    return (
+        centers[assign] + spread * rng.standard_normal((n, d)).astype(np.float32)
+    ).astype(np.float32)
+
+
+def _recall(ids, ref_ids):
+    k = ref_ids.shape[1]
+    return np.mean(
+        [len(set(a) & set(b)) / k for a, b in zip(ids.tolist(), ref_ids.tolist())]
+    )
+
+
+def _oracle_ids(x, q, k):
+    scores = q @ x.T
+    return np.argsort(-scores, axis=1)[:, :k]
+
+
+def test_ivf_recall_vs_oracle(mesh8, rng):
+    n, d, k = 5000, 64, 10
+    x = _clustered(rng, n, d)
+    q = _clustered(rng, 32, d)
+    idx = IVFIndex(d, nlist=64, nprobe=16, metric="ip", dtype="float32", mesh=mesh8)
+    idx.add(x)
+    _, ids = idx.search(q, k=k)
+    ref = _oracle_ids(x, q, k)
+    rec = _recall(ids, ref)
+    assert rec >= 0.95, f"recall@10 too low: {rec}"
+
+
+def test_ivf_full_probe_is_exact(mesh8, rng):
+    # nprobe == nlist must reproduce the exact scan
+    n, d, k = 2000, 32, 10
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((8, d)).astype(np.float32)
+    idx = IVFIndex(d, nlist=16, nprobe=16, metric="ip", dtype="float32", mesh=mesh8)
+    idx.add(x)
+    _, ids = idx.search(q, k=k)
+    ref = _oracle_ids(x, q, k)
+    np.testing.assert_array_equal(np.sort(ids, axis=1), np.sort(ref, axis=1))
+
+
+@pytest.mark.parametrize("metric", ["cosine", "l2"])
+def test_ivf_metrics(mesh8, rng, metric):
+    n, d, k = 3000, 48, 10
+    x = _clustered(rng, n, d)
+    q = x[rng.choice(n, 8, replace=False)] + 0.01  # near-duplicates of corpus rows
+    idx = IVFIndex(d, nlist=32, nprobe=32, metric=metric, dtype="float32", mesh=mesh8)
+    idx.add(x)
+    scores, ids = idx.search(q, k=k)
+    if metric == "cosine":
+        xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+        qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        ref = _oracle_ids(xn, qn, k)
+    else:
+        d2 = ((q[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+        ref = np.argsort(d2, axis=1)[:, :k]
+    assert _recall(ids, ref) == 1.0  # full probe -> exact
+
+
+def test_ivf_streaming_adds(mesh8, rng):
+    d, k = 32, 10
+    x1 = _clustered(rng, 2000, d)
+    idx = IVFIndex(d, nlist=32, nprobe=32, metric="ip", dtype="float32", mesh=mesh8)
+    rows1 = idx.add(x1)
+    _ = idx.search(x1[:1], k=1)  # materialize device layout
+    x2 = _clustered(rng, 500, d)
+    rows2 = idx.add(x2)  # scatter path (unless a cluster overflowed)
+    assert rows2[0] == 2000 and idx.size == 2500
+    allx = np.concatenate([x1, x2])
+    q = _clustered(rng, 8, d)
+    _, ids = idx.search(q, k=k)
+    ref = _oracle_ids(allx, q, k)
+    assert _recall(ids, ref) == 1.0
+
+
+def test_ivf_tombstone_and_compact(mesh8, rng):
+    d = 16
+    x = rng.standard_normal((800, d)).astype(np.float32)
+    idx = IVFIndex(d, nlist=16, nprobe=16, metric="ip", dtype="float32", mesh=mesh8)
+    idx.add(x)
+    _ = idx.search(x[:1], k=1)
+    # top hit for x[5] is row 5; remove it and it must vanish from results
+    idx.remove(np.array([5]))
+    _, ids = idx.search(x[5:6], k=5)
+    assert 5 not in ids[0].tolist()
+    assert idx.size == 799
+    idx.compact()
+    assert idx._n_rows == 799
+    _, ids = idx.search(x[6:7], k=5)
+    assert (ids >= 0).all()
+
+
+def test_ivf_retrain(mesh8, rng):
+    d = 24
+    idx = IVFIndex(d, nlist=16, nprobe=16, metric="ip", dtype="float32", mesh=mesh8)
+    idx.add(rng.standard_normal((500, d)).astype(np.float32))
+    drifted = 5 + rng.standard_normal((500, d)).astype(np.float32)
+    idx.add(drifted)
+    idx.retrain()
+    q = drifted[:4]
+    _, ids = idx.search(q, k=5)
+    allx = idx._host
+    ref = _oracle_ids(allx, q, 5)
+    assert _recall(ids, ref) == 1.0
+
+
+def test_ivf_state_roundtrip(mesh8, rng):
+    d = 32
+    x = _clustered(rng, 1500, d)
+    idx = IVFIndex(d, nlist=32, nprobe=8, metric="ip", dtype="float32", mesh=mesh8)
+    idx.add(x)
+    state = idx.state_dict()
+    idx2 = IVFIndex.from_state(state, dtype="float32", mesh=mesh8)
+    q = _clustered(rng, 8, d)
+    s1, i1 = idx.search(q, k=10)
+    s2, i2 = idx2.search(q, k=10)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, rtol=1e-5)
+
+
+def test_ivf_empty(mesh8, rng):
+    idx = IVFIndex(16, nlist=16, metric="ip", dtype="float32", mesh=mesh8)
+    s, ids = idx.search(rng.standard_normal((2, 16)).astype(np.float32), k=5)
+    assert (ids == -1).all()

@@ -1,0 +1,125 @@
+"""RAG pipeline: retrieval plumbing, prompting, fallback behavior."""
+
+import pytest
+
+from semcode_tpu.index.store import SearchHit
+from semcode_tpu.rag import SemanticSearchPipeline
+from semcode_tpu.settings import AppSettings
+
+
+class StubEmbeddings:
+    def embed_query(self, text):
+        return [1.0, 0.0]
+
+    def embed_documents(self, texts):
+        return [[1.0, 0.0] for _ in texts]
+
+
+class StubStore:
+    def __init__(self, hits):
+        self._hits = hits
+
+    def search(self, vector, top_k=10, filters=None, **kw):
+        return self._hits[:top_k]
+
+
+def _hits(n=3):
+    return [
+        SearchHit(
+            id=f"id{i}",
+            score=1.0 - i * 0.1,
+            repo="repo",
+            path=f"src/file{i}.py",
+            language="python",
+            text=f"def thing_{i}():\n    return {i}",
+        )
+        for i in range(n)
+    ]
+
+
+def _pipeline(hits, **cfg_kw):
+    cfg = AppSettings(rag_provider="fallback", **cfg_kw)
+    return SemanticSearchPipeline(
+        config=cfg, vector_store=StubStore(hits), embeddings=StubEmbeddings()
+    )
+
+
+def test_query_returns_sources_and_fallback_answer():
+    p = _pipeline(_hits())
+    result = p.query("what does thing_0 do?")
+    assert result["meta"]["fallback_used"] is True
+    assert result["meta"]["reason"] == "no_llm_configured"
+    assert len(result["sources"]) == 3
+    src = result["sources"][0]
+    assert src["path"] == "src/file0.py" and src["score"] == pytest.approx(1.0)
+    assert "thing_0" in result["answer"]
+
+
+def test_empty_retrieval_fallback():
+    p = _pipeline([])
+    result = p.query("anything")
+    assert result["sources"] == []
+    assert result["meta"]["reason"] == "no_results"
+
+
+def test_empty_question_raises():
+    p = _pipeline(_hits())
+    with pytest.raises(ValueError):
+        p.query("   ")
+
+
+def test_llm_path_and_prompt_rendering(monkeypatch):
+    captured = {}
+
+    class FakeLLM:
+        def chat(self, system, user):
+            captured["system"] = system
+            captured["user"] = user
+            return "the answer"
+
+    cfg = AppSettings(
+        rag_provider="openai",
+        rag_prompt_template="SYS={system_prompt} CTX={context} Q={question}",
+    )
+    p = SemanticSearchPipeline(
+        config=cfg, vector_store=StubStore(_hits(2)), embeddings=StubEmbeddings()
+    )
+    monkeypatch.setattr("semcode_tpu.rag.pipeline.create_llm", lambda c: FakeLLM())
+    result = p.query("my question")
+    assert result["answer"] == "the answer"
+    assert result["meta"]["fallback_used"] is False
+    assert "my question" in captured["user"]
+    assert "src/file0.py" in captured["user"]
+    assert cfg.rag_system_prompt in captured["user"]
+
+
+def test_llm_failure_falls_back(monkeypatch):
+    class BrokenLLM:
+        def chat(self, system, user):
+            raise RuntimeError("provider down")
+
+    cfg = AppSettings(rag_provider="openai")
+    p = SemanticSearchPipeline(
+        config=cfg, vector_store=StubStore(_hits(2)), embeddings=StubEmbeddings()
+    )
+    monkeypatch.setattr("semcode_tpu.rag.pipeline.create_llm", lambda c: BrokenLLM())
+    result = p.query("q")
+    assert result["meta"]["fallback_used"] is True
+    assert "llm_error" in result["meta"]["reason"]
+    assert result["sources"]
+
+
+def test_snippet_truncation():
+    hits = [
+        SearchHit(
+            id="x",
+            score=1.0,
+            repo="r",
+            path="p.py",
+            language="python",
+            text="z" * 5000,
+        )
+    ]
+    p = _pipeline(hits)
+    result = p.query("q")
+    assert len(result["sources"][0]["snippet"]) == 1000

@@ -1,0 +1,99 @@
+"""VectorStore facade: upsert idempotence, filters, promotion, snapshots."""
+
+import numpy as np
+
+from semcode_tpu.embeddings.providers import EmbeddingPayload
+from semcode_tpu.index.store import VectorStore
+from semcode_tpu.settings import AppSettings
+
+
+def _cfg(tmp_path, **kw):
+    base = dict(
+        workspace_root=tmp_path,
+        embedding_dimension=32,
+        index_kind="flat",
+        index_dtype="float32",
+        index_metric="ip",
+    )
+    base.update(kw)
+    return AppSettings(**base)
+
+
+def _payloads(rng, n, prefix="c", repo="r1", dim=32):
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    return [
+        EmbeddingPayload(
+            id=f"{prefix}{i}",
+            text=f"text {i}",
+            vector=vecs[i],
+            metadata={"repo": repo, "path": f"f{i}.py", "language": "python"},
+        )
+        for i in range(n)
+    ], vecs
+
+
+def test_upsert_and_search(tmp_path, mesh8, rng):
+    store = VectorStore(_cfg(tmp_path), mesh=mesh8)
+    payloads, vecs = _payloads(rng, 50)
+    n = store.upsert_embeddings(payloads)
+    assert n == 50 and store.count() == 50
+    hits = store.search(vecs[7], top_k=3)
+    assert hits[0].id == "c7" and hits[0].repo == "r1" and hits[0].text == "text 7"
+
+
+def test_upsert_idempotent(tmp_path, mesh8, rng):
+    store = VectorStore(_cfg(tmp_path), mesh=mesh8)
+    payloads, vecs = _payloads(rng, 20)
+    store.upsert_embeddings(payloads)
+    store.upsert_embeddings(payloads)  # same ids -> overwrite, not duplicate
+    assert store.count() == 20
+    hits = store.search(vecs[3], top_k=5)
+    assert len({h.id for h in hits}) == 5  # no duplicate ids in results
+
+
+def test_filters_and_delete_repo(tmp_path, mesh8, rng):
+    store = VectorStore(_cfg(tmp_path), mesh=mesh8)
+    p1, v1 = _payloads(rng, 30, prefix="a", repo="repo_a")
+    p2, _ = _payloads(rng, 30, prefix="b", repo="repo_b")
+    store.upsert_embeddings(p1 + p2)
+    hits = store.search(v1[0], top_k=10, filters={"repo": "repo_a"})
+    assert hits and all(h.repo == "repo_a" for h in hits)
+    deleted = store.delete_repo("repo_a")
+    assert deleted == 30 and store.count() == 30
+    hits = store.search(v1[0], top_k=10)
+    assert all(h.repo == "repo_b" for h in hits)
+
+
+def test_auto_promotion_to_ivf(tmp_path, mesh8, rng):
+    cfg = _cfg(
+        tmp_path,
+        index_kind="auto",
+        index_ivf_min_size=256,
+        index_nlist=16,
+        index_nprobe=16,
+    )
+    store = VectorStore(cfg, mesh=mesh8)
+    payloads, vecs = _payloads(rng, 300)
+    store.upsert_embeddings(payloads)
+    assert store.stats()["kind"] == "ivf"
+    hits = store.search(vecs[123], top_k=1)
+    assert hits[0].id == "c123"
+
+
+def test_snapshot_roundtrip(tmp_path, mesh8, rng):
+    store = VectorStore(_cfg(tmp_path), mesh=mesh8)
+    payloads, vecs = _payloads(rng, 40)
+    store.upsert_embeddings(payloads)
+    snap = store.save()
+    store2 = VectorStore(_cfg(tmp_path), mesh=mesh8)
+    store2.connect()  # loads snapshot
+    assert store2.count() == 40
+    h1 = store.search(vecs[11], top_k=3)
+    h2 = store2.search(vecs[11], top_k=3)
+    assert [h.id for h in h1] == [h.id for h in h2]
+    assert snap.joinpath("store.json").exists()
+
+
+def test_empty_store_search(tmp_path, mesh8):
+    store = VectorStore(_cfg(tmp_path), mesh=mesh8)
+    assert store.search(np.zeros(32, dtype=np.float32), top_k=5) == []
