@@ -1,0 +1,37 @@
+# Developer entry points (parity with the reference Makefile targets).
+
+PYTHON ?= python
+
+.PHONY: test test-unit test-integration lint bench serve ingest-self dryrun
+
+test:
+	$(PYTHON) -m pytest tests/ -q
+
+test-unit:
+	$(PYTHON) -m pytest tests/ -q --ignore=tests/integration
+
+test-integration:
+	$(PYTHON) -m pytest tests/integration -q
+
+lint:
+	$(PYTHON) -m compileall -q semcode_tpu tests bench.py __graft_entry__.py
+
+bench:
+	$(PYTHON) bench.py
+
+bench-smoke:
+	BENCH_N=20000 BENCH_NLIST=64 BENCH_QUERIES=64 BENCH_ROUNDS=3 $(PYTHON) bench.py
+
+serve:
+	$(PYTHON) -m semcode_tpu.cli serve
+
+ingest-self:
+	$(PYTHON) -m semcode_tpu.cli ingest --name self --include semcode_tpu --root . --yes
+
+dryrun:
+	XLA_FLAGS=--xla_force_host_platform_device_count=8 DRYRUN_DEVICES=8 \
+		$(PYTHON) -c "import jax; jax.config.update('jax_platforms','cpu'); \
+		import __graft_entry__ as g; g.dryrun_multichip(8)"
+
+native:
+	g++ -O3 -march=native -shared -fPIC -o native/libsemcode_native.so native/featurizer.cpp -lz

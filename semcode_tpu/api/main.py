@@ -328,12 +328,27 @@ def create_app(
             }
         )
 
+    async def engine_stats(_request: web.Request) -> web.Response:
+        """Index/engine introspection (capability Milvus exposed via its own
+        admin API; here one JSON blob)."""
+        import jax
+
+        stats = {
+            "index": indexer.vector_store.stats()
+            if indexer.vector_store is not None
+            else {},
+            "devices": [str(d) for d in jax.devices()],
+            "backend": jax.default_backend(),
+        }
+        return web.json_response(stats)
+
     async def index_page(_request: web.Request) -> web.Response:
         from ..frontend.webui import INDEX_HTML
 
         return web.Response(text=INDEX_HTML, content_type="text/html")
 
     app.router.add_get("/healthz", health)
+    app.router.add_get("/stats", engine_stats)
     app.router.add_get("/repos", list_repositories)
     app.router.add_post("/ingest", ingest_repository)
     app.router.add_post("/jobs/ingest", enqueue_ingest)

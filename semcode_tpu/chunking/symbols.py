@@ -7,7 +7,8 @@ budgets (reference src/semcode/chunking/tree_sitter_chunker.py:106-125,
 provides the same capability — plus per-chunk symbol tagging and
 definition-boundary split points, which the reference lacks — with a
 deterministic line-level scanner for Python and the C-family languages.
-An optional tree-sitter backend slots in when the wheel is present.
+(A tree-sitter backend could slot in behind the same `scan_symbols` interface
+when that wheel is available; the scanner here is the supported path.)
 """
 
 from __future__ import annotations

@@ -66,11 +66,13 @@ class HashEmbeddings:
         max_features: int = 256,
         seed: int = 7,
         batch_size: int = 256,
+        use_native: bool = True,
     ):
         self.dim = int(dim)
         self.n_buckets = int(n_buckets)
         self.max_features = int(max_features)
         self.batch_size = int(batch_size)
+        self.use_native = use_native
         # fixed projection matrix, generated on device once (never trained)
         key = jax.random.PRNGKey(seed)
         self._proj = jax.random.normal(
@@ -101,6 +103,33 @@ class HashEmbeddings:
         out = _project(self._proj, jnp.asarray(ids), jnp.asarray(wts))
         return np.asarray(out, dtype=np.float32)
 
+    def _featurize_chunk(self, chunk: Sequence[str], pad: int):
+        """Featurize a batch, using the native C++ path for ASCII texts
+        (the native tokenizer is byte-level; unicode stays on the Python
+        path so outputs are identical either way)."""
+        ids = np.zeros((pad, self.max_features), dtype=np.int32)
+        wts = np.zeros((pad, self.max_features), dtype=np.float32)
+        native_idx = (
+            [i for i, t in enumerate(chunk) if t.isascii()]
+            if self.use_native
+            else []
+        )
+        if native_idx:
+            from .native import featurize_batch
+
+            result = featurize_batch(
+                [chunk[i] for i in native_idx], self.max_features, self.n_buckets
+            )
+            if result is None:
+                native_idx = []
+            else:
+                ids[native_idx], wts[native_idx] = result
+        native_set = set(native_idx)
+        for i, t in enumerate(chunk):
+            if i not in native_set:
+                ids[i], wts[i] = self._featurize(t)
+        return ids, wts
+
     def embed_documents(self, texts: Sequence[str]) -> List[List[float]]:
         if not texts:
             return []
@@ -112,16 +141,20 @@ class HashEmbeddings:
             # size: exactly two jit shapes ever, which matters on TPU where
             # each new shape is a fresh compile
             pad = 8 if n <= 8 else self.batch_size
-            ids = np.zeros((pad, self.max_features), dtype=np.int32)
-            wts = np.zeros((pad, self.max_features), dtype=np.float32)
-            for i, t in enumerate(chunk):
-                ids[i], wts[i] = self._featurize(t)
+            ids, wts = self._featurize_chunk(chunk, pad)
             vecs = self._embed_batch(ids, wts)[:n]
             out.extend(v.tolist() for v in vecs)
         return out
 
     def embed_query(self, text: str) -> List[float]:
         return self.embed_documents([text])[0]
+
+    def embed_query_device(self, text: str):
+        """Device-resident query embedding: returns a padded (8, dim) jax
+        array WITHOUT host sync, so the caller can chain straight into a
+        device-side index search (one round trip per query total)."""
+        ids, wts = self._featurize_chunk([text], 8)
+        return _project(self._proj, jnp.asarray(ids), jnp.asarray(wts))
 
 
 @partial(jax.jit, donate_argnums=())

@@ -202,6 +202,20 @@ class FlatIndex:
             ids = np.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=-1)
         return scores, ids
 
+    def search_device(self, q_dev: jax.Array, k: int):
+        """Device-to-device search: no host transfers or syncs.
+
+        ``q_dev`` must be a replicated device array of shape (Q, dim) with Q a
+        multiple of 8, already metric-normalized. Returns device arrays
+        (scores, ids). Used for pipelined high-throughput serving/benchmarks
+        where multiple batches are kept in flight.
+        """
+        self._ensure_device()
+        k = min(k, self.capacity // self.n_shards)
+        return _flat_search(
+            self.mesh, self._vecs, self._norms, self._valid, q_dev, k, self.metric
+        )
+
     # -- persistence ---------------------------------------------------------------
 
     def state_dict(self) -> dict:

@@ -32,7 +32,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..logger import get_logger
-from ..ops.kmeans import assign_clusters, kmeans_fit
+from ..ops.kmeans import assign_clusters, balanced_assign, kmeans_fit, topm_clusters
 from ..parallel.mesh import DATA_AXIS, get_mesh, round_up
 
 log = get_logger("index.ivf")
@@ -60,6 +60,8 @@ class IVFIndex:
         mesh: Optional[Mesh] = None,
         kmeans_iters: int = 12,
         seed: int = 0,
+        use_pallas: str = "auto",  # auto | always | never
+        balance_cap: float = 2.0,  # cluster capacity cap, x mean occupancy
     ):
         if metric not in ("ip", "cosine", "l2"):
             raise ValueError(f"unknown metric: {metric}")
@@ -71,6 +73,8 @@ class IVFIndex:
         self.nprobe = min(int(nprobe), self.nlist)
         self.kmeans_iters = kmeans_iters
         self.seed = seed
+        self.use_pallas = use_pallas
+        self.balance_cap = float(balance_cap)
         self._dtype = _storage_dtype(dtype)
 
         # host-authoritative storage
@@ -142,10 +146,24 @@ class IVFIndex:
             self.train()
             self._rebuild_layout()
             return rows
-        assign = assign_clusters(x, self.centroids)
-        new_counts = np.bincount(assign, minlength=self.nlist) + self._counts
-        if self.cmax == 0 or new_counts.max() > self.cmax:
-            self._assign[rows] = assign
+        if self.cmax == 0:
+            self._rebuild_layout()
+            return rows
+        # streaming placement: nearest candidate cluster with a free slot
+        cands = topm_clusters(x, self.centroids, m=4)
+        assign = np.empty(len(rows), dtype=np.int32)
+        counts = self._counts.copy()
+        overflow = False
+        for i, row_cands in enumerate(cands):
+            for c in row_cands:
+                if counts[c] < self.cmax:
+                    assign[i] = c
+                    counts[c] += 1
+                    break
+            else:
+                overflow = True
+                break
+        if overflow:
             self._rebuild_layout()
         else:
             self._place_rows(rows, assign)
@@ -189,18 +207,27 @@ class IVFIndex:
         )
 
     def _rebuild_layout(self) -> None:
-        """Re-pack live rows into capacity-padded cluster blocks (host side)."""
+        """Re-pack live rows into capacity-padded cluster blocks (host side).
+
+        Assignment is capacity-balanced: clusters are capped near the mean
+        occupancy and excess points spill to their next-nearest cluster, so
+        the padded layout stays dense (bounded cmax = bounded scan HBM
+        traffic) even on skewed corpora.
+        """
         live = np.flatnonzero(self._alive)
         x = self._host[live]
-        assign = self._assign[live]
-        missing = assign < 0
-        if missing.any():
-            assign = assign.copy()
-            assign[missing] = assign_clusters(x[missing], self.centroids)
-            self._assign[live] = assign
+        mean = max(1.0, live.size / self.nlist)
+        cap = max(8, int(np.ceil(mean * self.balance_cap)))
+        cands = topm_clusters(x, self.centroids, m=4)
+        assign = balanced_assign(cands, self.nlist, cap)
+        self._assign[live] = assign
         counts = np.bincount(assign, minlength=self.nlist).astype(np.int32)
-        # headroom so streaming inserts don't immediately re-trigger a rebuild
-        self.cmax = max(8, round_up(int(counts.max() * 1.25) + 8, 8))
+        # headroom so streaming inserts don't immediately re-trigger a rebuild;
+        # the pallas scan kernel needs lane-aligned (128) cluster blocks
+        slot_align = 128 if self._pallas_eligible() else 8
+        self.cmax = max(
+            slot_align, round_up(int(counts.max() * 1.1) + 8, slot_align)
+        )
         order = np.argsort(assign, kind="stable")
         sorted_rows = live[order]
         sorted_assign = assign[order]
@@ -254,8 +281,40 @@ class IVFIndex:
 
     # -- search ------------------------------------------------------------------
 
+    def _pallas_eligible(self) -> bool:
+        if self.use_pallas == "never":
+            return False
+        return self.metric in ("ip", "cosine") and self.dim % 128 == 0
+
+    def _pallas_mode(self) -> str:
+        """'off' | 'compiled' | 'interpret' (interpret covers CPU test meshes)."""
+        if not self._pallas_eligible() or self.cmax % 128 != 0:
+            return "off"
+        if jax.default_backend() == "tpu":
+            return "compiled"
+        return "interpret" if self.use_pallas == "always" else "off"
+
+    def _pick_mode(self, n_q_padded: int, nprobe: int, k: int) -> str:
+        """Cost-based scan selection (HBM reads dominate on TPU).
+
+        Per-query probing reads Q * nprobe * cmax rows; a single masked full
+        scan of the padded layout reads nlist * cmax rows once for the whole
+        batch and is a dense MXU matmul. For large batches the full scan is
+        strictly cheaper AND exact. k > 64 also routes to exact (the pallas
+        fold and the scan merge both cap k).
+        """
+        ivf_rows = n_q_padded * nprobe * self.cmax
+        scan_rows = self.nlist * self.cmax
+        if nprobe >= self.nlist or scan_rows <= ivf_rows:
+            return "exact"
+        return "ivf"
+
     def search(
-        self, queries: np.ndarray, k: int = 10, nprobe: Optional[int] = None
+        self,
+        queries: np.ndarray,
+        k: int = 10,
+        nprobe: Optional[int] = None,
+        mode: str = "auto",  # auto | ivf | exact
     ) -> Tuple[np.ndarray, np.ndarray]:
         q = np.ascontiguousarray(np.atleast_2d(queries), dtype=np.float32)
         if q.shape[1] != self.dim:
@@ -274,17 +333,27 @@ class IVFIndex:
         if q_pad != n_q:
             q = np.pad(q, ((0, q_pad - n_q), (0, 0)))
         k_eff = min(k, self.cmax * np_probe)
-        scores, ids = _ivf_search(
-            self.mesh,
-            self._data,
-            self._ids,
-            self._sqnorms,
-            self._centroids_dev,
-            jax.device_put(q, NamedSharding(self.mesh, P(None, None))),
-            k_eff,
-            np_probe,
-            self.metric,
-        )
+        q_dev = jax.device_put(q, NamedSharding(self.mesh, P(None, None)))
+        if mode == "auto":
+            mode = self._pick_mode(q.shape[0], np_probe, k_eff)
+        if mode == "exact":
+            scores, ids = _ivf_exact_scan(
+                self.mesh, self._data, self._ids, self._sqnorms, q_dev,
+                k_eff, self.metric,
+            )
+        else:
+            scores, ids = _ivf_search(
+                self.mesh,
+                self._data,
+                self._ids,
+                self._sqnorms,
+                self._centroids_dev,
+                q_dev,
+                k_eff,
+                np_probe,
+                self.metric,
+                self._pallas_mode(),
+            )
         scores = np.asarray(scores[:n_q]).astype(np.float32)
         ids = np.asarray(ids[:n_q]).astype(np.int64)
         bad = (ids < 0) | (scores <= _NEG_INF / 2)
@@ -295,14 +364,38 @@ class IVFIndex:
             ids = np.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=-1)
         return scores, ids
 
+    def search_device(
+        self, q_dev, k: int, nprobe: Optional[int] = None, mode: str = "auto"
+    ):
+        """Device-to-device IVF search (see FlatIndex.search_device)."""
+        self._ensure_device()
+        np_probe = min(nprobe or self.nprobe, self.nlist)
+        k = min(k, self.cmax * np_probe, self.nlist * self.cmax // self.n_shards)
+        if mode == "auto":
+            mode = self._pick_mode(q_dev.shape[0], np_probe, k)
+        if mode == "exact":
+            return _ivf_exact_scan(
+                self.mesh, self._data, self._ids, self._sqnorms, q_dev, k,
+                self.metric,
+            )
+        return _ivf_search(
+            self.mesh,
+            self._data,
+            self._ids,
+            self._sqnorms,
+            self._centroids_dev,
+            q_dev,
+            k,
+            np_probe,
+            self.metric,
+            self._pallas_mode(),
+        )
+
     # -- maintenance / persistence -------------------------------------------------
 
     def retrain(self) -> None:
         """Re-train the quantizer on the live corpus and re-pack the layout."""
         self.train()
-        self._assign[self._alive] = assign_clusters(
-            self._host[self._alive], self.centroids
-        )
         self._rebuild_layout()
 
     def compact(self) -> None:
@@ -373,8 +466,53 @@ def _tombstone(ids, clusters, slots):
     return ids.at[clusters, slots].set(-1)
 
 
-@partial(jax.jit, static_argnums=(0, 6, 7, 8))
-def _ivf_search(mesh, data, ids, sqnorms, centroids, q, k, nprobe, metric):
+@partial(jax.jit, static_argnums=(0, 5, 6))
+def _ivf_exact_scan(mesh, data, ids, sqnorms, q, k, metric):
+    """Masked exact scan of the padded cluster layout (one MXU pass for the
+    whole query batch; the cheaper path for large batches, and exact)."""
+    n_shards = int(np.prod(mesh.devices.shape))
+
+    def shard_fn(data_s, ids_s, sqn_s, qq):
+        rows = data_s.shape[0] * data_s.shape[1]
+        flat = data_s.reshape(rows, data_s.shape[2])
+        ids_flat = ids_s.reshape(1, rows)
+        scores = jax.lax.dot_general(
+            qq,
+            flat,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (Q, rows)
+        if metric == "l2":
+            scores = 2.0 * scores - sqn_s.reshape(1, rows)
+        scores = jnp.where(ids_flat >= 0, scores, _NEG_INF)
+        s, pos = jax.lax.top_k(scores, k)
+        i = jnp.take_along_axis(
+            jnp.broadcast_to(ids_flat, scores.shape), pos, axis=1
+        )
+        return s, i
+
+    s, ids_out = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(
+            P(DATA_AXIS, None, None),
+            P(DATA_AXIS, None),
+            P(DATA_AXIS, None),
+            P(None, None),
+        ),
+        out_specs=(P(None, DATA_AXIS), P(None, DATA_AXIS)),
+    )(data, ids, sqnorms, q)
+    top_s, top_pos = jax.lax.top_k(s, k)
+    top_ids = jnp.take_along_axis(ids_out, top_pos, axis=1)
+    if metric == "l2":
+        qnorm = jnp.sum(q.astype(jnp.float32) ** 2, axis=1, keepdims=True)
+        top_s = top_s - qnorm
+    return top_s, top_ids
+
+
+@partial(jax.jit, static_argnums=(0, 6, 7, 8, 9))
+def _ivf_search(mesh, data, ids, sqnorms, centroids, q, k, nprobe, metric,
+                pallas_mode="off"):
     """Fused IVF query step: probe selection + sharded cluster scans + merge."""
     n_shards = int(np.prod(mesh.devices.shape))
     nlist = data.shape[0]
@@ -401,6 +539,20 @@ def _ivf_search(mesh, data, ids, sqnorms, centroids, q, k, nprobe, metric):
         owned = (probes_s // nlist_s) == me  # (Q, nprobe)
         local = jnp.clip(probes_s - base, 0, nlist_s - 1)
         n_q = qq.shape[0]
+
+        if pallas_mode != "off" and k <= 64:
+            from ..ops.kernels import ivf_scan_shard
+
+            return ivf_scan_shard(
+                data_s,
+                ids_s,
+                qq,
+                local,
+                owned.astype(jnp.int32),
+                k=k,
+                interpret=(pallas_mode == "interpret"),
+                vma=frozenset({DATA_AXIS}),
+            )
 
         def step(carry, inputs):
             best_s, best_i = carry
@@ -449,6 +601,9 @@ def _ivf_search(mesh, data, ids, sqnorms, centroids, q, k, nprobe, metric):
             P(None, None),
         ),
         out_specs=(P(None, DATA_AXIS), P(None, DATA_AXIS)),
+        # the pallas interpreter's vma propagation trips over mixed
+        # varying/unvarying dynamic_slice operands; checks stay on for XLA
+        check_vma=(pallas_mode == "off"),
     )(data, ids, sqnorms, q, probes)
     top_s, top_pos = jax.lax.top_k(s, k)
     top_ids = jnp.take_along_axis(ids_out, top_pos, axis=1)

@@ -262,6 +262,29 @@ class VectorStore:
             scores, ids = index.search(vectors, k=fetch_k, nprobe=nprobe)
         else:
             scores, ids = index.search(vectors, k=fetch_k)
+        return self._hits_from(scores, ids, top_k, filters)
+
+    def search_batch_device(
+        self,
+        q_dev,
+        *,
+        top_k: int = 10,
+        nprobe: Optional[int] = None,
+        filters: Optional[Dict[str, Any]] = None,
+    ) -> List[List[SearchHit]]:
+        """Search with an already-on-device, already-normalized query batch
+        (Q multiple of 8). Saves a host->device round trip on the serving
+        path; the single host sync happens when results transfer back."""
+        self.connect()
+        n_q = q_dev.shape[0]
+        if self._index is None or self.count() == 0:
+            return [[] for _ in range(n_q)]
+        fetch_k = top_k * 4 if filters else top_k
+        fetch_k = min(fetch_k, max(self.count(), 1))
+        scores, ids = self._index.search_device(q_dev, fetch_k)
+        return self._hits_from(np.asarray(scores), np.asarray(ids), top_k, filters)
+
+    def _hits_from(self, scores, ids, top_k, filters) -> List[List[SearchHit]]:
         row_to_id = {r: i for i, r in self._id_to_row.items()}
         out: List[List[SearchHit]] = []
         for q_scores, q_ids in zip(scores, ids):

@@ -132,3 +132,66 @@ def assign_clusters(
         assign, _ = _assign_step(xb, c)
         out[b : b + assign.shape[0]] = np.asarray(assign)
     return out
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _topm_step(x, centroids, m):
+    xc = jax.lax.dot_general(
+        x,
+        centroids,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    c_sq = jnp.sum(centroids * centroids, axis=1)[None, :]
+    score = xc - 0.5 * c_sq  # monotone in -||x-c||^2
+    _, idx = jax.lax.top_k(score, m)
+    return idx.astype(jnp.int32)
+
+
+def topm_clusters(
+    x: np.ndarray, centroids: np.ndarray, m: int = 4, batch_size: int = 65536
+) -> np.ndarray:
+    """Per-point m nearest clusters (for capacity-balanced assignment)."""
+    x = np.ascontiguousarray(x, dtype=np.float32)
+    c = jnp.asarray(centroids, dtype=jnp.float32)
+    out = np.zeros((x.shape[0], m), dtype=np.int32)
+    for b in range(0, x.shape[0], batch_size):
+        xb = jnp.asarray(x[b : b + batch_size])
+        out[b : b + xb.shape[0]] = np.asarray(_topm_step(xb, c, m))
+    return out
+
+
+def balanced_assign(
+    candidates: np.ndarray,
+    n_clusters: int,
+    cap: int,
+    counts: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """Greedy capacity-capped assignment with spill to next-nearest cluster.
+
+    Keeps every cluster at <= cap entries so the capacity-padded TPU layout is
+    dense (bounded cmax = bounded scan bandwidth), trading a small recall hit:
+    a spilled point lands in its 2nd..mth nearest cluster, which a query
+    probing nprobe >= 2 clusters usually still reaches. If all m candidates
+    are full, the least-full candidate takes the overflow (cap is then
+    exceeded; the caller re-pads).
+    """
+    n, m = candidates.shape
+    base = (
+        counts.astype(np.int64)
+        if counts is not None
+        else np.zeros(n_clusters, dtype=np.int64)
+    )
+    assign = candidates[:, 0].astype(np.int32).copy()
+    # eviction rounds, fully vectorized: points beyond a cluster's remaining
+    # capacity fall through to their next-nearest candidate
+    for r in range(1, m):
+        order = np.argsort(assign, kind="stable")
+        sorted_assign = assign[order]
+        block_start = np.searchsorted(sorted_assign, sorted_assign)
+        rank = np.arange(n) - block_start + base[sorted_assign]
+        evict = order[rank >= cap]
+        if evict.size == 0:
+            return assign
+        assign[evict] = candidates[evict, r]
+    return assign

@@ -11,12 +11,26 @@ per-shard top-k results are merged with an all-gather that rides ICI.
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache
 from typing import Optional, Sequence, Tuple
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# Persistent compilation cache: compiles on the TPU service cost minutes per
+# distinct jit shape; cache them across processes (ingest CLI, API server,
+# bench all share the same kernels).
+_CACHE_DIR = os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.expanduser("~"), ".cache", "semcode_tpu_jax"),
+)
+try:  # pragma: no cover - config knobs vary across jax versions
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # noqa: BLE001 - cache is an optimization, never fatal
+    pass
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"

@@ -21,6 +21,7 @@ from ..embeddings import EmbeddingProviderFactory
 from ..index.store import SearchHit, VectorStore
 from ..logger import get_logger
 from ..settings import AppSettings, settings as default_settings
+from ..utils.tracing import StageTimer
 from .llm import create_llm
 
 log = get_logger("rag.pipeline")
@@ -78,7 +79,10 @@ class SemanticSearchPipeline:
         question = (question or "").strip()
         if not question:
             raise ValueError("Question cannot be empty.")
-        documents = self._retrieve_documents(question, top_k=top_k, filters=filters)
+        timer = StageTimer()
+        documents = self._retrieve_documents(
+            question, top_k=top_k, filters=filters, timer=timer
+        )
         if not documents:
             if self.config.rag_fallback_enabled:
                 return {
@@ -101,15 +105,20 @@ class SemanticSearchPipeline:
             return {
                 "answer": self._summarize_documents(question, documents),
                 "sources": sources,
-                "meta": {"fallback_used": True, "reason": "no_llm_configured"},
+                "meta": {
+                    "fallback_used": True,
+                    "reason": "no_llm_configured",
+                    "timings_ms": timer.as_dict(),
+                },
             }
         try:
             prompt = self._render_prompt(question, documents)
-            answer = llm.chat(self.config.rag_system_prompt, prompt)
+            with timer.stage("llm"):
+                answer = llm.chat(self.config.rag_system_prompt, prompt)
             return {
                 "answer": answer,
                 "sources": sources,
-                "meta": {"fallback_used": False},
+                "meta": {"fallback_used": False, "timings_ms": timer.as_dict()},
             }
         except Exception as exc:
             log.warning("llm_invoke_failed", error=str(exc))
@@ -118,7 +127,11 @@ class SemanticSearchPipeline:
             return {
                 "answer": self._summarize_documents(question, documents),
                 "sources": sources,
-                "meta": {"fallback_used": True, "reason": f"llm_error: {exc}"},
+                "meta": {
+                    "fallback_used": True,
+                    "reason": f"llm_error: {exc}",
+                    "timings_ms": timer.as_dict(),
+                },
             }
 
     # -- retrieval ----------------------------------------------------------------
@@ -129,11 +142,27 @@ class SemanticSearchPipeline:
         *,
         top_k: Optional[int] = None,
         filters: Optional[Dict[str, Any]] = None,
+        timer: Optional[StageTimer] = None,
     ) -> List[SearchHit]:
         k = top_k or self.config.rag_max_context_sources
+        timer = timer or StageTimer()
         try:
-            vector = self.embeddings.embed_query(question)
-            return self.vector_store.search(vector, top_k=k, filters=filters)
+            # fast path: keep the query vector on device between embed and
+            # search (one host<->device round trip per query)
+            if hasattr(self.embeddings, "embed_query_device") and hasattr(
+                self.vector_store, "search_batch_device"
+            ):
+                with timer.stage("embed"):
+                    q_dev = self.embeddings.embed_query_device(question)
+                with timer.stage("search"):
+                    hits = self.vector_store.search_batch_device(
+                        q_dev, top_k=k, filters=filters
+                    )
+                return hits[0] if hits else []
+            with timer.stage("embed"):
+                vector = self.embeddings.embed_query(question)
+            with timer.stage("search"):
+                return self.vector_store.search(vector, top_k=k, filters=filters)
         except Exception as exc:
             log.warning("retrieval_failed", error=str(exc))
             return []

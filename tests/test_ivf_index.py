@@ -32,10 +32,23 @@ def test_ivf_recall_vs_oracle(mesh8, rng):
     q = _clustered(rng, 32, d)
     idx = IVFIndex(d, nlist=64, nprobe=16, metric="ip", dtype="float32", mesh=mesh8)
     idx.add(x)
-    _, ids = idx.search(q, k=k)
+    _, ids = idx.search(q, k=k, mode="ivf")  # force the probing path
     ref = _oracle_ids(x, q, k)
     rec = _recall(ids, ref)
     assert rec >= 0.95, f"recall@10 too low: {rec}"
+
+
+def test_ivf_exact_scan_mode_is_exact(mesh8, rng):
+    n, d, k = 4000, 64, 10
+    x = _clustered(rng, n, d)
+    q = _clustered(rng, 32, d)
+    idx = IVFIndex(d, nlist=64, nprobe=4, metric="ip", dtype="float32", mesh=mesh8)
+    idx.add(x)
+    _, ids = idx.search(q, k=k, mode="exact")
+    ref = _oracle_ids(x, q, k)
+    assert _recall(ids, ref) == 1.0
+    # auto mode on a large batch must also pick the exact path
+    assert idx._pick_mode(32, 16, k) == "exact" or idx.nlist > 32 * 16
 
 
 def test_ivf_full_probe_is_exact(mesh8, rng):
@@ -127,6 +140,24 @@ def test_ivf_state_roundtrip(mesh8, rng):
     s2, i2 = idx2.search(q, k=10)
     np.testing.assert_array_equal(i1, i2)
     np.testing.assert_allclose(s1, s2, rtol=1e-5)
+
+
+def test_ivf_pallas_kernel_matches_xla_path(mesh8, rng):
+    # pallas scan (interpret mode on the CPU mesh) must agree with the XLA scan
+    n, d, k = 3000, 128, 10
+    x = _clustered(rng, n, d)
+    q = _clustered(rng, 16, d)
+    kw = dict(nlist=32, nprobe=8, metric="ip", dtype="float32", mesh=mesh8)
+    a = IVFIndex(d, use_pallas="always", **kw)
+    b = IVFIndex(d, use_pallas="never", **kw)
+    a.add(x)
+    b.add(x)
+    assert a._pallas_mode() == "interpret" and b._pallas_mode() == "off"
+    assert a.cmax % 128 == 0
+    sa, ia = a.search(q, k=k, mode="ivf")
+    sb, ib = b.search(q, k=k, mode="ivf")
+    np.testing.assert_array_equal(ia, ib)
+    np.testing.assert_allclose(sa, sb, rtol=1e-5)
 
 
 def test_ivf_empty(mesh8, rng):
