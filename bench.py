@@ -119,21 +119,28 @@ def main() -> None:
     log(f"[bench] IVF build: {build_s:.1f}s (nlist={ivf.nlist}, cmax={ivf.cmax})")
 
     # ---- warm + recall -------------------------------------------------------
-    ivf_ids = np.zeros((N_QUERIES, K), dtype=np.int64)
-    t0 = time.perf_counter()
-    for i in range(0, N_QUERIES, BATCH):
-        _, ids = ivf.search(queries[i : i + BATCH], k=K)
-        ivf_ids[i : i + ids.shape[0]] = ids
-    log(f"[bench] warm pass: {time.perf_counter()-t0:.1f}s")
-    recall = float(
-        np.mean(
-            [
-                len(set(a.tolist()) & set(b.tolist())) / K
-                for a, b in zip(ivf_ids, oracle_ids)
-            ]
+    def measure_recall(mode):
+        got = np.zeros((N_QUERIES, K), dtype=np.int64)
+        for i in range(0, N_QUERIES, BATCH):
+            _, ids = ivf.search(queries[i : i + BATCH], k=K, mode=mode)
+            got[i : i + ids.shape[0]] = ids
+        return float(
+            np.mean(
+                [
+                    len(set(a.tolist()) & set(b.tolist())) / K
+                    for a, b in zip(got, oracle_ids)
+                ]
+            )
         )
+
+    t0 = time.perf_counter()
+    auto_mode = ivf._pick_mode(BATCH, NPROBE, K)
+    recall = measure_recall("auto")
+    recall_ivf = measure_recall("ivf") if auto_mode != "ivf" else recall
+    log(
+        f"[bench] warm pass: {time.perf_counter()-t0:.1f}s; auto mode={auto_mode}"
+        f" recall@10={recall:.4f} (forced-ivf recall={recall_ivf:.4f})"
     )
-    log(f"[bench] recall@10 = {recall:.4f}")
 
     # ---- timed QPS -------------------------------------------------------------
     # Throughput: pipelined device-to-device calls (dispatch is async; keep
@@ -145,34 +152,43 @@ def main() -> None:
         for i in range(0, N_QUERIES, BATCH)
         if queries[i : i + BATCH].shape[0] == BATCH
     ]
-    # sync warm-up of the device path
-    s, i_ = ivf.search_device(q_batches[0], K)
-    jax.block_until_ready((s, i_))
-    lat = []
-    for qb in q_batches[: min(8, len(q_batches))]:  # per-batch sync latency
-        t0 = time.perf_counter()
-        jax.block_until_ready(ivf.search_device(qb, K))
-        lat.append(time.perf_counter() - t0)
-    t_start = time.perf_counter()
-    n_done = 0
-    outs = []
-    for r in range(TIMED_ROUNDS):
-        for qb in q_batches:
-            outs.append(ivf.search_device(qb, K))
-            n_done += BATCH
-            if len(outs) > 16:  # bound in-flight work
-                jax.block_until_ready(outs.pop(0))
-        if time.perf_counter() - t_start > 60:
-            break
-    jax.block_until_ready(outs)
-    total_s = time.perf_counter() - t_start
-    qps = n_done / total_s
-    p50 = float(np.percentile(lat, 50) * 1000)
-    p99 = float(np.percentile(lat, 99) * 1000)
+    def timed_qps(mode):
+        jax.block_until_ready(ivf.search_device(q_batches[0], K, mode=mode))
+        lat = []
+        for qb in q_batches[: min(8, len(q_batches))]:  # per-batch sync latency
+            t0 = time.perf_counter()
+            jax.block_until_ready(ivf.search_device(qb, K, mode=mode))
+            lat.append(time.perf_counter() - t0)
+        t_start = time.perf_counter()
+        n_done = 0
+        outs = []
+        for _ in range(TIMED_ROUNDS):
+            for qb in q_batches:
+                outs.append(ivf.search_device(qb, K, mode=mode))
+                n_done += BATCH
+                if len(outs) > 16:  # bound in-flight work
+                    jax.block_until_ready(outs.pop(0))
+            if time.perf_counter() - t_start > 60:
+                break
+        jax.block_until_ready(outs)
+        total_s = time.perf_counter() - t_start
+        return (
+            n_done / total_s,
+            float(np.percentile(lat, 50) * 1000),
+            float(np.percentile(lat, 99) * 1000),
+        )
+
+    qps, p50, p99 = timed_qps("auto")
     log(
-        f"[bench] TPU IVF: {qps:.0f} QPS pipelined (batch={BATCH}), "
-        f"sync latency p50={p50:.1f}ms p99={p99:.1f}ms per batch"
+        f"[bench] TPU auto({auto_mode}): {qps:.0f} QPS pipelined (batch={BATCH}),"
+        f" sync latency p50={p50:.1f}ms p99={p99:.1f}ms per batch"
     )
+    if auto_mode != "ivf":
+        qps_ivf, p50_ivf, p99_ivf = timed_qps("ivf")
+        log(
+            f"[bench] TPU forced-ivf: {qps_ivf:.0f} QPS, p50={p50_ivf:.1f}ms "
+            f"p99={p99_ivf:.1f}ms per batch"
+        )
 
     # ---- CPU baseline ------------------------------------------------------------
     live = np.flatnonzero(ivf._alive)
@@ -189,8 +205,10 @@ def main() -> None:
 
     result = {
         "metric": (
-            f"IVF query throughput at recall@10={recall:.3f} "
-            f"(N={N}, dim={DIM}, nlist={NLIST}, nprobe={NPROBE}, bf16, 1 chip)"
+            f"query throughput at recall@10={recall:.3f} "
+            f"(N={N}, dim={DIM}, auto scan mode={auto_mode}, nlist={NLIST}, "
+            f"nprobe={NPROBE}, bf16, 1 chip; CPU baseline = numpy IVF-equivalent "
+            f"same nlist/nprobe)"
         ),
         "value": round(qps, 1),
         "unit": "qps",

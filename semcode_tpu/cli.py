@@ -241,6 +241,57 @@ def cmd_serve(_args) -> int:
     return 0
 
 
+def cmd_train(args) -> int:
+    """Contrastive-train the encoder on an ingested repository's chunks."""
+    configure_logging()
+    import jax
+
+    from .ingestion import RepositoryIngestionManager
+    from .models.data import PairBatcher
+    from .models.encoder import EncoderConfig
+    from .models.tokenizer import HashingTokenizer
+    from .models.train import ContrastiveTrainer, save_params
+    from .parallel.mesh import get_mesh
+    from .settings import settings
+
+    manager = RepositoryIngestionManager()
+    repos = {r.name: r for r in manager.list_ingested()}
+    if args.repo not in repos:
+        print(f"[ERROR] repository '{args.repo}' not in workspace", file=sys.stderr)
+        return 2
+    chunks = manager.chunk_repository(repos[args.repo])
+    texts = [c.content for c in chunks]
+    print(f"training on {len(texts)} chunks from '{args.repo}'")
+
+    tokenizer = HashingTokenizer(max_len=args.seq_len)
+    cfg = EncoderConfig.preset(
+        args.preset, vocab_size=tokenizer.vocab_size, max_len=args.seq_len
+    )
+    n_dev = len(jax.devices())
+    mesh = get_mesh(settings.mesh_shape or str(n_dev), ("data",))
+    trainer = ContrastiveTrainer(cfg, mesh, learning_rate=args.lr)
+    params, opt_state = trainer.init_state(jax.random.PRNGKey(0), seq_len=args.seq_len)
+    batcher = PairBatcher(
+        texts, tokenizer, seq_len=args.seq_len, batch_size=args.batch_size
+    )
+    for step, batch in enumerate(batcher.batches(args.steps), 1):
+        params, opt_state, metrics = trainer.train_step(params, opt_state, batch)
+        if step % max(1, args.steps // 20) == 0 or step == args.steps:
+            print(
+                f"step {step}/{args.steps} "
+                f"loss={float(metrics['loss']):.4f} "
+                f"acc={float(metrics['accuracy']):.3f}"
+            )
+    out = Path(args.out or Path(settings.workspace_root) / "encoder")
+    save_params(params, cfg, out)
+    print(f"saved encoder checkpoint to {out}")
+    print(
+        "use it with: [embedding] provider='tpu-encoder' and "
+        f"[encoder] weights_path='{out}'"
+    )
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(
         prog="semcode-tpu",
@@ -284,6 +335,18 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser("serve", help="Run the API server")
     p.set_defaults(func=cmd_serve)
+
+    p = sub.add_parser(
+        "train", help="Contrastive-train the encoder on an ingested repo"
+    )
+    p.add_argument("--repo", required=True)
+    p.add_argument("--steps", type=int, default=200)
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--seq-len", type=int, default=128)
+    p.add_argument("--preset", default="mini")
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--out", default=None)
+    p.set_defaults(func=cmd_train)
 
     p = sub.add_parser("version", help="Show version")
     p.set_defaults(func=cmd_version)

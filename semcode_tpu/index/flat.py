@@ -28,7 +28,18 @@ _NEG_INF = np.float32(-3.0e38)
 
 
 def _storage_dtype(name: str):
-    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}.get(name, jnp.bfloat16)
+    return {
+        "bfloat16": jnp.bfloat16,
+        "float32": jnp.float32,
+        "int8": jnp.int8,
+    }.get(name, jnp.bfloat16)
+
+
+def quantize_rows(x: np.ndarray):
+    """Symmetric per-row int8 quantization: returns (int8 values, f32 scales)."""
+    scale = np.maximum(np.abs(x).max(axis=-1), 1e-12) / 127.0
+    q = np.clip(np.rint(x / scale[..., None]), -127, 127).astype(np.int8)
+    return q, scale.astype(np.float32)
 
 
 class FlatIndex:
@@ -66,6 +77,7 @@ class FlatIndex:
         self._vecs: Optional[jax.Array] = None
         self._norms: Optional[jax.Array] = None
         self._valid: Optional[jax.Array] = None
+        self._scales: Optional[jax.Array] = None  # int8 per-row scales
         self._dirty = True  # device arrays need (re)materialization
 
     # -- host <-> device ------------------------------------------------------
@@ -79,10 +91,15 @@ class FlatIndex:
     def _materialize(self) -> None:
         """Push the host buffer to (sharded) device arrays."""
         host = self._host
-        if self._dtype == jnp.bfloat16:
-            import ml_dtypes
+        if self._dtype == jnp.int8:
+            host, scales = quantize_rows(host)
+            self._scales = jax.device_put(scales, self._norm_sharding())
+        else:
+            self._scales = None
+            if self._dtype == jnp.bfloat16:
+                import ml_dtypes
 
-            host = host.astype(ml_dtypes.bfloat16)
+                host = host.astype(ml_dtypes.bfloat16)
         self._vecs = jax.device_put(host, self._vec_sharding())
         norms = np.sum(self._host.astype(np.float32) ** 2, axis=1)
         self._norms = jax.device_put(norms, self._norm_sharding())
@@ -155,13 +172,27 @@ class FlatIndex:
         """Incremental scatter into the device arrays (keeps HBM warm)."""
         if self._dirty or self._vecs is None:
             return  # will materialize lazily before the next search
-        self._vecs, self._norms, self._valid = _scatter_rows(
-            self._vecs,
-            self._norms,
-            self._valid,
-            jnp.asarray(rows, dtype=jnp.int32),
-            jnp.asarray(x),
-        )
+        rows_d = jnp.asarray(rows, dtype=jnp.int32)
+        if self._dtype == jnp.int8:
+            qx, scales = quantize_rows(x)
+            self._vecs, self._norms, self._valid, self._scales = _scatter_rows_q(
+                self._vecs,
+                self._norms,
+                self._valid,
+                self._scales,
+                rows_d,
+                jnp.asarray(qx),
+                jnp.asarray(scales),
+                jnp.asarray(np.sum(x.astype(np.float32) ** 2, axis=1)),
+            )
+        else:
+            self._vecs, self._norms, self._valid = _scatter_rows(
+                self._vecs,
+                self._norms,
+                self._valid,
+                rows_d,
+                jnp.asarray(x),
+            )
 
     # -- search -----------------------------------------------------------------
 
@@ -188,9 +219,11 @@ class FlatIndex:
             self._vecs,
             self._norms,
             self._valid,
+            self._scales if self._scales is not None else self._norms,
             jax.device_put(q, NamedSharding(self.mesh, P(None, None))),
             k_eff,
             self.metric,
+            self._dtype == jnp.int8,
         )
         scores = np.asarray(scores[:n_q]).astype(np.float32)
         ids = np.asarray(ids[:n_q]).astype(np.int64)
@@ -213,7 +246,15 @@ class FlatIndex:
         self._ensure_device()
         k = min(k, self.capacity // self.n_shards)
         return _flat_search(
-            self.mesh, self._vecs, self._norms, self._valid, q_dev, k, self.metric
+            self.mesh,
+            self._vecs,
+            self._norms,
+            self._valid,
+            self._scales if self._scales is not None else self._norms,
+            q_dev,
+            k,
+            self.metric,
+            self._dtype == jnp.int8,
         )
 
     # -- persistence ---------------------------------------------------------------
@@ -260,26 +301,39 @@ def _scatter_rows(vecs, norms, valid, rows, x):
     return vecs, norms, valid
 
 
+@partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+def _scatter_rows_q(vecs, norms, valid, scales, rows, qx, row_scales, row_norms):
+    vecs = vecs.at[rows].set(qx)
+    norms = norms.at[rows].set(row_norms)
+    valid = valid.at[rows].set(True)
+    scales = scales.at[rows].set(row_scales)
+    return vecs, norms, valid, scales
+
+
 @partial(jax.jit, donate_argnums=(0,))
 def _clear_valid(valid, rows):
     return valid.at[rows].set(False)
 
 
-@partial(jax.jit, static_argnums=(0, 5, 6))
-def _flat_search(mesh, vecs, norms, valid, q, k, metric):
+@partial(jax.jit, static_argnums=(0, 6, 7, 8))
+def _flat_search(mesh, vecs, norms, valid, scales, q, k, metric, quantized):
     """One fused query step: per-shard scan+top-k, all-gather, global merge."""
     n_shards = int(np.prod(mesh.devices.shape))
     shard_rows = vecs.shape[0] // n_shards
 
-    def shard_fn(v, nrm, vld, qq):
+    def shard_fn(v, nrm, vld, scl, qq):
         base = jax.lax.axis_index(DATA_AXIS).astype(jnp.int32) * shard_rows
-        # (Q, rows) scores on the MXU with f32 accumulation
+        # (Q, rows) scores on the MXU with f32 accumulation; int8 storage is
+        # upcast in-register (HBM still reads 1 byte/elem) and rescaled per row
+        rhs = v.astype(jnp.bfloat16) if quantized else v
         scores = jax.lax.dot_general(
             qq,
-            v,
+            rhs,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        if quantized:
+            scores = scores * scl[None, :]
         if metric == "l2":
             scores = 2.0 * scores - nrm[None, :]
         scores = jnp.where(vld[None, :], scores, _NEG_INF)
@@ -289,9 +343,15 @@ def _flat_search(mesh, vecs, norms, valid, q, k, metric):
     s, ids = jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(DATA_AXIS, None), P(DATA_AXIS), P(DATA_AXIS), P(None, None)),
+        in_specs=(
+            P(DATA_AXIS, None),
+            P(DATA_AXIS),
+            P(DATA_AXIS),
+            P(DATA_AXIS),
+            P(None, None),
+        ),
         out_specs=(P(None, DATA_AXIS), P(None, DATA_AXIS)),
-    )(vecs, norms, valid, q)
+    )(vecs, norms, valid, scales, q)
     # s, ids: (Q, n_shards * k) replicated-ish small arrays; final merge.
     top_s, top_i = jax.lax.top_k(s, k)
     top_ids = jnp.take_along_axis(ids, top_i, axis=1)

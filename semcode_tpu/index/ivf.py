@@ -41,7 +41,11 @@ _NEG_INF = np.float32(-3.0e38)
 
 
 def _storage_dtype(name: str):
-    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}.get(name, jnp.bfloat16)
+    return {
+        "bfloat16": jnp.bfloat16,
+        "float32": jnp.float32,
+        "int8": jnp.int8,
+    }.get(name, jnp.bfloat16)
 
 
 class IVFIndex:
@@ -92,6 +96,7 @@ class IVFIndex:
         self._data: Optional[jax.Array] = None  # (nlist, cmax, dim)
         self._ids: Optional[jax.Array] = None  # (nlist, cmax) int32
         self._sqnorms: Optional[jax.Array] = None  # (nlist, cmax) f32
+        self._scales: Optional[jax.Array] = None  # (nlist, cmax) f32 (int8)
         self._centroids_dev: Optional[jax.Array] = None
         self._dirty = True
 
@@ -196,15 +201,37 @@ class IVFIndex:
         if self._dirty or self._data is None:
             return
         x = self._host[rows]
-        self._data, self._ids, self._sqnorms = _scatter_slots(
-            self._data,
-            self._ids,
-            self._sqnorms,
-            jnp.asarray(assign),
-            jnp.asarray(slots),
-            jnp.asarray(x),
-            jnp.asarray(rows, dtype=jnp.int32),
-        )
+        if self._dtype == jnp.int8:
+            from .flat import quantize_rows
+
+            qx, scales = quantize_rows(x)
+            (
+                self._data,
+                self._ids,
+                self._sqnorms,
+                self._scales,
+            ) = _scatter_slots_q(
+                self._data,
+                self._ids,
+                self._sqnorms,
+                self._scales,
+                jnp.asarray(assign),
+                jnp.asarray(slots),
+                jnp.asarray(qx),
+                jnp.asarray(scales),
+                jnp.asarray(np.sum(x.astype(np.float32) ** 2, axis=1)),
+                jnp.asarray(rows, dtype=jnp.int32),
+            )
+        else:
+            self._data, self._ids, self._sqnorms = _scatter_slots(
+                self._data,
+                self._ids,
+                self._sqnorms,
+                jnp.asarray(assign),
+                jnp.asarray(slots),
+                jnp.asarray(x),
+                jnp.asarray(rows, dtype=jnp.int32),
+            )
 
     def _rebuild_layout(self) -> None:
         """Re-pack live rows into capacity-padded cluster blocks (host side).
@@ -255,12 +282,19 @@ class IVFIndex:
         data[locs[:, 0], locs[:, 1]] = self._host[live]
         ids[locs[:, 0], locs[:, 1]] = live.astype(np.int32)
         sqnorms = np.sum(data.astype(np.float32) ** 2, axis=2)
-        if self._dtype == jnp.bfloat16:
-            import ml_dtypes
-
-            data = data.astype(ml_dtypes.bfloat16)
         shard3 = NamedSharding(self.mesh, P(DATA_AXIS, None, None))
         shard2 = NamedSharding(self.mesh, P(DATA_AXIS, None))
+        if self._dtype == jnp.int8:
+            from .flat import quantize_rows
+
+            data, scales = quantize_rows(data)
+            self._scales = jax.device_put(scales, shard2)
+        else:
+            self._scales = None
+            if self._dtype == jnp.bfloat16:
+                import ml_dtypes
+
+                data = data.astype(ml_dtypes.bfloat16)
         self._data = jax.device_put(data, shard3)
         self._ids = jax.device_put(ids, shard2)
         self._sqnorms = jax.device_put(sqnorms, shard2)
@@ -284,7 +318,11 @@ class IVFIndex:
     def _pallas_eligible(self) -> bool:
         if self.use_pallas == "never":
             return False
-        return self.metric in ("ip", "cosine") and self.dim % 128 == 0
+        return (
+            self.metric in ("ip", "cosine")
+            and self.dim % 128 == 0
+            and self._dtype != jnp.int8  # kernel lacks the per-row rescale
+        )
 
     def _pallas_mode(self) -> str:
         """'off' | 'compiled' | 'interpret' (interpret covers CPU test meshes)."""
@@ -336,10 +374,12 @@ class IVFIndex:
         q_dev = jax.device_put(q, NamedSharding(self.mesh, P(None, None)))
         if mode == "auto":
             mode = self._pick_mode(q.shape[0], np_probe, k_eff)
+        scales = self._scales if self._scales is not None else self._sqnorms
+        quantized = self._dtype == jnp.int8
         if mode == "exact":
             scores, ids = _ivf_exact_scan(
-                self.mesh, self._data, self._ids, self._sqnorms, q_dev,
-                k_eff, self.metric,
+                self.mesh, self._data, self._ids, self._sqnorms, scales, q_dev,
+                k_eff, self.metric, quantized,
             )
         else:
             scores, ids = _ivf_search(
@@ -347,12 +387,14 @@ class IVFIndex:
                 self._data,
                 self._ids,
                 self._sqnorms,
+                scales,
                 self._centroids_dev,
                 q_dev,
                 k_eff,
                 np_probe,
                 self.metric,
                 self._pallas_mode(),
+                quantized,
             )
         scores = np.asarray(scores[:n_q]).astype(np.float32)
         ids = np.asarray(ids[:n_q]).astype(np.int64)
@@ -373,22 +415,26 @@ class IVFIndex:
         k = min(k, self.cmax * np_probe, self.nlist * self.cmax // self.n_shards)
         if mode == "auto":
             mode = self._pick_mode(q_dev.shape[0], np_probe, k)
+        scales = self._scales if self._scales is not None else self._sqnorms
+        quantized = self._dtype == jnp.int8
         if mode == "exact":
             return _ivf_exact_scan(
-                self.mesh, self._data, self._ids, self._sqnorms, q_dev, k,
-                self.metric,
+                self.mesh, self._data, self._ids, self._sqnorms, scales, q_dev,
+                k, self.metric, quantized,
             )
         return _ivf_search(
             self.mesh,
             self._data,
             self._ids,
             self._sqnorms,
+            scales,
             self._centroids_dev,
             q_dev,
             k,
             np_probe,
             self.metric,
             self._pallas_mode(),
+            quantized,
         )
 
     # -- maintenance / persistence -------------------------------------------------
@@ -461,27 +507,41 @@ def _scatter_slots(data, ids, sqnorms, clusters, slots, x, rows):
     return data, ids, sqnorms
 
 
+@partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+def _scatter_slots_q(
+    data, ids, sqnorms, scales, clusters, slots, qx, row_scales, row_norms, rows
+):
+    data = data.at[clusters, slots].set(qx)
+    ids = ids.at[clusters, slots].set(rows)
+    sqnorms = sqnorms.at[clusters, slots].set(row_norms)
+    scales = scales.at[clusters, slots].set(row_scales)
+    return data, ids, sqnorms, scales
+
+
 @partial(jax.jit, donate_argnums=(0,))
 def _tombstone(ids, clusters, slots):
     return ids.at[clusters, slots].set(-1)
 
 
-@partial(jax.jit, static_argnums=(0, 5, 6))
-def _ivf_exact_scan(mesh, data, ids, sqnorms, q, k, metric):
+@partial(jax.jit, static_argnums=(0, 6, 7, 8))
+def _ivf_exact_scan(mesh, data, ids, sqnorms, scales, q, k, metric, quantized):
     """Masked exact scan of the padded cluster layout (one MXU pass for the
     whole query batch; the cheaper path for large batches, and exact)."""
     n_shards = int(np.prod(mesh.devices.shape))
 
-    def shard_fn(data_s, ids_s, sqn_s, qq):
+    def shard_fn(data_s, ids_s, sqn_s, scl_s, qq):
         rows = data_s.shape[0] * data_s.shape[1]
         flat = data_s.reshape(rows, data_s.shape[2])
         ids_flat = ids_s.reshape(1, rows)
+        rhs = flat.astype(jnp.bfloat16) if quantized else flat
         scores = jax.lax.dot_general(
             qq,
-            flat,
+            rhs,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (Q, rows)
+        if quantized:
+            scores = scores * scl_s.reshape(1, rows)
         if metric == "l2":
             scores = 2.0 * scores - sqn_s.reshape(1, rows)
         scores = jnp.where(ids_flat >= 0, scores, _NEG_INF)
@@ -498,10 +558,11 @@ def _ivf_exact_scan(mesh, data, ids, sqnorms, q, k, metric):
             P(DATA_AXIS, None, None),
             P(DATA_AXIS, None),
             P(DATA_AXIS, None),
+            P(DATA_AXIS, None),
             P(None, None),
         ),
         out_specs=(P(None, DATA_AXIS), P(None, DATA_AXIS)),
-    )(data, ids, sqnorms, q)
+    )(data, ids, sqnorms, scales, q)
     top_s, top_pos = jax.lax.top_k(s, k)
     top_ids = jnp.take_along_axis(ids_out, top_pos, axis=1)
     if metric == "l2":
@@ -510,9 +571,9 @@ def _ivf_exact_scan(mesh, data, ids, sqnorms, q, k, metric):
     return top_s, top_ids
 
 
-@partial(jax.jit, static_argnums=(0, 6, 7, 8, 9))
-def _ivf_search(mesh, data, ids, sqnorms, centroids, q, k, nprobe, metric,
-                pallas_mode="off"):
+@partial(jax.jit, static_argnums=(0, 7, 8, 9, 10, 11))
+def _ivf_search(mesh, data, ids, sqnorms, scales, centroids, q, k, nprobe,
+                metric, pallas_mode="off", quantized=False):
     """Fused IVF query step: probe selection + sharded cluster scans + merge."""
     n_shards = int(np.prod(mesh.devices.shape))
     nlist = data.shape[0]
@@ -533,7 +594,7 @@ def _ivf_search(mesh, data, ids, sqnorms, centroids, q, k, nprobe, metric,
         probe_scores = qc
     _, probes = jax.lax.top_k(probe_scores, nprobe)  # (Q, nprobe) int32
 
-    def shard_fn(data_s, ids_s, sqn_s, qq, probes_s):
+    def shard_fn(data_s, ids_s, sqn_s, scl_s, qq, probes_s):
         me = jax.lax.axis_index(DATA_AXIS).astype(jnp.int32)
         base = me * nlist_s
         owned = (probes_s // nlist_s) == me  # (Q, nprobe)
@@ -565,6 +626,8 @@ def _ivf_search(mesh, data, ids, sqnorms, centroids, q, k, nprobe, metric,
                 preferred_element_type=jnp.float32,
             )
             ids_blk = ids_s[pl]  # (Q, cmax)
+            if quantized:
+                scores = scores * scl_s[pl]
             if metric == "l2":
                 scores = 2.0 * scores - sqn_s[pl]
             valid = (ids_blk >= 0) & own[:, None]
@@ -597,6 +660,7 @@ def _ivf_search(mesh, data, ids, sqnorms, centroids, q, k, nprobe, metric,
             P(DATA_AXIS, None, None),
             P(DATA_AXIS, None),
             P(DATA_AXIS, None),
+            P(DATA_AXIS, None),
             P(None, None),
             P(None, None),
         ),
@@ -604,7 +668,7 @@ def _ivf_search(mesh, data, ids, sqnorms, centroids, q, k, nprobe, metric,
         # the pallas interpreter's vma propagation trips over mixed
         # varying/unvarying dynamic_slice operands; checks stay on for XLA
         check_vma=(pallas_mode == "off"),
-    )(data, ids, sqnorms, q, probes)
+    )(data, ids, sqnorms, scales, q, probes)
     top_s, top_pos = jax.lax.top_k(s, k)
     top_ids = jnp.take_along_axis(ids_out, top_pos, axis=1)
     if metric == "l2":

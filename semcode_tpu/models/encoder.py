@@ -169,22 +169,23 @@ class EncoderEmbeddings:
             max_len=max_tokens,
             dtype=jdtype,
         )
-        if dim is not None and dim != self.cfg.hidden:
-            raise ValueError(
-                f"embedding_dimension={dim} but preset '{preset}' produces "
-                f"{self.cfg.hidden}; set embedding.dimension = {self.cfg.hidden}"
-            )
-        self.dim = self.cfg.hidden
         self.batch_size = int(batch_size)
         self.model = CodeEncoder(self.cfg)
         if weights_path is not None and (Path(weights_path)).exists():
-            from .hf_loader import load_hf_encoder_params
+            wp = Path(weights_path)
+            if (wp / "semcode_encoder.msgpack").exists():
+                from .train import load_params
 
-            self.params, self.cfg = load_hf_encoder_params(
-                Path(weights_path), self.cfg
-            )
-            self.model = CodeEncoder(self.cfg)
-            log.info("encoder_weights_loaded", path=str(weights_path))
+                self.params, self.cfg = load_params(wp)
+                # trained checkpoints use the hashing tokenizer vocabulary
+                self.model = CodeEncoder(self.cfg)
+                log.info("encoder_checkpoint_loaded", path=str(wp))
+            else:
+                from .hf_loader import load_hf_encoder_params
+
+                self.params, self.cfg = load_hf_encoder_params(wp, self.cfg)
+                self.model = CodeEncoder(self.cfg)
+                log.info("encoder_weights_loaded", path=str(wp))
         else:
             init_ids = jnp.zeros((1, 8), dtype=jnp.int32)
             init_mask = jnp.ones((1, 8), dtype=jnp.int32)
@@ -196,6 +197,12 @@ class EncoderEmbeddings:
                 preset=preset,
                 hidden=self.cfg.hidden,
                 layers=self.cfg.layers,
+            )
+        self.dim = self.cfg.hidden
+        if dim is not None and dim != self.dim:
+            raise ValueError(
+                f"embedding_dimension={dim} but the encoder produces "
+                f"{self.dim}; set embedding.dimension = {self.dim}"
             )
         self._apply = jax.jit(self.model.apply)
 

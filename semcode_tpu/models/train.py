@@ -51,9 +51,17 @@ def param_spec(path: Tuple, leaf) -> P:
     return P(*([None] * ndim))  # layernorms, pos/type embeddings: replicated
 
 
+def _spec_for(mesh: Mesh, path, leaf) -> NamedSharding:
+    spec = param_spec(path, leaf)
+    if MODEL_AXIS not in mesh.axis_names:
+        # DP-only mesh: replicate what TP would have sharded
+        spec = P(*(None if ax == MODEL_AXIS else ax for ax in spec))
+    return NamedSharding(mesh, spec)
+
+
 def make_param_shardings(mesh: Mesh, params) -> Any:
     return jax.tree_util.tree_map_with_path(
-        lambda path, leaf: NamedSharding(mesh, param_spec(path, leaf)), params
+        lambda path, leaf: _spec_for(mesh, path, leaf), params
     )
 
 
@@ -94,7 +102,7 @@ class ContrastiveTrainer:
         # shards them; scalars (step count) come out replicated (ndim == 0)
         opt_shape = jax.eval_shape(self.tx.init, params)
         self._opt_shardings = jax.tree_util.tree_map_with_path(
-            lambda path, leaf: NamedSharding(self.mesh, param_spec(path, leaf)),
+            lambda path, leaf: _spec_for(self.mesh, path, leaf),
             opt_shape,
         )
         opt_state = jax.jit(self.tx.init, out_shardings=self._opt_shardings)(
@@ -149,3 +157,54 @@ class ContrastiveTrainer:
             for k, v in batch.items()
         }
         return self._step(params, opt_state, device_batch)
+
+
+# -- checkpointing ---------------------------------------------------------------
+
+
+def save_params(params, cfg: EncoderConfig, path) -> None:
+    """Serialize trained encoder params + config (msgpack via flax)."""
+    import dataclasses
+    import json
+    from pathlib import Path
+
+    from flax import serialization
+
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    (path / "semcode_encoder.msgpack").write_bytes(
+        serialization.to_bytes(jax.device_get(params))
+    )
+    cfg_dict = dataclasses.asdict(cfg)
+    cfg_dict["dtype"] = str(np.dtype(cfg.dtype).name) if cfg.dtype else "bfloat16"
+    (path / "semcode_encoder.json").write_text(json.dumps(cfg_dict))
+
+
+def load_params(path):
+    """Load params + config saved by save_params. Returns (params, cfg)."""
+    import json
+    from pathlib import Path
+
+    import jax.numpy as jnp_
+    from flax import serialization
+
+    from .encoder import CodeEncoder
+
+    path = Path(path)
+    cfg_dict = json.loads((path / "semcode_encoder.json").read_text())
+    cfg_dict["dtype"] = {"bfloat16": jnp_.bfloat16, "float32": jnp_.float32}[
+        cfg_dict.get("dtype", "bfloat16")
+    ]
+    cfg = EncoderConfig(**cfg_dict)
+    model = CodeEncoder(cfg)
+    template = jax.eval_shape(
+        model.init,
+        jax.random.PRNGKey(0),
+        jnp_.zeros((1, 8), jnp_.int32),
+        jnp_.ones((1, 8), jnp_.int32),
+    )
+    params = serialization.from_bytes(
+        template, (path / "semcode_encoder.msgpack").read_bytes()
+    )
+    params = jax.tree_util.tree_map(jnp_.asarray, params)
+    return params, cfg

@@ -1,15 +1,14 @@
 """Batched Lloyd's k-means on TPU.
 
-The IVF coarse quantizer is trained entirely on device: assignment is one MXU
-matmul (argmin of ||x - c||^2 via the -2x.c + ||c||^2 expansion) and the
-centroid update is a one-hot matmul (counts + sums in f32), so every Lloyd
-iteration is a single fused jit step. Empty clusters are re-seeded from the
-points currently farthest from their centroid — matching the behavior class of
-Milvus/faiss k-means (the reference delegates this entirely to the Milvus
-server; see SURVEY.md section 2 row 20).
-
-Training data bigger than one device batch is handled by minibatch epochs with
-running (sum, count) accumulators.
+The IVF coarse quantizer is trained entirely on device: the full Lloyd
+iteration loop runs inside ONE jit (`lax.fori_loop`), so a build is a single
+dispatch regardless of iteration count — assignment is an MXU matmul + argmin,
+the centroid update is a one-hot matmul, and empty clusters re-seed from
+pre-drawn random sample rows. Training uses a subsample of the corpus
+(<= 256 points per centroid, the faiss/Milvus default) which is
+recall-neutral and bounds build cost; the final full-corpus assignment pass
+streams in batches. (The reference delegates all of this to the Milvus
+server; see SURVEY.md section 2 row 20.)
 """
 
 from __future__ import annotations
@@ -21,8 +20,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+TRAIN_POINTS_PER_CENTROID = 256
 
-@partial(jax.jit, static_argnums=())
+
+@jax.jit
 def _assign_step(x, centroids):
     """Return (assignments, min_dists) for one batch. x:(B,d) f32, c:(K,d) f32."""
     # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; ||x||^2 is constant per row.
@@ -39,17 +40,34 @@ def _assign_step(x, centroids):
     return assign, jnp.maximum(mind, 0.0)
 
 
-@jax.jit
-def _accumulate(x, assign, sums, counts):
-    onehot = jax.nn.one_hot(assign, sums.shape[0], dtype=jnp.float32)  # (B, K)
-    sums = sums + jax.lax.dot_general(
-        onehot,
-        x,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    counts = counts + jnp.sum(onehot, axis=0)
-    return sums, counts
+@partial(jax.jit, static_argnums=(2,))
+def _lloyd(x, init_centroids, iters, reseed_rows):
+    """Full Lloyd loop in one jit. x:(S,d), init:(K,d), reseed:(iters,K) i32."""
+    k = init_centroids.shape[0]
+
+    def body(i, centroids):
+        xc = jax.lax.dot_general(
+            x,
+            centroids,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        c_sq = jnp.sum(centroids * centroids, axis=1)[None, :]
+        assign = jnp.argmin(c_sq - 2.0 * xc, axis=1)
+        onehot = jax.nn.one_hot(assign, k, dtype=jnp.float32)  # (S, K)
+        sums = jax.lax.dot_general(
+            onehot,
+            x,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        counts = jnp.sum(onehot, axis=0)
+        new_c = sums / jnp.maximum(counts[:, None], 1.0)
+        empty = counts < 0.5
+        candidates = x[reseed_rows[i]]  # (K, d) random sample rows
+        return jnp.where(empty[:, None], candidates, new_c)
+
+    return jax.lax.fori_loop(0, iters, body, init_centroids)
 
 
 def kmeans_fit(
@@ -57,9 +75,9 @@ def kmeans_fit(
     n_clusters: int,
     *,
     iters: int = 12,
-    batch_size: int = 65536,
+    batch_size: int = 131072,
     seed: int = 0,
-    tol: float = 1e-4,
+    tol: float = 1e-4,  # kept for API compat; loop is fixed-iteration
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Fit k-means; returns (centroids (K,d) f32, assignments (N,) int32)."""
     x = np.ascontiguousarray(x, dtype=np.float32)
@@ -69,59 +87,28 @@ def kmeans_fit(
     if n <= k:
         centroids = np.zeros((k, d), dtype=np.float32)
         centroids[:n] = x
-        if n < k:
-            centroids[n:] = x[rng.integers(0, max(n, 1), size=k - n)] if n else 0.0
+        if 0 < n < k:
+            centroids[n:] = x[rng.integers(0, n, size=k - n)]
         return centroids, np.arange(n, dtype=np.int32) % max(k, 1)
 
-    # init: random distinct samples (k-means++ is overkill for IVF training and
-    # serializes badly; random init + enough Lloyd iterations matches recall)
-    centroids = jnp.asarray(x[rng.choice(n, size=k, replace=False)])
+    # faiss-style training subsample: enough points per centroid, bounded cost
+    max_train = k * TRAIN_POINTS_PER_CENTROID
+    if n > max_train:
+        sample = x[rng.choice(n, size=max_train, replace=False)]
+    else:
+        sample = x
+    init = sample[rng.choice(sample.shape[0], size=k, replace=False)]
+    reseed = rng.integers(0, sample.shape[0], size=(iters, k)).astype(np.int32)
+    centroids = np.asarray(
+        _lloyd(jnp.asarray(sample), jnp.asarray(init), int(iters), jnp.asarray(reseed))
+    )
 
-    n_batches = (n + batch_size - 1) // batch_size
-    prev_inertia = np.inf
-    assign_all = np.zeros(n, dtype=np.int32)
-    for it in range(iters):
-        sums = jnp.zeros((k, d), dtype=jnp.float32)
-        counts = jnp.zeros((k,), dtype=jnp.float32)
-        inertia = 0.0
-        farthest_val = -np.inf
-        farthest_idx = 0
-        for b in range(n_batches):
-            xb = jnp.asarray(x[b * batch_size : (b + 1) * batch_size])
-            assign, mind = _assign_step(xb, centroids)
-            sums, counts = _accumulate(xb, assign, sums, counts)
-            mind_np = np.asarray(mind)
-            inertia += float(mind_np.sum())
-            assign_all[b * batch_size : b * batch_size + xb.shape[0]] = np.asarray(
-                assign
-            )
-            bi = int(mind_np.argmax())
-            if mind_np[bi] > farthest_val:
-                farthest_val = float(mind_np[bi])
-                farthest_idx = b * batch_size + bi
-        counts_np = np.asarray(counts)
-        new_centroids = np.asarray(sums) / np.maximum(counts_np[:, None], 1.0)
-        empty = counts_np < 0.5
-        if empty.any():
-            # re-seed empties: farthest point + random samples
-            idxs = rng.choice(n, size=int(empty.sum()), replace=False)
-            idxs[0] = farthest_idx
-            new_centroids[empty] = x[idxs]
-        centroids = jnp.asarray(new_centroids)
-        if prev_inertia - inertia <= tol * max(abs(prev_inertia), 1.0) and it > 0:
-            break
-        prev_inertia = inertia
-
-    # final assignment pass with the converged centroids
-    for b in range(n_batches):
-        xb = jnp.asarray(x[b * batch_size : (b + 1) * batch_size])
-        assign, _ = _assign_step(xb, centroids)
-        assign_all[b * batch_size : b * batch_size + xb.shape[0]] = np.asarray(assign)
-    return np.asarray(centroids), assign_all
+    assign_all = assign_clusters(x, centroids, batch_size=batch_size)
+    return centroids, assign_all
 
 
 def assign_clusters(
-    x: np.ndarray, centroids: np.ndarray, batch_size: int = 65536
+    x: np.ndarray, centroids: np.ndarray, batch_size: int = 131072
 ) -> np.ndarray:
     """Coarse-quantizer assignment of new vectors (streaming insert path)."""
     x = np.ascontiguousarray(x, dtype=np.float32)
@@ -149,7 +136,7 @@ def _topm_step(x, centroids, m):
 
 
 def topm_clusters(
-    x: np.ndarray, centroids: np.ndarray, m: int = 4, batch_size: int = 65536
+    x: np.ndarray, centroids: np.ndarray, m: int = 4, batch_size: int = 131072
 ) -> np.ndarray:
     """Per-point m nearest clusters (for capacity-balanced assignment)."""
     x = np.ascontiguousarray(x, dtype=np.float32)
@@ -173,8 +160,8 @@ def balanced_assign(
     dense (bounded cmax = bounded scan bandwidth), trading a small recall hit:
     a spilled point lands in its 2nd..mth nearest cluster, which a query
     probing nprobe >= 2 clusters usually still reaches. If all m candidates
-    are full, the least-full candidate takes the overflow (cap is then
-    exceeded; the caller re-pads).
+    are full, the last-round assignment stands (cap is then exceeded; the
+    caller re-pads).
     """
     n, m = candidates.shape
     base = (

@@ -102,3 +102,21 @@ def test_flat_state_roundtrip(mesh8, rng):
     s2, i2 = idx2.search(q, k=7)
     np.testing.assert_array_equal(i1, i2)
     np.testing.assert_allclose(s1, s2, rtol=1e-5)
+
+
+def test_flat_int8_recall(mesh8, rng):
+    n, d, k = 2000, 128, 10
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((16, d)).astype(np.float32)
+    idx = FlatIndex(d, metric="ip", dtype="int8", mesh=mesh8)
+    idx.add(x)
+    _ = idx.search(q[:1], k=1)  # materialize, then exercise the int8 scatter
+    x2 = rng.standard_normal((100, d)).astype(np.float32)
+    idx.add(x2)
+    allx = np.concatenate([x, x2])
+    _, ids = idx.search(q, k=k)
+    ref_ids = np.argsort(-(q @ allx.T), axis=1)[:, :k]
+    recall = np.mean(
+        [len(set(a) & set(b)) / k for a, b in zip(ids.tolist(), ref_ids.tolist())]
+    )
+    assert recall >= 0.85, f"int8 recall too low: {recall}"

@@ -164,3 +164,24 @@ def test_ivf_empty(mesh8, rng):
     idx = IVFIndex(16, nlist=16, metric="ip", dtype="float32", mesh=mesh8)
     s, ids = idx.search(rng.standard_normal((2, 16)).astype(np.float32), k=5)
     assert (ids == -1).all()
+
+
+def test_ivf_int8_recall(mesh8, rng):
+    n, d, k = 3000, 64, 10
+    x = _clustered(rng, n, d)
+    q = _clustered(rng, 16, d)
+    idx = IVFIndex(d, nlist=32, nprobe=16, metric="ip", dtype="int8", mesh=mesh8)
+    idx.add(x)
+    assert idx._pallas_mode() == "off"  # int8 stays on the XLA paths
+    ref = _oracle_ids(x, q, k)
+    # probing compounds quantization noise with coarse-probe misses; the
+    # relative int8 error shrinks at realistic dims (here d=64 is the floor)
+    for mode, floor in (("ivf", 0.85), ("exact", 0.9)):
+        _, ids = idx.search(q, k=k, mode=mode)
+        rec = _recall(ids, ref)
+        assert rec >= floor, f"int8 {mode} recall too low: {rec}"
+    # streaming adds through the quantized scatter path
+    _ = idx.search(q[:1], k=1)
+    idx.add(_clustered(rng, 200, d))
+    _, ids = idx.search(q, k=k)
+    assert (ids[:, 0] >= 0).all()

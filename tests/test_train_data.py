@@ -1,0 +1,63 @@
+"""Pair construction + encoder checkpoint roundtrip."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from semcode_tpu.models.data import PairBatcher
+from semcode_tpu.models.encoder import CodeEncoder, EncoderConfig
+from semcode_tpu.models.tokenizer import HashingTokenizer
+from semcode_tpu.models.train import load_params, save_params
+
+TEXT = "\n".join(f"def f_{i}(): return {i}" for i in range(30))
+
+
+def test_pair_batcher_shapes():
+    tok = HashingTokenizer(max_len=64)
+    b = PairBatcher([TEXT] * 5, tok, seq_len=64, batch_size=4)
+    batches = list(b.batches(3))
+    assert len(batches) == 3
+    for batch in batches:
+        assert batch["anchor_ids"].shape == (4, 64)
+        assert batch["pos_mask"].shape == (4, 64)
+        assert batch["anchor_mask"].sum() > 0
+
+
+def test_pair_batcher_rejects_empty():
+    tok = HashingTokenizer(max_len=32)
+    with pytest.raises(ValueError):
+        PairBatcher(["one line"], tok, seq_len=32)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = EncoderConfig(
+        vocab_size=256, hidden=128, layers=1, heads=4, mlp_dim=256, max_len=16
+    )
+    model = CodeEncoder(cfg)
+    ids = np.ones((1, 8), dtype=np.int32)
+    params = model.init(jax.random.PRNGKey(0), ids, ids)
+    save_params(params, cfg, tmp_path / "ckpt")
+    params2, cfg2 = load_params(tmp_path / "ckpt")
+    assert cfg2.hidden == 128 and cfg2.layers == 1
+    out1 = model.apply(params, ids, ids)
+    out2 = CodeEncoder(cfg2).apply(params2, ids, ids)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-6)
+
+
+def test_encoder_embeddings_loads_checkpoint(tmp_path):
+    from semcode_tpu.models.encoder import EncoderEmbeddings
+
+    tok = HashingTokenizer(max_len=32)
+    cfg = EncoderConfig(
+        vocab_size=tok.vocab_size, hidden=128, layers=1, heads=4,
+        mlp_dim=256, max_len=32,
+    )
+    model = CodeEncoder(cfg)
+    ids = np.ones((1, 8), dtype=np.int32)
+    params = model.init(jax.random.PRNGKey(1), ids, ids)
+    save_params(params, cfg, tmp_path / "enc")
+    emb = EncoderEmbeddings(weights_path=tmp_path / "enc", max_tokens=32)
+    assert emb.dim == 128
+    v = emb.embed_query("def f(): return 1")
+    assert len(v) == 128
