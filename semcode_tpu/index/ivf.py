@@ -245,7 +245,9 @@ class IVFIndex:
         x = self._host[live]
         mean = max(1.0, live.size / self.nlist)
         cap = max(8, int(np.ceil(mean * self.balance_cap)))
-        cands = topm_clusters(x, self.centroids, m=4)
+        # m=8 spill candidates: enough fallthrough that the cap actually holds
+        # on skewed corpora (fill stays high -> exact scans stay cheap)
+        cands = topm_clusters(x, self.centroids, m=min(8, self.nlist))
         assign = balanced_assign(cands, self.nlist, cap)
         self._assign[live] = assign
         counts = np.bincount(assign, minlength=self.nlist).astype(np.int32)
