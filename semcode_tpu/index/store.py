@@ -61,7 +61,12 @@ class VectorStore:
         self._index = None  # FlatIndex | IVFIndex, created lazily
         self._id_to_row: Dict[str, int] = {}
         self._row_meta: Dict[int, Dict[str, Any]] = {}
-        self._lock = threading.Lock()  # host-side write lock (streaming inserts)
+        # Host-side engine lock. Writers donate device buffers in their
+        # scatter updates, so a concurrent reader could observe a deleted
+        # buffer; reads and writes therefore serialize here (a search holds
+        # the lock for one ~tens-of-ms device call). TODO: version-swapped
+        # double buffering to let reads proceed against the previous version.
+        self._lock = threading.RLock()
         self._connected = False
 
     # -- lifecycle -----------------------------------------------------------
@@ -253,16 +258,17 @@ class VectorStore:
         filters: Optional[Dict[str, Any]] = None,
     ) -> List[List[SearchHit]]:
         self.connect()
-        if self._index is None or self.count() == 0:
-            return [[] for _ in range(len(np.atleast_2d(vectors)))]
-        index = self._index
-        # over-fetch when filtering so post-filter results can still fill top_k
-        fetch_k = top_k * 4 if filters else top_k
-        if isinstance(index, IVFIndex):
-            scores, ids = index.search(vectors, k=fetch_k, nprobe=nprobe)
-        else:
-            scores, ids = index.search(vectors, k=fetch_k)
-        return self._hits_from(scores, ids, top_k, filters)
+        with self._lock:
+            if self._index is None or self.count() == 0:
+                return [[] for _ in range(len(np.atleast_2d(vectors)))]
+            index = self._index
+            # over-fetch when filtering so post-filter results can fill top_k
+            fetch_k = top_k * 4 if filters else top_k
+            if isinstance(index, IVFIndex):
+                scores, ids = index.search(vectors, k=fetch_k, nprobe=nprobe)
+            else:
+                scores, ids = index.search(vectors, k=fetch_k)
+            return self._hits_from(scores, ids, top_k, filters)
 
     def search_batch_device(
         self,
@@ -277,12 +283,15 @@ class VectorStore:
         path; the single host sync happens when results transfer back."""
         self.connect()
         n_q = q_dev.shape[0]
-        if self._index is None or self.count() == 0:
-            return [[] for _ in range(n_q)]
-        fetch_k = top_k * 4 if filters else top_k
-        fetch_k = min(fetch_k, max(self.count(), 1))
-        scores, ids = self._index.search_device(q_dev, fetch_k)
-        return self._hits_from(np.asarray(scores), np.asarray(ids), top_k, filters)
+        with self._lock:
+            if self._index is None or self.count() == 0:
+                return [[] for _ in range(n_q)]
+            fetch_k = top_k * 4 if filters else top_k
+            fetch_k = min(fetch_k, max(self.count(), 1))
+            scores, ids = self._index.search_device(q_dev, fetch_k)
+            return self._hits_from(
+                np.asarray(scores), np.asarray(ids), top_k, filters
+            )
 
     def _hits_from(self, scores, ids, top_k, filters) -> List[List[SearchHit]]:
         row_to_id = {r: i for i, r in self._id_to_row.items()}
