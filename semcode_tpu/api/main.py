@@ -80,11 +80,13 @@ def create_app(
 
     # -- helpers ---------------------------------------------------------------
 
-    def _repo_response(name: str, path: str, languages, chunk_count) -> Dict:
+    def _repo_response(
+        name: str, path: str, languages, chunk_count, revision=None
+    ) -> Dict:
         return {
             "name": name,
             "path": path,
-            "revision": None,
+            "revision": revision,
             "languages": languages,
             "chunk_count": chunk_count,
         }
@@ -145,6 +147,7 @@ def create_app(
                     str(indexer.ingestion_manager.workspace / r.name),
                     r.languages,
                     r.chunk_count,
+                    r.revision,
                 )
                 for r in repos
             ]
@@ -284,6 +287,15 @@ def create_app(
         )
         return web.json_response(response)
 
+    async def delete_repository(request: web.Request) -> web.Response:
+        """Remove a repo from the registry and delete its vectors (the
+        reference had no delete; Milvus data simply accumulated)."""
+        name = request.match_info["name"]
+        removed = await _run_blocking(lambda: indexer.remove_repository(name))
+        if not removed:
+            raise web.HTTPNotFound(reason="Repository not found")
+        return web.json_response({"removed": name})
+
     async def list_jobs(_request: web.Request) -> web.Response:
         return web.json_response(
             [_job_response(j) for j in job_manager.list().values()]
@@ -351,6 +363,7 @@ def create_app(
     app.router.add_get("/stats", engine_stats)
     app.router.add_get("/repos", list_repositories)
     app.router.add_post("/ingest", ingest_repository)
+    app.router.add_delete("/repos/{name}", delete_repository)
     app.router.add_post("/jobs/ingest", enqueue_ingest)
     app.router.add_get("/jobs", list_jobs)
     app.router.add_get("/jobs/{job_id}", get_job)

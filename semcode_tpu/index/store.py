@@ -68,6 +68,7 @@ class VectorStore:
         # double buffering to let reads proceed against the previous version.
         self._lock = threading.RLock()
         self._connected = False
+        self.version = 0  # bumped on every mutation (cache invalidation)
 
     # -- lifecycle -----------------------------------------------------------
 
@@ -197,6 +198,7 @@ class VectorStore:
                 if progress is not None:
                     progress(done, total)
             self._maybe_promote()
+            self.version += 1
         return done
 
     @staticmethod
@@ -217,6 +219,7 @@ class VectorStore:
                 row = self._id_to_row.pop(i, None)
                 if row is not None:
                     self._row_meta.pop(row, None)
+            self.version += 1
             return len(rows)
 
     def delete_repo(self, repo: str) -> int:
@@ -373,6 +376,7 @@ class VectorStore:
             self._index = None
         self._id_to_row = {k: int(v) for k, v in meta["id_to_row"].items()}
         self._row_meta = {int(k): v for k, v in meta["row_meta"].items()}
+        self.version += 1
         log.info("store_loaded", path=str(directory), rows=self.count())
 
     # -- introspection ---------------------------------------------------------

@@ -15,6 +15,7 @@ unless an external LLM provider is configured.
 from __future__ import annotations
 
 import re
+from collections import OrderedDict
 from typing import Any, Dict, List, Optional
 
 from ..embeddings import EmbeddingProviderFactory
@@ -53,6 +54,7 @@ class SemanticSearchPipeline:
         self._vector_store = vector_store
         self._embeddings = embeddings
         self._connected = False
+        self._cache: "OrderedDict" = OrderedDict()  # (q, k, filters) -> result
 
     # lazy collaborators (reference connects lazily too, pipeline.py:94-101)
     @property
@@ -79,6 +81,34 @@ class SemanticSearchPipeline:
         question = (question or "").strip()
         if not question:
             raise ValueError("Question cannot be empty.")
+        cache_key = None
+        if self.config.rag_query_cache_size > 0:
+            cache_key = (
+                question,
+                top_k,
+                tuple(sorted((filters or {}).items())),
+                getattr(self._vector_store, "version", None),
+            )
+            hit = self._cache.get(cache_key)
+            if hit is not None:
+                self._cache.move_to_end(cache_key)
+                result = dict(hit)
+                result["meta"] = dict(hit.get("meta") or {}, cached=True)
+                return result
+        result = self._execute_query(question, top_k=top_k, filters=filters)
+        if cache_key is not None:
+            self._cache[cache_key] = result
+            while len(self._cache) > self.config.rag_query_cache_size:
+                self._cache.popitem(last=False)
+        return result
+
+    def _execute_query(
+        self,
+        question: str,
+        *,
+        top_k: Optional[int] = None,
+        filters: Optional[Dict[str, Any]] = None,
+    ) -> Dict[str, Any]:
         timer = StageTimer()
         documents = self._retrieve_documents(
             question, top_k=top_k, filters=filters, timer=timer

@@ -145,6 +145,7 @@ class IndexerService:
         stage("registering")
         record = RepositoryRecord(
             name=name,
+            revision=self._detect_revision(paths),
             languages=repo.languages,
             language_summary=", ".join(repo.languages) or None,
             chunk_count=len(chunks),
@@ -224,6 +225,27 @@ class IndexerService:
                 )
             )
         return payloads
+
+    @staticmethod
+    def _detect_revision(paths: Sequence[Path]) -> Optional[str]:
+        """Best-effort git revision of the first source path's repository."""
+        for p in paths:
+            d = Path(p).resolve()
+            while d != d.parent:
+                head = d / ".git" / "HEAD"
+                if head.is_file():
+                    try:
+                        ref = head.read_text(encoding="utf-8").strip()
+                        if ref.startswith("ref: "):
+                            ref_file = d / ".git" / ref[5:]
+                            if ref_file.is_file():
+                                return ref_file.read_text(encoding="utf-8").strip()[:40]
+                            return None
+                        return ref[:40]
+                    except OSError:
+                        return None
+                d = d.parent
+        return None
 
     @staticmethod
     def _relative_path(path: Path, root: Path) -> str:

@@ -90,6 +90,7 @@ class AppSettings(BaseModel):
     )
     rag_prompt_template: Optional[str] = None
     rag_fallback_enabled: bool = True
+    rag_query_cache_size: int = 0  # 0 = disabled
     rag_max_context_sources: int = 5
     rag_fallback_max_sources: int = 3
     rag_fallback_summary_sentences: int = 3
@@ -182,6 +183,7 @@ _SECTION_FIELDS: Dict[str, Dict[str, str]] = {
         "system_prompt": "rag_system_prompt",
         "prompt_template": "rag_prompt_template",
         "fallback_enabled": "rag_fallback_enabled",
+        "query_cache_size": "rag_query_cache_size",
         "max_context_sources": "rag_max_context_sources",
         "fallback_max_sources": "rag_fallback_max_sources",
         "fallback_summary_sentences": "rag_fallback_summary_sentences",

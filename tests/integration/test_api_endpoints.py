@@ -243,3 +243,33 @@ def test_webui_served(tmp_path):
         assert "semcode-tpu" in text and "/query" in text
 
     _run(tmp_path, scenario)
+
+
+def test_delete_repo(tmp_path):
+    class DeletableIndexer(StubIndexer):
+        def __init__(self, tmp):
+            super().__init__(tmp)
+            self.removed = []
+
+        def remove_repository(self, name):
+            self.removed.append(name)
+            return name == "demo"
+
+    indexer = DeletableIndexer(tmp_path)
+
+    async def go():
+        cfg = AppSettings(workspace_root=tmp_path, api_key="secret")
+        app = create_app(config=cfg, indexer=indexer, pipeline=StubPipeline())
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            resp = await client.delete("/repos/demo", headers=AUTH)
+            assert resp.status == 200
+            assert (await resp.json()) == {"removed": "demo"}
+            resp = await client.delete("/repos/nope", headers=AUTH)
+            assert resp.status == 404
+        finally:
+            await client.close()
+
+    asyncio.run(go())
+    assert indexer.removed == ["demo", "nope"]

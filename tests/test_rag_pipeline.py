@@ -123,3 +123,31 @@ def test_snippet_truncation():
     p = _pipeline(hits)
     result = p.query("q")
     assert len(result["sources"][0]["snippet"]) == 1000
+
+
+def test_query_cache(monkeypatch):
+    calls = {"n": 0}
+
+    class CountingStore(StubStore):
+        version = 1
+
+        def search(self, vector, top_k=10, filters=None, **kw):
+            calls["n"] += 1
+            return super().search(vector, top_k=top_k, filters=filters)
+
+    from semcode_tpu.settings import AppSettings
+
+    cfg = AppSettings(rag_provider="fallback", rag_query_cache_size=4)
+    store = CountingStore(_hits(2))
+    p = SemanticSearchPipeline(
+        config=cfg, vector_store=store, embeddings=StubEmbeddings()
+    )
+    r1 = p.query("same question")
+    r2 = p.query("same question")
+    assert calls["n"] == 1
+    assert r2["meta"].get("cached") is True
+    assert r1["answer"] == r2["answer"]
+    # a store mutation (version bump) invalidates
+    store.version = 2
+    p.query("same question")
+    assert calls["n"] == 2
