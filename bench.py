@@ -32,8 +32,8 @@ DIM = int(os.environ.get("BENCH_DIM", 384))
 NLIST = int(os.environ.get("BENCH_NLIST", 1024))
 NPROBE = int(os.environ.get("BENCH_NPROBE", 32))
 K = 10
-N_QUERIES = int(os.environ.get("BENCH_QUERIES", 256))
-BATCH = int(os.environ.get("BENCH_BATCH", 64))
+N_QUERIES = int(os.environ.get("BENCH_QUERIES", 512))
+BATCH = int(os.environ.get("BENCH_BATCH", 256))
 TIMED_ROUNDS = int(os.environ.get("BENCH_ROUNDS", 20))
 
 
@@ -98,9 +98,10 @@ def main() -> None:
     from semcode_tpu.index.flat import FlatIndex
     from semcode_tpu.index.ivf import IVFIndex
 
-    # ---- exact oracle (also proves the TPU flat path at 1M scale) ----------
+    # ---- exact oracle (f32 so it is the true ranking; also proves the TPU
+    # flat path at 1M scale) ---------------------------------------------------
     t0 = time.perf_counter()
-    flat = FlatIndex(DIM, metric="ip", dtype="bfloat16")
+    flat = FlatIndex(DIM, metric="ip", dtype="float32")
     flat.add(x)
     oracle_ids = np.zeros((N_QUERIES, K), dtype=np.int64)
     for i in range(0, N_QUERIES, BATCH):
@@ -120,10 +121,14 @@ def main() -> None:
 
     # ---- warm + recall -------------------------------------------------------
     def measure_recall(mode):
+        # mirror the production store path: fetch 4K candidates, f32-rescore
         got = np.zeros((N_QUERIES, K), dtype=np.int64)
         for i in range(0, N_QUERIES, BATCH):
-            _, ids = ivf.search(queries[i : i + BATCH], k=K, mode=mode)
-            got[i : i + ids.shape[0]] = ids
+            _, ids = ivf.search(queries[i : i + BATCH], k=4 * K, mode=mode)
+            for j, row in enumerate(ids):
+                rows = row[row >= 0]
+                s = x[rows] @ queries[i + j]
+                got[i + j] = rows[np.argsort(-s)[:K]]
         return float(
             np.mean(
                 [

@@ -66,6 +66,7 @@ class IVFIndex:
         seed: int = 0,
         use_pallas: str = "auto",  # auto | always | never
         balance_cap: float = 2.0,  # cluster capacity cap, x mean occupancy
+        approx_topk: bool = True,  # lax.approx_max_k in full scans (TPU-fast)
     ):
         if metric not in ("ip", "cosine", "l2"):
             raise ValueError(f"unknown metric: {metric}")
@@ -79,6 +80,7 @@ class IVFIndex:
         self.seed = seed
         self.use_pallas = use_pallas
         self.balance_cap = float(balance_cap)
+        self.approx_topk = bool(approx_topk)
         self._dtype = _storage_dtype(dtype)
 
         # host-authoritative storage
@@ -326,6 +328,10 @@ class IVFIndex:
             and self._dtype != jnp.int8  # kernel lacks the per-row rescale
         )
 
+    def _approx(self) -> bool:
+        """approx_max_k only pays (and only lowers natively) on TPU."""
+        return self.approx_topk and jax.default_backend() == "tpu"
+
     def _pallas_mode(self) -> str:
         """'off' | 'compiled' | 'interpret' (interpret covers CPU test meshes)."""
         if not self._pallas_eligible() or self.cmax % 128 != 0:
@@ -381,7 +387,7 @@ class IVFIndex:
         if mode == "exact":
             scores, ids = _ivf_exact_scan(
                 self.mesh, self._data, self._ids, self._sqnorms, scales, q_dev,
-                k_eff, self.metric, quantized,
+                k_eff, self.metric, quantized, self._approx(),
             )
         else:
             scores, ids = _ivf_search(
@@ -422,7 +428,7 @@ class IVFIndex:
         if mode == "exact":
             return _ivf_exact_scan(
                 self.mesh, self._data, self._ids, self._sqnorms, scales, q_dev,
-                k, self.metric, quantized,
+                k, self.metric, quantized, self._approx(),
             )
         return _ivf_search(
             self.mesh,
@@ -525,10 +531,13 @@ def _tombstone(ids, clusters, slots):
     return ids.at[clusters, slots].set(-1)
 
 
-@partial(jax.jit, static_argnums=(0, 6, 7, 8))
-def _ivf_exact_scan(mesh, data, ids, sqnorms, scales, q, k, metric, quantized):
-    """Masked exact scan of the padded cluster layout (one MXU pass for the
-    whole query batch; the cheaper path for large batches, and exact)."""
+@partial(jax.jit, static_argnums=(0, 6, 7, 8, 9))
+def _ivf_exact_scan(mesh, data, ids, sqnorms, scales, q, k, metric, quantized,
+                    approx=False):
+    """Masked full scan of the padded cluster layout (one MXU pass for the
+    whole query batch). With ``approx`` the per-shard selection uses the
+    TPU-native ``lax.approx_max_k`` (recall target 0.99) — the plain
+    ``top_k`` over millions of columns otherwise dominates the step."""
     n_shards = int(np.prod(mesh.devices.shape))
 
     def shard_fn(data_s, ids_s, sqn_s, scl_s, qq):
@@ -547,7 +556,10 @@ def _ivf_exact_scan(mesh, data, ids, sqnorms, scales, q, k, metric, quantized):
         if metric == "l2":
             scores = 2.0 * scores - sqn_s.reshape(1, rows)
         scores = jnp.where(ids_flat >= 0, scores, _NEG_INF)
-        s, pos = jax.lax.top_k(scores, k)
+        if approx:
+            s, pos = jax.lax.approx_max_k(scores, k, recall_target=0.99)
+        else:
+            s, pos = jax.lax.top_k(scores, k)
         i = jnp.take_along_axis(
             jnp.broadcast_to(ids_flat, scores.shape), pos, axis=1
         )

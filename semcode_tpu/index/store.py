@@ -261,16 +261,21 @@ class VectorStore:
         filters: Optional[Dict[str, Any]] = None,
     ) -> List[List[SearchHit]]:
         self.connect()
+        q = np.ascontiguousarray(np.atleast_2d(vectors), dtype=np.float32)
         with self._lock:
             if self._index is None or self.count() == 0:
-                return [[] for _ in range(len(np.atleast_2d(vectors)))]
+                return [[] for _ in range(q.shape[0])]
             index = self._index
-            # over-fetch when filtering so post-filter results can fill top_k
-            fetch_k = top_k * 4 if filters else top_k
+            # over-fetch for post-filtering and for f32 rescoring headroom
+            fetch_k = max(
+                top_k * 4 if filters else top_k,
+                top_k * self.config.index_rescore,
+            )
             if isinstance(index, IVFIndex):
-                scores, ids = index.search(vectors, k=fetch_k, nprobe=nprobe)
+                scores, ids = index.search(q, k=fetch_k, nprobe=nprobe)
             else:
-                scores, ids = index.search(vectors, k=fetch_k)
+                scores, ids = index.search(q, k=fetch_k)
+            scores, ids = self._rescore_host(q, scores, ids)
             return self._hits_from(scores, ids, top_k, filters)
 
     def search_batch_device(
@@ -289,12 +294,48 @@ class VectorStore:
         with self._lock:
             if self._index is None or self.count() == 0:
                 return [[] for _ in range(n_q)]
-            fetch_k = top_k * 4 if filters else top_k
+            fetch_k = max(
+                top_k * 4 if filters else top_k,
+                top_k * self.config.index_rescore,
+            )
             fetch_k = min(fetch_k, max(self.count(), 1))
             scores, ids = self._index.search_device(q_dev, fetch_k)
-            return self._hits_from(
-                np.asarray(scores), np.asarray(ids), top_k, filters
+            scores = np.asarray(scores)
+            ids = np.asarray(ids)
+            scores, ids = self._rescore_host(
+                np.asarray(q_dev, dtype=np.float32), scores, ids
             )
+            return self._hits_from(scores, ids, top_k, filters)
+
+    def _rescore_host(self, q: np.ndarray, scores, ids):
+        """Re-rank the device candidates with exact f32 scores from the host
+        mirror — recovers bf16/int8 scoring-precision losses at negligible
+        cost (tens of candidate rows per query)."""
+        if self.config.index_rescore <= 0:
+            return scores, ids
+        host = getattr(self._index, "_host", None)
+        if host is None:
+            return scores, ids
+        scores = np.asarray(scores, dtype=np.float32).copy()
+        ids = np.asarray(ids)
+        if self.metric == "cosine":
+            q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+        for qi in range(ids.shape[0]):
+            mask = ids[qi] >= 0
+            if not mask.any():
+                continue
+            rows = ids[qi][mask]
+            x = host[rows]
+            if self.metric == "l2":
+                s = -np.sum((x - q[qi][None, :]) ** 2, axis=1)
+            else:
+                s = x @ q[qi]
+            scores[qi][mask] = s
+        order = np.argsort(-scores, axis=1, kind="stable")
+        return (
+            np.take_along_axis(scores, order, axis=1),
+            np.take_along_axis(ids, order, axis=1),
+        )
 
     def _hits_from(self, scores, ids, top_k, filters) -> List[List[SearchHit]]:
         row_to_id = {r: i for i, r in self._id_to_row.items()}

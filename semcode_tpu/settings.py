@@ -72,6 +72,9 @@ class AppSettings(BaseModel):
     index_snapshot_dir: Optional[Path] = None  # default: workspace_root/"index"
     upsert_batch_size: int = 128  # reference milvus_upsert_batch_size
     search_batch_size: int = 16
+    # f32 host rescoring of the top (rescore x k) device candidates; recovers
+    # bf16/int8 scoring precision (0 disables)
+    index_rescore: int = 4
 
     # -- mesh / parallelism ----------------------------------------------------
     mesh_shape: str = ""  # e.g. "8" or "4x2"; empty = all local devices, 1-D
@@ -172,6 +175,7 @@ _SECTION_FIELDS: Dict[str, Dict[str, str]] = {
         "snapshot_dir": "index_snapshot_dir",
         "upsert_batch_size": "upsert_batch_size",
         "search_batch_size": "search_batch_size",
+        "rescore": "index_rescore",
     },
     "mesh": {"shape": "mesh_shape", "axis_names": "mesh_axis_names"},
     "rag": {

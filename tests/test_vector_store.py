@@ -97,3 +97,34 @@ def test_snapshot_roundtrip(tmp_path, mesh8, rng):
 def test_empty_store_search(tmp_path, mesh8):
     store = VectorStore(_cfg(tmp_path), mesh=mesh8)
     assert store.search(np.zeros(32, dtype=np.float32), top_k=5) == []
+
+
+def test_f32_rescore_recovers_bf16_precision(tmp_path, mesh8, rng):
+    # near-tie corpus: bf16 scoring flips orderings that f32 rescoring fixes
+    dim, n, k = 64, 1024, 10
+    base = rng.standard_normal(dim).astype(np.float32)
+    x = base[None, :] + 1e-2 * rng.standard_normal((n, dim)).astype(np.float32)
+    q = base + 1e-2 * rng.standard_normal(dim).astype(np.float32)
+    oracle = np.argsort(-(x @ q))[:k]
+
+    def build(rescore):
+        cfg = _cfg(
+            tmp_path,
+            index_dtype="bfloat16",
+            index_rescore=rescore,
+            embedding_dimension=dim,
+        )
+        store = VectorStore(cfg, mesh=mesh8)
+        payloads = [
+            EmbeddingPayload(id=f"c{i}", text="", vector=x[i], metadata={})
+            for i in range(n)
+        ]
+        store.upsert_embeddings(payloads)
+        hits = store.search(q, top_k=k)
+        got = [int(h.id[1:]) for h in hits]
+        return len(set(got) & set(oracle.tolist())) / k
+
+    rec_plain = build(0)
+    rec_rescored = build(8)
+    assert rec_rescored >= rec_plain
+    assert rec_rescored >= 0.9, f"rescored recall too low: {rec_rescored}"
