@@ -1,0 +1,103 @@
+"""Dynamic micro-batching for the query endpoint.
+
+The TPU engine's throughput scales with batch size (one corpus scan serves a
+whole batch), so concurrent ``/query`` requests should ride one device call.
+Requests enqueue here; a worker drains the queue in (window, max-batch)
+chunks, groups compatible requests (same top_k/filters), and executes each
+group as a single ``pipeline.query_batch`` in the thread pool. Latency cost
+is bounded by the batching window (a few ms); single in-flight requests are
+dispatched immediately.
+"""
+
+from __future__ import annotations
+
+import asyncio
+from typing import Any, Dict, List, Optional, Tuple
+
+from ..logger import get_logger
+
+log = get_logger("api.batcher")
+
+
+class QueryBatcher:
+    def __init__(
+        self,
+        pipeline,
+        executor,
+        *,
+        max_batch: int = 64,
+        window_ms: float = 3.0,
+    ):
+        self.pipeline = pipeline
+        self.executor = executor
+        self.max_batch = int(max_batch)
+        self.window_s = float(window_ms) / 1000.0
+        self._queue: asyncio.Queue = asyncio.Queue()
+        self._worker_task: Optional[asyncio.Task] = None
+
+    async def query(
+        self,
+        question: str,
+        top_k: Optional[int] = None,
+        filters: Optional[Dict[str, Any]] = None,
+    ) -> Dict[str, Any]:
+        loop = asyncio.get_event_loop()
+        if self._worker_task is None or self._worker_task.done():
+            self._worker_task = loop.create_task(self._worker())
+        future: asyncio.Future = loop.create_future()
+        await self._queue.put((question, top_k, self._freeze(filters), future))
+        return await future
+
+    @staticmethod
+    def _freeze(filters: Optional[Dict[str, Any]]) -> Tuple:
+        return tuple(sorted((filters or {}).items()))
+
+    async def _worker(self) -> None:
+        loop = asyncio.get_event_loop()
+        while True:
+            first = await self._queue.get()
+            batch = [first]
+            # gather more requests inside the window (or until max_batch)
+            deadline = loop.time() + self.window_s
+            while len(batch) < self.max_batch:
+                timeout = deadline - loop.time()
+                if timeout <= 0:
+                    break
+                try:
+                    batch.append(
+                        await asyncio.wait_for(self._queue.get(), timeout)
+                    )
+                except asyncio.TimeoutError:
+                    break
+            # group by (top_k, filters) compatibility
+            groups: Dict[Tuple, List] = {}
+            for item in batch:
+                groups.setdefault((item[1], item[2]), []).append(item)
+            for (top_k, frozen), items in groups.items():
+                questions = [it[0] for it in items]
+                filters = dict(frozen) if frozen else None
+                try:
+                    if len(items) == 1:
+                        results = [
+                            await loop.run_in_executor(
+                                self.executor,
+                                lambda: self.pipeline.query(
+                                    questions[0], top_k=top_k, filters=filters
+                                ),
+                            )
+                        ]
+                    else:
+                        log.info("query_microbatch", size=len(items))
+                        results = await loop.run_in_executor(
+                            self.executor,
+                            lambda: self.pipeline.query_batch(
+                                questions, top_k=top_k, filters=filters
+                            ),
+                        )
+                    for item, result in zip(items, results):
+                        if not item[3].done():
+                            item[3].set_result(result)
+                except Exception as exc:
+                    for item in items:
+                        if not item[3].done():
+                            item[3].set_exception(exc)

@@ -59,6 +59,16 @@ def create_app(
     job_manager = job_manager or JobManager()
     telemetry = telemetry or Telemetry()
     executor = ThreadPoolExecutor(max_workers=4, thread_name_prefix="semcode")
+    batcher = None
+    if config.api_batch_window_ms > 0:
+        from .batcher import QueryBatcher
+
+        batcher = QueryBatcher(
+            pipeline,
+            executor,
+            max_batch=config.api_batch_max,
+            window_ms=config.api_batch_window_ms,
+        )
 
     @web.middleware
     async def auth_middleware(request: web.Request, handler):
@@ -324,9 +334,12 @@ def create_app(
         filters = body.get("filters")
         start = time.time()
         try:
-            result = await _run_blocking(
-                lambda: pipeline.query(question, top_k=top_k, filters=filters)
-            )
+            if batcher is not None:
+                result = await batcher.query(question, top_k=top_k, filters=filters)
+            else:
+                result = await _run_blocking(
+                    lambda: pipeline.query(question, top_k=top_k, filters=filters)
+                )
         except Exception as exc:
             _record_query(start, ok=False, fallback=False)
             return web.json_response({"detail": str(exc)}, status=502)

@@ -18,6 +18,8 @@ import re
 from collections import OrderedDict
 from typing import Any, Dict, List, Optional
 
+import numpy as np
+
 from ..embeddings import EmbeddingProviderFactory
 from ..index.store import SearchHit, VectorStore
 from ..logger import get_logger
@@ -162,6 +164,84 @@ class SemanticSearchPipeline:
                     "reason": f"llm_error: {exc}",
                     "timings_ms": timer.as_dict(),
                 },
+            }
+
+    def query_batch(
+        self,
+        questions: List[str],
+        *,
+        top_k: Optional[int] = None,
+        filters: Optional[Dict[str, Any]] = None,
+    ) -> List[Dict[str, Any]]:
+        """Answer several questions with ONE embed step and ONE index scan.
+
+        The TPU engine's throughput comes from batching (SURVEY perf notes);
+        this is the primitive the API's dynamic micro-batcher uses to turn
+        concurrent requests into a single device batch. LLM synthesis (when
+        configured) still runs per question.
+        """
+        questions = [q.strip() for q in questions]
+        if not questions or any(not q for q in questions):
+            raise ValueError("Questions cannot be empty.")
+        k = top_k or self.config.rag_max_context_sources
+        try:
+            vectors = np.asarray(
+                self.embeddings.embed_documents(questions), dtype=np.float32
+            )
+            hits_batch = self.vector_store.search_batch(
+                vectors, top_k=k, filters=filters
+            )
+        except Exception as exc:
+            log.warning("batch_retrieval_failed", error=str(exc))
+            hits_batch = [[] for _ in questions]
+        return [
+            self._answer_from_documents(q, docs)
+            for q, docs in zip(questions, hits_batch)
+        ]
+
+    def _answer_from_documents(
+        self, question: str, documents: List[SearchHit]
+    ) -> Dict[str, Any]:
+        """Prompt/LLM/fallback stage shared by query() and query_batch()."""
+        if not documents:
+            if self.config.rag_fallback_enabled:
+                return {
+                    "answer": (
+                        "I could not find any indexed context matching the "
+                        "question. Try ingesting the relevant repository first."
+                    ),
+                    "sources": [],
+                    "meta": {"fallback_used": True, "reason": "no_results"},
+                }
+            return {"answer": "", "sources": [], "meta": {"fallback_used": False}}
+        sources = [self._hit_to_source(h) for h in documents]
+        llm = None
+        try:
+            llm = create_llm(self.config)
+        except Exception as exc:
+            log.warning("llm_create_failed", error=str(exc))
+        if llm is None:
+            return {
+                "answer": self._summarize_documents(question, documents),
+                "sources": sources,
+                "meta": {"fallback_used": True, "reason": "no_llm_configured"},
+            }
+        try:
+            prompt = self._render_prompt(question, documents)
+            answer = llm.chat(self.config.rag_system_prompt, prompt)
+            return {
+                "answer": answer,
+                "sources": sources,
+                "meta": {"fallback_used": False},
+            }
+        except Exception as exc:
+            log.warning("llm_invoke_failed", error=str(exc))
+            if not self.config.rag_fallback_enabled:
+                raise
+            return {
+                "answer": self._summarize_documents(question, documents),
+                "sources": sources,
+                "meta": {"fallback_used": True, "reason": f"llm_error: {exc}"},
             }
 
     # -- retrieval ----------------------------------------------------------------

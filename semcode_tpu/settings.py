@@ -46,6 +46,9 @@ class AppSettings(BaseModel):
     api_host: str = "0.0.0.0"
     api_port: int = 8000
     telemetry_enabled: bool = True
+    # dynamic micro-batching of concurrent /query requests (0 disables)
+    api_batch_window_ms: float = 3.0
+    api_batch_max: int = 64
 
     # -- embedding (on-TPU by default; remote providers are optional) ---------
     embedding_provider: str = "tpu-hash"  # tpu-hash | tpu-encoder | openai | jina
@@ -148,7 +151,12 @@ def _blank_to_none(value: Any) -> Any:
 _SECTION_FIELDS: Dict[str, Dict[str, str]] = {
     "workspace": {"root": "workspace_root"},
     "general": {"api_key": "api_key", "telemetry_enabled": "telemetry_enabled"},
-    "api": {"host": "api_host", "port": "api_port"},
+    "api": {
+        "host": "api_host",
+        "port": "api_port",
+        "batch_window_ms": "api_batch_window_ms",
+        "batch_max": "api_batch_max",
+    },
     "embedding": {
         "provider": "embedding_provider",
         "model": "embedding_model",

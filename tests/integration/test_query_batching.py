@@ -1,0 +1,93 @@
+"""Dynamic micro-batching of concurrent /query requests."""
+
+import asyncio
+
+import numpy as np
+from aiohttp.test_utils import TestClient, TestServer
+
+from semcode_tpu.api.main import create_app
+from semcode_tpu.settings import AppSettings
+
+
+class BatchTrackingPipeline:
+    def __init__(self):
+        self.single_calls = 0
+        self.batch_calls = []
+
+    def query(self, question, top_k=None, filters=None):
+        self.single_calls += 1
+        return {"answer": f"single:{question}", "sources": [], "meta": {}}
+
+    def query_batch(self, questions, top_k=None, filters=None):
+        self.batch_calls.append(len(questions))
+        return [
+            {"answer": f"batched:{q}", "sources": [], "meta": {}}
+            for q in questions
+        ]
+
+
+def test_concurrent_queries_get_batched(tmp_path):
+    pipeline = BatchTrackingPipeline()
+    cfg = AppSettings(
+        workspace_root=tmp_path, api_batch_window_ms=25.0, api_batch_max=16
+    )
+
+    async def go():
+        app = create_app(config=cfg, pipeline=pipeline)
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            responses = await asyncio.gather(
+                *[
+                    client.post("/query", json={"question": f"q{i}"})
+                    for i in range(8)
+                ]
+            )
+            bodies = [await r.json() for r in responses]
+            return [r.status for r in responses], bodies
+        finally:
+            await client.close()
+
+    statuses, bodies = asyncio.run(go())
+    assert all(s == 200 for s in statuses)
+    # every question answered with ITS result, not a neighbor's
+    answers = {b["answer"] for b in bodies}
+    for i in range(8):
+        assert any(a.endswith(f"q{i}") for a in answers)
+    # at least one multi-request batch formed
+    assert pipeline.batch_calls and max(pipeline.batch_calls) >= 2
+
+
+def test_real_pipeline_batch_consistency(tmp_path, mesh8, rng):
+    """query_batch must produce the same hits as per-question query."""
+    from semcode_tpu.embeddings.hash_embedder import HashEmbeddings
+    from semcode_tpu.embeddings.providers import EmbeddingPayload
+    from semcode_tpu.index.store import VectorStore
+    from semcode_tpu.rag import SemanticSearchPipeline
+
+    cfg = AppSettings(
+        workspace_root=tmp_path, embedding_dimension=64, index_dtype="float32"
+    )
+    emb = HashEmbeddings(dim=64)
+    texts = [
+        f"def function_{i}(arg):\n    return compute_{i}(arg)" for i in range(40)
+    ]
+    vecs = emb.embed_documents(texts)
+    store = VectorStore(cfg, mesh=mesh8)
+    store.upsert_embeddings(
+        [
+            EmbeddingPayload(
+                id=f"c{i}", text=texts[i], vector=v,
+                metadata={"repo": "r", "path": f"f{i}.py", "language": "python"},
+            )
+            for i, v in enumerate(vecs)
+        ]
+    )
+    pipeline = SemanticSearchPipeline(config=cfg, vector_store=store, embeddings=emb)
+    questions = ["compute_7 function", "function_12 arg", "compute_33"]
+    batch_results = pipeline.query_batch(questions, top_k=3)
+    for q, br in zip(questions, batch_results):
+        single = pipeline.query(q, top_k=3)
+        assert [s["path"] for s in br["sources"]] == [
+            s["path"] for s in single["sources"]
+        ]
