@@ -32,7 +32,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..logger import get_logger
-from ..ops.kmeans import assign_clusters, balanced_assign, kmeans_fit, topm_clusters
+from ..ops.kmeans import balanced_assign, kmeans_fit, topm_clusters
 from ..parallel.mesh import DATA_AXIS, get_mesh, round_up
 
 log = get_logger("index.ivf")
