@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..parallel.mesh import DATA_AXIS, get_mesh, round_up
+from ..parallel.mesh import DATA_AXIS, get_mesh, pad_bucket, round_up
 
 _NEG_INF = np.float32(-3.0e38)
 
@@ -210,7 +210,7 @@ class FlatIndex:
         if self.metric == "cosine":
             q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
         self._ensure_device()
-        q_pad = round_up(n_q, 8)
+        q_pad = pad_bucket(n_q)
         if q_pad != n_q:
             q = np.pad(q, ((0, q_pad - n_q), (0, 0)))
         k_eff = min(k, self.capacity // self.n_shards)

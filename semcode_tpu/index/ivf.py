@@ -33,7 +33,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..logger import get_logger
 from ..ops.kmeans import balanced_assign, kmeans_fit, topm_clusters
-from ..parallel.mesh import DATA_AXIS, get_mesh, round_up
+from ..parallel.mesh import DATA_AXIS, get_mesh, pad_bucket, round_up
 
 log = get_logger("index.ivf")
 
@@ -322,11 +322,7 @@ class IVFIndex:
     def _pallas_eligible(self) -> bool:
         if self.use_pallas == "never":
             return False
-        return (
-            self.metric in ("ip", "cosine")
-            and self.dim % 128 == 0
-            and self._dtype != jnp.int8  # kernel lacks the per-row rescale
-        )
+        return self.metric in ("ip", "cosine") and self.dim % 128 == 0
 
     def _approx(self) -> bool:
         """approx_max_k only pays (and only lowers natively) on TPU."""
@@ -375,7 +371,7 @@ class IVFIndex:
             q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
         self._ensure_device()
         np_probe = min(nprobe or self.nprobe, self.nlist)
-        q_pad = round_up(n_q, 8)
+        q_pad = pad_bucket(n_q)
         if q_pad != n_q:
             q = np.pad(q, ((0, q_pad - n_q), (0, 0)))
         k_eff = min(k, self.cmax * np_probe)
@@ -627,6 +623,7 @@ def _ivf_search(mesh, data, ids, sqnorms, scales, centroids, q, k, nprobe,
                 k=k,
                 interpret=(pallas_mode == "interpret"),
                 vma=frozenset({DATA_AXIS}),
+                scales_s=scl_s,
             )
 
         def step(carry, inputs):

@@ -34,19 +34,22 @@ def _ivf_scan_kernel(
     # inputs
     q_ref,  # (Q, d) f32, VMEM
     data_ref,  # (nlist_s, cmax, d) storage dtype, HBM
-    ids_ref,  # (nlist_s, cmax) int32, HBM
+    ids_ref,  # (nlist_s, 1, cmax) int32, HBM
+    scl_ref,  # (nlist_s, 1, cmax) f32, HBM (int8 per-row scales)
     # outputs
     out_s_ref,  # (Q, K_PAD) f32, VMEM
     out_i_ref,  # (Q, K_PAD) int32, VMEM
     # scratch
     blocks,  # (2, cmax, d) storage dtype, VMEM (double buffer)
-    idblocks,  # (2, cmax) int32 ... stored as (2, 1, cmax)
+    idblocks,  # (2, 1, cmax) int32
+    sclblocks,  # (2, 1, cmax) f32
     best_s,  # (1, K_PAD) f32
     best_i,  # (1, K_PAD) int32
-    sems,  # DMA semaphores (2, 2)
+    sems,  # DMA semaphores (2, 3)
     *,
     k: int,
     nprobe: int,
+    quantized: bool,
 ):
     qi = pl.program_id(0)
     j = pl.program_id(1)
@@ -65,31 +68,47 @@ def _ivf_scan_kernel(
             ids_ref.at[c], idblocks.at[buf_slot], sems.at[buf_slot, 1]
         )
 
+    def scl_dma(buf_slot, probe_j):
+        c = probes_ref[qi, probe_j]
+        return pltpu.make_async_copy(
+            scl_ref.at[c], sclblocks.at[buf_slot], sems.at[buf_slot, 2]
+        )
+
+    def start_all(buf_slot, probe_j):
+        data_dma(buf_slot, probe_j).start()
+        ids_dma(buf_slot, probe_j).start()
+        if quantized:
+            scl_dma(buf_slot, probe_j).start()
+
     # warm-up: start the first DMA of this query's probe sequence
     @pl.when(j == 0)
     def _():
         best_s[:] = jnp.full_like(best_s, NEG_INF)
         best_i[:] = jnp.full_like(best_i, -1)
-        data_dma(0, 0).start()
-        ids_dma(0, 0).start()
+        start_all(0, 0)
 
     # prefetch next probe block while we compute on the current one
     @pl.when(j + 1 < nprobe)
     def _():
-        data_dma(next_slot, j + 1).start()
-        ids_dma(next_slot, j + 1).start()
+        start_all(next_slot, j + 1)
 
     data_dma(slot, j).wait()
     ids_dma(slot, j).wait()
+    if quantized:
+        scl_dma(slot, j).wait()
 
     qv = q_ref[pl.ds(qi, 1), :]  # (1, d)
     block = blocks[slot]  # (cmax, d)
+    if quantized:
+        block = block.astype(jnp.bfloat16)
     scores = jax.lax.dot_general(
         qv,
         block,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (1, cmax)
+    if quantized:
+        scores = scores * sclblocks[slot]
     ids_row = idblocks[slot]  # (1, cmax)
     own = owned_ref[qi, j]
     valid = (ids_row >= 0) & (own > 0)
@@ -140,20 +159,27 @@ def ivf_scan_shard(
     k: int,
     interpret: bool = False,
     vma=None,  # varying mesh axes when called inside shard_map
+    scales_s: jax.Array = None,  # (nlist_s, cmax) f32 when int8-quantized
 ):
     """Per-shard fused IVF scan. Returns (scores (Q, k), ids (Q, k))."""
     n_q, d = q.shape
     nprobe = probes_local.shape[1]
     cmax = data_s.shape[1]
     assert cmax % 128 == 0 and d % 128 == 0, "pallas layout needs 128-multiples"
-    # ids get a leading singleton so VMEM blocks are 2-D (1, cmax)
+    quantized = data_s.dtype == jnp.int8
+    # ids/scales get a leading singleton so VMEM blocks are 2-D (1, cmax)
     ids3 = ids_s.reshape(data_s.shape[0], 1, cmax)
+    if scales_s is None or not quantized:
+        scl3 = jnp.zeros((data_s.shape[0], 1, cmax), jnp.float32)
+    else:
+        scl3 = scales_s.reshape(data_s.shape[0], 1, cmax).astype(jnp.float32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_q, nprobe),
         in_specs=[
             pl.BlockSpec((n_q, d), lambda qi, j, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
@@ -168,12 +194,15 @@ def ivf_scan_shard(
         scratch_shapes=[
             pltpu.VMEM((2, cmax, d), data_s.dtype),
             pltpu.VMEM((2, 1, cmax), jnp.int32),
+            pltpu.VMEM((2, 1, cmax), jnp.float32),
             pltpu.VMEM((1, K_PAD), jnp.float32),
             pltpu.VMEM((1, K_PAD), jnp.int32),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2, 3)),
         ],
     )
-    kernel = functools.partial(_ivf_scan_kernel, k=k, nprobe=nprobe)
+    kernel = functools.partial(
+        _ivf_scan_kernel, k=k, nprobe=nprobe, quantized=quantized
+    )
     out_s, out_i = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -182,7 +211,14 @@ def ivf_scan_shard(
             jax.ShapeDtypeStruct((n_q, K_PAD), jnp.int32, vma=vma),
         ],
         interpret=interpret,
-    )(probes_local.astype(jnp.int32), owned.astype(jnp.int32), q, data_s, ids3)
+    )(
+        probes_local.astype(jnp.int32),
+        owned.astype(jnp.int32),
+        q,
+        data_s,
+        ids3,
+        scl3,
+    )
     # top-k slots are unsorted; order them
     top_s, pos = jax.lax.top_k(out_s[:, :K_PAD], k)
     top_i = jnp.take_along_axis(out_i, pos, axis=1)

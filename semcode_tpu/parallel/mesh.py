@@ -94,3 +94,12 @@ def round_up(value: int, multiple: int) -> int:
     if multiple <= 0:
         return value
     return ((value + multiple - 1) // multiple) * multiple
+
+
+def pad_bucket(n: int, floor: int = 8) -> int:
+    """Next power-of-two batch bucket (>= floor): bounds the number of
+    distinct jit shapes, which matters when each compile costs minutes."""
+    b = floor
+    while b < n:
+        b *= 2
+    return b

@@ -185,3 +185,19 @@ def test_ivf_int8_recall(mesh8, rng):
     idx.add(_clustered(rng, 200, d))
     _, ids = idx.search(q, k=k)
     assert (ids[:, 0] >= 0).all()
+
+
+def test_ivf_int8_pallas_matches_xla(mesh8, rng):
+    n, d, k = 3000, 128, 10
+    x = _clustered(rng, n, d)
+    q = _clustered(rng, 16, d)
+    kw = dict(nlist=32, nprobe=8, metric="ip", dtype="int8", mesh=mesh8)
+    a = IVFIndex(d, use_pallas="always", **kw)
+    b = IVFIndex(d, use_pallas="never", **kw)
+    a.add(x)
+    b.add(x)
+    assert a._pallas_mode() == "interpret"
+    sa, ia = a.search(q, k=k, mode="ivf")
+    sb, ib = b.search(q, k=k, mode="ivf")
+    np.testing.assert_array_equal(ia, ib)
+    np.testing.assert_allclose(sa, sb, rtol=1e-4)
