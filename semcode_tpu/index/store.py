@@ -383,8 +383,6 @@ class VectorStore:
                 "dim": self.dim,
                 "metric": self.metric,
                 "kind": state["kind"] if state else None,
-                "id_to_row": self._id_to_row,
-                "row_meta": {str(k): v for k, v in self._row_meta.items()},
             }
             if state:
                 for key, val in state.items():
@@ -393,6 +391,19 @@ class VectorStore:
                     else:
                         meta[f"state_{key}"] = val
             np.savez_compressed(directory / "index.npz", **arrays)
+            # chunk texts/metadata are bulky at corpus scale: msgpack, not JSON
+            import msgpack
+
+            payload = msgpack.packb(
+                {
+                    "id_to_row": self._id_to_row,
+                    "row_meta": {str(k): v for k, v in self._row_meta.items()},
+                },
+                use_bin_type=True,
+            )
+            tmp_meta = directory / "rows.msgpack.tmp"
+            tmp_meta.write_bytes(payload)
+            tmp_meta.replace(directory / "rows.msgpack")
             tmp = directory / "store.json.tmp"
             tmp.write_text(json.dumps(meta), encoding="utf-8")
             tmp.replace(directory / "store.json")
@@ -415,8 +426,16 @@ class VectorStore:
             self._index = FlatIndex.from_state(state, **common)
         else:
             self._index = None
-        self._id_to_row = {k: int(v) for k, v in meta["id_to_row"].items()}
-        self._row_meta = {int(k): v for k, v in meta["row_meta"].items()}
+        rows_file = directory / "rows.msgpack"
+        if rows_file.exists():
+            import msgpack
+
+            rows = msgpack.unpackb(rows_file.read_bytes(), raw=False)
+            self._id_to_row = {k: int(v) for k, v in rows["id_to_row"].items()}
+            self._row_meta = {int(k): v for k, v in rows["row_meta"].items()}
+        else:  # snapshots from before the msgpack split
+            self._id_to_row = {k: int(v) for k, v in meta["id_to_row"].items()}
+            self._row_meta = {int(k): v for k, v in meta["row_meta"].items()}
         self.version += 1
         log.info("store_loaded", path=str(directory), rows=self.count())
 
