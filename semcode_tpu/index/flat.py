@@ -68,7 +68,10 @@ class FlatIndex:
         self.mesh = mesh if mesh is not None else get_mesh()
         self.n_shards = int(np.prod(self.mesh.devices.shape))
         self._dtype = _storage_dtype(dtype)
-        self._row_multiple = max(self.n_shards * 8, 128)
+        # rows must split evenly across shards AND stay lane-aligned
+        import math
+
+        self._row_multiple = math.lcm(self.n_shards * 8, 128)
         self.capacity = round_up(max(capacity, self._row_multiple), self._row_multiple)
         self.size = 0  # rows allocated (including tombstones)
         self.n_live = 0  # rows alive
