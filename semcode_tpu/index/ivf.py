@@ -278,27 +278,49 @@ class IVFIndex:
         )
 
     def _materialize(self) -> None:
-        """Push the packed layout to sharded device arrays."""
+        """Push the packed layout to sharded device arrays.
+
+        Fills the padded host staging buffer directly in the storage dtype,
+        streaming rows in batches — a full-f32 staging copy of the padded
+        layout would spike host RAM ~4x at 3072-d/1M scale.
+        """
         live = np.flatnonzero(self._alive)
-        data = np.zeros((self.nlist, self.cmax, self.dim), dtype=np.float32)
+        if self._dtype == jnp.int8:
+            np_dtype = np.int8
+        elif self._dtype == jnp.bfloat16:
+            import ml_dtypes
+
+            np_dtype = ml_dtypes.bfloat16
+        else:
+            np_dtype = np.float32
+        data = np.zeros((self.nlist, self.cmax, self.dim), dtype=np_dtype)
         ids = np.full((self.nlist, self.cmax), -1, dtype=np.int32)
-        locs = self._loc[live]
-        data[locs[:, 0], locs[:, 1]] = self._host[live]
-        ids[locs[:, 0], locs[:, 1]] = live.astype(np.int32)
-        sqnorms = np.sum(data.astype(np.float32) ** 2, axis=2)
+        sqnorms = np.zeros((self.nlist, self.cmax), dtype=np.float32)
+        scales = (
+            np.zeros((self.nlist, self.cmax), dtype=np.float32)
+            if self._dtype == jnp.int8
+            else None
+        )
+        step = 200_000
+        for lo in range(0, live.size, step):
+            rows = live[lo : lo + step]
+            vals = self._host[rows]
+            c, s = self._loc[rows, 0], self._loc[rows, 1]
+            ids[c, s] = rows.astype(np.int32)
+            sqnorms[c, s] = np.sum(vals.astype(np.float32) ** 2, axis=1)
+            if scales is not None:
+                from .flat import quantize_rows
+
+                qvals, qscales = quantize_rows(vals)
+                data[c, s] = qvals
+                scales[c, s] = qscales
+            else:
+                data[c, s] = vals.astype(np_dtype)
         shard3 = NamedSharding(self.mesh, P(DATA_AXIS, None, None))
         shard2 = NamedSharding(self.mesh, P(DATA_AXIS, None))
-        if self._dtype == jnp.int8:
-            from .flat import quantize_rows
-
-            data, scales = quantize_rows(data)
-            self._scales = jax.device_put(scales, shard2)
-        else:
-            self._scales = None
-            if self._dtype == jnp.bfloat16:
-                import ml_dtypes
-
-                data = data.astype(ml_dtypes.bfloat16)
+        self._scales = (
+            jax.device_put(scales, shard2) if scales is not None else None
+        )
         self._data = jax.device_put(data, shard3)
         self._ids = jax.device_put(ids, shard2)
         self._sqnorms = jax.device_put(sqnorms, shard2)
