@@ -109,6 +109,12 @@ def main() -> None:
         _, ids = flat.search(queries[i : i + BATCH], k=K)
         oracle_ids[i : i + ids.shape[0]] = ids
     log(f"[bench] exact oracle done in {time.perf_counter()-t0:.1f}s")
+    # free the oracle's HBM before building the IVF layout (f32 oracle +
+    # padded layout cannot coexist on one chip at high dims)
+    del flat
+    import gc
+
+    gc.collect()
 
     # ---- IVF build ----------------------------------------------------------
     t0 = time.perf_counter()

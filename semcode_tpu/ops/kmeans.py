@@ -159,9 +159,10 @@ def balanced_assign(
     Keeps every cluster at <= cap entries so the capacity-padded TPU layout is
     dense (bounded cmax = bounded scan bandwidth), trading a small recall hit:
     a spilled point lands in its 2nd..mth nearest cluster, which a query
-    probing nprobe >= 2 clusters usually still reaches. If all m candidates
-    are full, the last-round assignment stands (cap is then exceeded; the
-    caller re-pads).
+    probing nprobe >= 2 clusters usually still reaches. Points whose m
+    candidates are ALL full are redistributed to the least-loaded clusters
+    (strict cap: they stay reachable through the exact-scan/rescore paths,
+    and the padded layout never blows up on hot regions).
     """
     n, m = candidates.shape
     base = (
@@ -170,15 +171,30 @@ def balanced_assign(
         else np.zeros(n_clusters, dtype=np.int64)
     )
     assign = candidates[:, 0].astype(np.int32).copy()
-    # eviction rounds, fully vectorized: points beyond a cluster's remaining
-    # capacity fall through to their next-nearest candidate
-    for r in range(1, m):
+
+    def overflow_points():
         order = np.argsort(assign, kind="stable")
         sorted_assign = assign[order]
         block_start = np.searchsorted(sorted_assign, sorted_assign)
         rank = np.arange(n) - block_start + base[sorted_assign]
-        evict = order[rank >= cap]
+        return order[rank >= cap]
+
+    # eviction rounds, fully vectorized: points beyond a cluster's remaining
+    # capacity fall through to their next-nearest candidate
+    for r in range(1, m):
+        evict = overflow_points()
         if evict.size == 0:
             return assign
         assign[evict] = candidates[evict, r]
+    # strict pass: pack the remaining overflow into clusters with free space
+    evict = overflow_points()
+    if evict.size:
+        occ = np.bincount(assign, minlength=n_clusters) + base
+        free_slots = np.maximum(cap - occ, 0)
+        # clusters repeated by their free capacity, least-loaded first
+        order = np.argsort(-free_slots, kind="stable")
+        targets = np.repeat(order, free_slots[order])
+        take = min(evict.size, targets.size)
+        assign[evict[:take]] = targets[:take].astype(np.int32)
+        # if space genuinely ran out (cap * n_clusters < n), leave the rest
     return assign
