@@ -234,6 +234,16 @@ def cmd_remove(args) -> int:
     return 1
 
 
+def cmd_stats(_args) -> int:
+    configure_logging(enable_console=False)
+    from .index.store import VectorStore
+
+    store = VectorStore()
+    store.connect()
+    print(json.dumps(store.stats(), indent=2))
+    return 0
+
+
 def cmd_serve(_args) -> int:
     from .api.main import run
 
@@ -332,6 +342,9 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser("workspace", help="Print the workspace path")
     p.set_defaults(func=cmd_workspace)
+
+    p = sub.add_parser("stats", help="Print index/engine statistics")
+    p.set_defaults(func=cmd_stats)
 
     p = sub.add_parser("serve", help="Run the API server")
     p.set_defaults(func=cmd_serve)
