@@ -40,6 +40,32 @@ def _assign_step(x, centroids):
     return assign, jnp.maximum(mind, 0.0)
 
 
+@partial(jax.jit, static_argnums=(1,))
+def _kmeanspp_init(x, k, key):
+    """k-means++ (D^2 sampling) as one fused scan — avoids the random-init
+    failure mode where a dense region grabs two centroids and a real cluster
+    is orphaned. O(k * S * d) on the MXU, one dispatch."""
+    s, d = x.shape
+    x_sq = jnp.sum(x * x, axis=1)
+    first = jax.random.randint(key, (), 0, s)
+    c0 = x[first]
+    mind0 = jnp.maximum(x_sq - 2.0 * (x @ c0) + jnp.sum(c0 * c0), 0.0)
+    keys = jax.random.split(key, k)
+
+    def step(carry, key_i):
+        mind, _ = carry
+        total = jnp.maximum(jnp.sum(mind), 1e-12)
+        u = jax.random.uniform(key_i) * total
+        idx = jnp.searchsorted(jnp.cumsum(mind), u)
+        idx = jnp.clip(idx, 0, s - 1)
+        c = x[idx]
+        d2 = jnp.maximum(x_sq - 2.0 * (x @ c) + jnp.sum(c * c), 0.0)
+        return (jnp.minimum(mind, d2), 0), c
+
+    (_, _), centers = jax.lax.scan(step, (mind0, 0), keys[1:])
+    return jnp.concatenate([c0[None, :], centers], axis=0)
+
+
 @partial(jax.jit, static_argnums=(2,))
 def _lloyd(x, init_centroids, iters, reseed_rows):
     """Full Lloyd loop in one jit. x:(S,d), init:(K,d), reseed:(iters,K) i32."""
@@ -97,7 +123,9 @@ def kmeans_fit(
         sample = x[rng.choice(n, size=max_train, replace=False)]
     else:
         sample = x
-    init = sample[rng.choice(sample.shape[0], size=k, replace=False)]
+    init = np.asarray(
+        _kmeanspp_init(jnp.asarray(sample), k, jax.random.PRNGKey(seed))
+    )
     reseed = rng.integers(0, sample.shape[0], size=(iters, k)).astype(np.int32)
     centroids = np.asarray(
         _lloyd(jnp.asarray(sample), jnp.asarray(init), int(iters), jnp.asarray(reseed))
