@@ -43,8 +43,6 @@ def _ivf_scan_kernel(
     blocks,  # (2, cmax, d) storage dtype, VMEM (double buffer)
     idblocks,  # (2, 1, cmax) int32
     sclblocks,  # (2, 1, cmax) f32
-    best_s,  # (1, K_PAD) f32
-    best_i,  # (1, K_PAD) int32
     sems,  # DMA semaphores (2, 3)
     *,
     k: int,
@@ -52,9 +50,7 @@ def _ivf_scan_kernel(
     quantized: bool,
 ):
     qi = pl.program_id(0)
-    j = pl.program_id(1)
-    slot = jax.lax.rem(j, 2)
-    next_slot = jax.lax.rem(j + 1, 2)
+    qv = q_ref[pl.ds(qi, 1), :]  # (1, d)
 
     def data_dma(buf_slot, probe_j):
         c = probes_ref[qi, probe_j]
@@ -80,73 +76,73 @@ def _ivf_scan_kernel(
         if quantized:
             scl_dma(buf_slot, probe_j).start()
 
-    # warm-up: start the first DMA of this query's probe sequence
-    @pl.when(j == 0)
-    def _():
-        best_s[:] = jnp.full_like(best_s, NEG_INF)
-        best_i[:] = jnp.full_like(best_i, -1)
-        start_all(0, 0)
+    def wait_all(buf_slot, probe_j):
+        data_dma(buf_slot, probe_j).wait()
+        ids_dma(buf_slot, probe_j).wait()
+        if quantized:
+            scl_dma(buf_slot, probe_j).wait()
 
-    # prefetch next probe block while we compute on the current one
-    @pl.when(j + 1 < nprobe)
-    def _():
-        start_all(next_slot, j + 1)
-
-    data_dma(slot, j).wait()
-    ids_dma(slot, j).wait()
-    if quantized:
-        scl_dma(slot, j).wait()
-
-    qv = q_ref[pl.ds(qi, 1), :]  # (1, d)
-    block = blocks[slot]  # (cmax, d)
-    if quantized:
-        block = block.astype(jnp.bfloat16)
-    scores = jax.lax.dot_general(
-        qv,
-        block,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (1, cmax)
-    if quantized:
-        scores = scores * sclblocks[slot]
-    ids_row = idblocks[slot]  # (1, cmax)
-    own = owned_ref[qi, j]
-    valid = (ids_row >= 0) & (own > 0)
-    scores = jnp.where(valid, scores, NEG_INF)
-
-    # fold the block's top-k into the running best: k passes of max+mask over
-    # the block, each immediately replacing the current worst best-slot if it
-    # improves on it.
-    cmax = scores.shape[1]
+    # one grid step per query: the probe loop lives inside the kernel so the
+    # (formerly dominant) per-grid-step overhead is paid once per query, not
+    # once per (query, probe) pair. Double-buffered DMA hides block loads.
+    start_all(0, 0)
+    cmax = blocks.shape[1]
     col = jax.lax.broadcasted_iota(jnp.int32, (1, cmax), 1)
     kcol = jax.lax.broadcasted_iota(jnp.int32, (1, K_PAD), 1)
 
-    def fold(t, carry):
-        scores, bs, bi = carry
-        m = jnp.max(scores, axis=1, keepdims=True)  # (1,1)
-        arg = jnp.argmax(scores, axis=1).reshape(1, 1)  # (1,1)
-        cand_id = jnp.sum(
-            jnp.where(col == arg, ids_row, 0), axis=1, keepdims=True
-        )
-        # current worst slot of best
-        wmin = jnp.min(bs, axis=1, keepdims=True)
-        warg = jnp.argmin(bs, axis=1).reshape(1, 1)
-        better = m > wmin
-        bs = jnp.where(better & (kcol == warg), m, bs)
-        bi = jnp.where(better & (kcol == warg), cand_id, bi)
-        scores = jnp.where(col == arg, NEG_INF, scores)
-        return scores, bs, bi
+    def probe_body(j, carry):
+        bs, bi = carry
+        slot = jax.lax.rem(j, 2)
+        next_slot = jax.lax.rem(j + 1, 2)
 
-    _, bs, bi = jax.lax.fori_loop(
-        0, k, fold, (scores, best_s[:], best_i[:])
+        @pl.when(j + 1 < nprobe)
+        def _():
+            start_all(next_slot, j + 1)
+
+        wait_all(slot, j)
+        block = blocks[slot]  # (cmax, d)
+        if quantized:
+            block = block.astype(jnp.bfloat16)
+        scores = jax.lax.dot_general(
+            qv,
+            block,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (1, cmax)
+        if quantized:
+            scores = scores * sclblocks[slot]
+        ids_row = idblocks[slot]  # (1, cmax)
+        own = owned_ref[qi, j]
+        valid = (ids_row >= 0) & (own > 0)
+        scores = jnp.where(valid, scores, NEG_INF)
+
+        # fold the block's top-k into the running best: k passes of max+mask,
+        # each replacing the current worst best-slot if it improves on it.
+        def fold(t, fold_carry):
+            scores, bs, bi = fold_carry
+            m = jnp.max(scores, axis=1, keepdims=True)  # (1,1)
+            arg = jnp.argmax(scores, axis=1).reshape(1, 1)
+            cand_id = jnp.sum(
+                jnp.where(col == arg, ids_row, 0), axis=1, keepdims=True
+            )
+            wmin = jnp.min(bs, axis=1, keepdims=True)
+            warg = jnp.argmin(bs, axis=1).reshape(1, 1)
+            better = m > wmin
+            bs = jnp.where(better & (kcol == warg), m, bs)
+            bi = jnp.where(better & (kcol == warg), cand_id, bi)
+            scores = jnp.where(col == arg, NEG_INF, scores)
+            return scores, bs, bi
+
+        _, bs, bi = jax.lax.fori_loop(0, k, fold, (scores, bs, bi))
+        return bs, bi
+
+    init = (
+        jnp.full((1, K_PAD), NEG_INF, dtype=jnp.float32),
+        jnp.full((1, K_PAD), -1, dtype=jnp.int32),
     )
-    best_s[:] = bs
-    best_i[:] = bi
-
-    @pl.when(j == nprobe - 1)
-    def _():
-        out_s_ref[pl.ds(qi, 1), :] = best_s[:]
-        out_i_ref[pl.ds(qi, 1), :] = best_i[:]
+    bs, bi = jax.lax.fori_loop(0, nprobe, probe_body, init)
+    out_s_ref[pl.ds(qi, 1), :] = bs
+    out_i_ref[pl.ds(qi, 1), :] = bi
 
 
 def ivf_scan_shard(
@@ -176,27 +172,25 @@ def ivf_scan_shard(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(n_q, nprobe),
+        grid=(n_q,),
         in_specs=[
-            pl.BlockSpec((n_q, d), lambda qi, j, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_q, d), lambda qi, *_: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=[
             pl.BlockSpec(
-                (n_q, K_PAD), lambda qi, j, *_: (0, 0), memory_space=pltpu.VMEM
+                (n_q, K_PAD), lambda qi, *_: (0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (n_q, K_PAD), lambda qi, j, *_: (0, 0), memory_space=pltpu.VMEM
+                (n_q, K_PAD), lambda qi, *_: (0, 0), memory_space=pltpu.VMEM
             ),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, cmax, d), data_s.dtype),
             pltpu.VMEM((2, 1, cmax), jnp.int32),
             pltpu.VMEM((2, 1, cmax), jnp.float32),
-            pltpu.VMEM((1, K_PAD), jnp.float32),
-            pltpu.VMEM((1, K_PAD), jnp.int32),
             pltpu.SemaphoreType.DMA((2, 3)),
         ],
     )
