@@ -358,10 +358,16 @@ def create_app(
         admin API; here one JSON blob)."""
         import jax
 
+        store = indexer.vector_store
+        index_stats = {}
+        if store is not None:
+            try:
+                await _run_blocking(store.connect)
+                index_stats = store.stats()
+            except Exception as exc:
+                index_stats = {"error": str(exc)}
         stats = {
-            "index": indexer.vector_store.stats()
-            if indexer.vector_store is not None
-            else {},
+            "index": index_stats,
             "devices": [str(d) for d in jax.devices()],
             "backend": jax.default_backend(),
         }
