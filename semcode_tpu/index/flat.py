@@ -77,10 +77,10 @@ class FlatIndex:
         self.n_live = 0  # rows alive
         self._host = np.zeros((self.capacity, self.dim), dtype=np.float32)
         self._alive = np.zeros((self.capacity,), dtype=bool)
-        self._vecs: Optional[jax.Array] = None
-        self._norms: Optional[jax.Array] = None
-        self._valid: Optional[jax.Array] = None
-        self._scales: Optional[jax.Array] = None  # int8 per-row scales
+        # device state: one atomically-swapped tuple
+        # (vecs, norms, valid, scales-or-None) so lock-free readers always
+        # see a consistent set of arrays
+        self._dev: Optional[tuple] = None
         self._dirty = True  # device arrays need (re)materialization
 
     # -- host <-> device ------------------------------------------------------
@@ -91,27 +91,37 @@ class FlatIndex:
     def _norm_sharding(self) -> NamedSharding:
         return NamedSharding(self.mesh, P(DATA_AXIS))
 
-    def _materialize(self) -> None:
+    def _materialize(self) -> tuple:
         """Push the host buffer to (sharded) device arrays."""
         host = self._host
+        scales_dev = None
         if self._dtype == jnp.int8:
             host, scales = quantize_rows(host)
-            self._scales = jax.device_put(scales, self._norm_sharding())
-        else:
-            self._scales = None
-            if self._dtype == jnp.bfloat16:
-                import ml_dtypes
+            scales_dev = jax.device_put(scales, self._norm_sharding())
+        elif self._dtype == jnp.bfloat16:
+            import ml_dtypes
 
-                host = host.astype(ml_dtypes.bfloat16)
-        self._vecs = jax.device_put(host, self._vec_sharding())
-        norms = np.sum(self._host.astype(np.float32) ** 2, axis=1)
-        self._norms = jax.device_put(norms, self._norm_sharding())
-        self._valid = jax.device_put(self._alive, self._norm_sharding())
+            host = host.astype(ml_dtypes.bfloat16)
+        vecs = jax.device_put(host, self._vec_sharding())
+        norms = jax.device_put(
+            np.sum(self._host.astype(np.float32) ** 2, axis=1),
+            self._norm_sharding(),
+        )
+        valid = jax.device_put(self._alive, self._norm_sharding())
+        dev = (vecs, norms, valid, scales_dev)
+        self._dev = dev  # single atomic swap
         self._dirty = False
+        return dev
 
-    def _ensure_device(self) -> None:
-        if self._dirty or self._vecs is None:
-            self._materialize()
+    def _ensure_device(self) -> tuple:
+        """Reader-side snapshot. Materialization is a WRITER responsibility
+        (writers call it eagerly after dirtying mutations) because it reads
+        the host buffers, which only writers may touch; a stale-but-consistent
+        snapshot is always safe to search."""
+        dev = self._dev
+        if dev is None:
+            dev = self._materialize()
+        return dev
 
     # -- mutation ---------------------------------------------------------------
 
@@ -149,6 +159,8 @@ class FlatIndex:
         self.size += n
         self.n_live += n
         self._write_device(rows, x)
+        if self._dirty:
+            self._materialize()  # eager: readers never materialize dirty state
         return rows
 
     def update_rows(self, rows: np.ndarray, x: np.ndarray) -> None:
@@ -168,34 +180,35 @@ class FlatIndex:
             return
         self._alive[rows] = False
         self.n_live -= int(rows.size)
-        if not self._dirty and self._valid is not None:
-            self._valid = _clear_valid(self._valid, jnp.asarray(rows, jnp.int32))
+        dev = self._dev
+        if not self._dirty and dev is not None:
+            valid = _clear_valid(dev[2], jnp.asarray(rows, jnp.int32))
+            self._dev = (dev[0], dev[1], valid, dev[3])
 
     def _write_device(self, rows: np.ndarray, x: np.ndarray) -> None:
         """Incremental scatter into the device arrays (keeps HBM warm)."""
-        if self._dirty or self._vecs is None:
+        dev = self._dev
+        if self._dirty or dev is None:
             return  # will materialize lazily before the next search
         rows_d = jnp.asarray(rows, dtype=jnp.int32)
         if self._dtype == jnp.int8:
             qx, scales = quantize_rows(x)
-            self._vecs, self._norms, self._valid, self._scales = _scatter_rows_q(
-                self._vecs,
-                self._norms,
-                self._valid,
-                self._scales,
+            vecs, norms, valid, scl = _scatter_rows_q(
+                dev[0],
+                dev[1],
+                dev[2],
+                dev[3],
                 rows_d,
                 jnp.asarray(qx),
                 jnp.asarray(scales),
                 jnp.asarray(np.sum(x.astype(np.float32) ** 2, axis=1)),
             )
+            self._dev = (vecs, norms, valid, scl)
         else:
-            self._vecs, self._norms, self._valid = _scatter_rows(
-                self._vecs,
-                self._norms,
-                self._valid,
-                rows_d,
-                jnp.asarray(x),
+            vecs, norms, valid = _scatter_rows(
+                dev[0], dev[1], dev[2], rows_d, jnp.asarray(x)
             )
+            self._dev = (vecs, norms, valid, dev[3])
 
     # -- search -----------------------------------------------------------------
 
@@ -212,17 +225,19 @@ class FlatIndex:
             )
         if self.metric == "cosine":
             q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
-        self._ensure_device()
+        dev = self._ensure_device()
+        vecs, norms, valid, scales = dev
         q_pad = pad_bucket(n_q)
         if q_pad != n_q:
             q = np.pad(q, ((0, q_pad - n_q), (0, 0)))
-        k_eff = min(k, self.capacity // self.n_shards)
+        # shapes come from the snapshot, not live attributes (lock-free reads)
+        k_eff = min(k, vecs.shape[0] // self.n_shards)
         scores, ids = _flat_search(
             self.mesh,
-            self._vecs,
-            self._norms,
-            self._valid,
-            self._scales if self._scales is not None else self._norms,
+            vecs,
+            norms,
+            valid,
+            scales if scales is not None else norms,
             jax.device_put(q, NamedSharding(self.mesh, P(None, None))),
             k_eff,
             self.metric,
@@ -246,14 +261,14 @@ class FlatIndex:
         (scores, ids). Used for pipelined high-throughput serving/benchmarks
         where multiple batches are kept in flight.
         """
-        self._ensure_device()
-        k = min(k, self.capacity // self.n_shards)
+        vecs, norms, valid, scales = self._ensure_device()
+        k = min(k, vecs.shape[0] // self.n_shards)
         return _flat_search(
             self.mesh,
-            self._vecs,
-            self._norms,
-            self._valid,
-            self._scales if self._scales is not None else self._norms,
+            vecs,
+            norms,
+            valid,
+            scales if scales is not None else norms,
             q_dev,
             k,
             self.metric,
@@ -295,7 +310,7 @@ class FlatIndex:
         return idx
 
 
-@partial(jax.jit, donate_argnums=(0, 1, 2))
+@jax.jit
 def _scatter_rows(vecs, norms, valid, rows, x):
     new_norms = jnp.sum(x.astype(jnp.float32) ** 2, axis=1)
     vecs = vecs.at[rows].set(x.astype(vecs.dtype))
@@ -304,7 +319,7 @@ def _scatter_rows(vecs, norms, valid, rows, x):
     return vecs, norms, valid
 
 
-@partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+@jax.jit
 def _scatter_rows_q(vecs, norms, valid, scales, rows, qx, row_scales, row_norms):
     vecs = vecs.at[rows].set(qx)
     norms = norms.at[rows].set(row_norms)
@@ -313,7 +328,7 @@ def _scatter_rows_q(vecs, norms, valid, scales, rows, qx, row_scales, row_norms)
     return vecs, norms, valid, scales
 
 
-@partial(jax.jit, donate_argnums=(0,))
+@jax.jit
 def _clear_valid(valid, rows):
     return valid.at[rows].set(False)
 

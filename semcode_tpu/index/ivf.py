@@ -94,12 +94,10 @@ class IVFIndex:
         self._counts = np.zeros((self.nlist,), dtype=np.int32)  # slots used
         self.cmax = 0
 
-        # device arrays
-        self._data: Optional[jax.Array] = None  # (nlist, cmax, dim)
-        self._ids: Optional[jax.Array] = None  # (nlist, cmax) int32
-        self._sqnorms: Optional[jax.Array] = None  # (nlist, cmax) f32
-        self._scales: Optional[jax.Array] = None  # (nlist, cmax) f32 (int8)
-        self._centroids_dev: Optional[jax.Array] = None
+        # device state: one atomically-swapped tuple
+        # (data, ids, sqnorms, scales-or-None, centroids) so lock-free
+        # readers always see a consistent set of arrays
+        self._dev: Optional[tuple] = None
         self._dirty = True
 
     # -- helpers ---------------------------------------------------------------
@@ -141,7 +139,6 @@ class IVFIndex:
         self.centroids, _ = kmeans_fit(
             sample, self.nlist, iters=self.kmeans_iters, seed=self.seed
         )
-        self._centroids_dev = None
 
     def add(self, x: np.ndarray) -> np.ndarray:
         """Append rows; trains the quantizer on first call. Returns row ids."""
@@ -152,9 +149,11 @@ class IVFIndex:
         if not self.is_trained:
             self.train()
             self._rebuild_layout()
+            self._materialize()
             return rows
         if self.cmax == 0:
             self._rebuild_layout()
+            self._materialize()
             return rows
         # streaming placement: nearest candidate cluster with a free slot
         cands = topm_clusters(x, self.centroids, m=4)
@@ -174,6 +173,8 @@ class IVFIndex:
             self._rebuild_layout()
         else:
             self._place_rows(rows, assign)
+        if self._dirty:
+            self._materialize()  # eager: readers never materialize dirty state
         return rows
 
     def remove(self, rows: np.ndarray) -> None:
@@ -186,10 +187,12 @@ class IVFIndex:
         self.size -= int(rows.size)
         locs = self._loc[rows]
         placed = locs[:, 0] >= 0
-        if placed.any() and not self._dirty and self._ids is not None:
+        dev = self._dev
+        if placed.any() and not self._dirty and dev is not None:
             c = jnp.asarray(locs[placed, 0])
             s = jnp.asarray(locs[placed, 1])
-            self._ids = _tombstone(self._ids, c, s)
+            ids = _tombstone(dev[1], c, s)
+            self._dev = (dev[0], ids, dev[2], dev[3], dev[4])
 
     def _place_rows(self, rows: np.ndarray, assign: np.ndarray) -> None:
         """Assign slots for new rows and scatter them into the device layout."""
@@ -200,23 +203,19 @@ class IVFIndex:
         self._assign[rows] = assign
         self._loc[rows, 0] = assign
         self._loc[rows, 1] = slots
-        if self._dirty or self._data is None:
+        dev = self._dev
+        if self._dirty or dev is None:
             return
         x = self._host[rows]
         if self._dtype == jnp.int8:
             from .flat import quantize_rows
 
             qx, scales = quantize_rows(x)
-            (
-                self._data,
-                self._ids,
-                self._sqnorms,
-                self._scales,
-            ) = _scatter_slots_q(
-                self._data,
-                self._ids,
-                self._sqnorms,
-                self._scales,
+            data, ids, sqnorms, scl = _scatter_slots_q(
+                dev[0],
+                dev[1],
+                dev[2],
+                dev[3],
                 jnp.asarray(assign),
                 jnp.asarray(slots),
                 jnp.asarray(qx),
@@ -224,16 +223,18 @@ class IVFIndex:
                 jnp.asarray(np.sum(x.astype(np.float32) ** 2, axis=1)),
                 jnp.asarray(rows, dtype=jnp.int32),
             )
+            self._dev = (data, ids, sqnorms, scl, dev[4])
         else:
-            self._data, self._ids, self._sqnorms = _scatter_slots(
-                self._data,
-                self._ids,
-                self._sqnorms,
+            data, ids, sqnorms = _scatter_slots(
+                dev[0],
+                dev[1],
+                dev[2],
                 jnp.asarray(assign),
                 jnp.asarray(slots),
                 jnp.asarray(x),
                 jnp.asarray(rows, dtype=jnp.int32),
             )
+            self._dev = (data, ids, sqnorms, dev[3], dev[4])
 
     def _rebuild_layout(self) -> None:
         """Re-pack live rows into capacity-padded cluster blocks (host side).
@@ -277,7 +278,7 @@ class IVFIndex:
             fill=float(live.size / max(self.nlist * self.cmax, 1)),
         )
 
-    def _materialize(self) -> None:
+    def _materialize(self) -> tuple:
         """Push the packed layout to sharded device arrays.
 
         Fills the padded host staging buffer directly in the storage dtype,
@@ -318,26 +319,29 @@ class IVFIndex:
                 data[c, s] = vals.astype(np_dtype)
         shard3 = NamedSharding(self.mesh, P(DATA_AXIS, None, None))
         shard2 = NamedSharding(self.mesh, P(DATA_AXIS, None))
-        self._scales = (
-            jax.device_put(scales, shard2) if scales is not None else None
-        )
-        self._data = jax.device_put(data, shard3)
-        self._ids = jax.device_put(ids, shard2)
-        self._sqnorms = jax.device_put(sqnorms, shard2)
-        self._centroids_dev = jax.device_put(
-            np.ascontiguousarray(self.centroids, dtype=np.float32),
-            NamedSharding(self.mesh, P(None, None)),
-        )
-        self._dirty = False
-
-    def _ensure_device(self) -> None:
-        if self._dirty or self._data is None:
-            self._materialize()
-        if self._centroids_dev is None and self.centroids is not None:
-            self._centroids_dev = jax.device_put(
+        dev = (
+            jax.device_put(data, shard3),
+            jax.device_put(ids, shard2),
+            jax.device_put(sqnorms, shard2),
+            jax.device_put(scales, shard2) if scales is not None else None,
+            jax.device_put(
                 np.ascontiguousarray(self.centroids, dtype=np.float32),
                 NamedSharding(self.mesh, P(None, None)),
-            )
+            ),
+        )
+        self._dev = dev  # single atomic swap
+        self._dirty = False
+        return dev
+
+    def _ensure_device(self) -> tuple:
+        """Reader-side snapshot. Materialization is a WRITER responsibility
+        (writers call it eagerly after layout rebuilds) because it reads host
+        buffers only writers may touch; a stale-but-consistent snapshot is
+        always safe to search."""
+        dev = self._dev
+        if dev is None:
+            dev = self._materialize()
+        return dev
 
     # -- search ------------------------------------------------------------------
 
@@ -391,30 +395,32 @@ class IVFIndex:
             )
         if self.metric == "cosine":
             q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
-        self._ensure_device()
-        np_probe = min(nprobe or self.nprobe, self.nlist)
+        dev = self._ensure_device()
+        data, ids_dev, sqnorms, scales_dev, centroids_dev = dev
+        np_probe = min(nprobe or self.nprobe, data.shape[0])
         q_pad = pad_bucket(n_q)
         if q_pad != n_q:
             q = np.pad(q, ((0, q_pad - n_q), (0, 0)))
-        k_eff = min(k, self.cmax * np_probe)
+        # shapes come from the snapshot, not live attributes (lock-free reads)
+        k_eff = min(k, data.shape[1] * np_probe)
         q_dev = jax.device_put(q, NamedSharding(self.mesh, P(None, None)))
         if mode == "auto":
             mode = self._pick_mode(q.shape[0], np_probe, k_eff)
-        scales = self._scales if self._scales is not None else self._sqnorms
+        scales = scales_dev if scales_dev is not None else sqnorms
         quantized = self._dtype == jnp.int8
         if mode == "exact":
             scores, ids = _ivf_exact_scan(
-                self.mesh, self._data, self._ids, self._sqnorms, scales, q_dev,
+                self.mesh, data, ids_dev, sqnorms, scales, q_dev,
                 k_eff, self.metric, quantized, self._approx(),
             )
         else:
             scores, ids = _ivf_search(
                 self.mesh,
-                self._data,
-                self._ids,
-                self._sqnorms,
+                data,
+                ids_dev,
+                sqnorms,
                 scales,
-                self._centroids_dev,
+                centroids_dev,
                 q_dev,
                 k_eff,
                 np_probe,
@@ -436,25 +442,27 @@ class IVFIndex:
         self, q_dev, k: int, nprobe: Optional[int] = None, mode: str = "auto"
     ):
         """Device-to-device IVF search (see FlatIndex.search_device)."""
-        self._ensure_device()
-        np_probe = min(nprobe or self.nprobe, self.nlist)
-        k = min(k, self.cmax * np_probe, self.nlist * self.cmax // self.n_shards)
+        dev = self._ensure_device()
+        data, ids_dev, sqnorms, scales_dev, centroids_dev = dev
+        np_probe = min(nprobe or self.nprobe, data.shape[0])
+        rows_total = data.shape[0] * data.shape[1]
+        k = min(k, data.shape[1] * np_probe, rows_total // self.n_shards)
         if mode == "auto":
             mode = self._pick_mode(q_dev.shape[0], np_probe, k)
-        scales = self._scales if self._scales is not None else self._sqnorms
+        scales = scales_dev if scales_dev is not None else sqnorms
         quantized = self._dtype == jnp.int8
         if mode == "exact":
             return _ivf_exact_scan(
-                self.mesh, self._data, self._ids, self._sqnorms, scales, q_dev,
+                self.mesh, data, ids_dev, sqnorms, scales, q_dev,
                 k, self.metric, quantized, self._approx(),
             )
         return _ivf_search(
             self.mesh,
-            self._data,
-            self._ids,
-            self._sqnorms,
+            data,
+            ids_dev,
+            sqnorms,
             scales,
-            self._centroids_dev,
+            centroids_dev,
             q_dev,
             k,
             np_probe,
@@ -469,6 +477,7 @@ class IVFIndex:
         """Re-train the quantizer on the live corpus and re-pack the layout."""
         self.train()
         self._rebuild_layout()
+        self._materialize()
 
     def compact(self) -> None:
         """Drop tombstoned rows from host storage and re-pack."""
@@ -523,7 +532,7 @@ class IVFIndex:
         return idx
 
 
-@partial(jax.jit, donate_argnums=(0, 1, 2))
+@jax.jit
 def _scatter_slots(data, ids, sqnorms, clusters, slots, x, rows):
     data = data.at[clusters, slots].set(x.astype(data.dtype))
     ids = ids.at[clusters, slots].set(rows)
@@ -533,7 +542,7 @@ def _scatter_slots(data, ids, sqnorms, clusters, slots, x, rows):
     return data, ids, sqnorms
 
 
-@partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+@jax.jit
 def _scatter_slots_q(
     data, ids, sqnorms, scales, clusters, slots, qx, row_scales, row_norms, rows
 ):
@@ -544,7 +553,7 @@ def _scatter_slots_q(
     return data, ids, sqnorms, scales
 
 
-@partial(jax.jit, donate_argnums=(0,))
+@jax.jit
 def _tombstone(ids, clusters, slots):
     return ids.at[clusters, slots].set(-1)
 

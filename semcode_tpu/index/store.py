@@ -60,12 +60,14 @@ class VectorStore:
         self._mesh = mesh
         self._index = None  # FlatIndex | IVFIndex, created lazily
         self._id_to_row: Dict[str, int] = {}
+        self._row_to_id: Dict[int, str] = {}  # incremental reverse map
         self._row_meta: Dict[int, Dict[str, Any]] = {}
-        # Host-side engine lock. Writers donate device buffers in their
-        # scatter updates, so a concurrent reader could observe a deleted
-        # buffer; reads and writes therefore serialize here (a search holds
-        # the lock for one ~tens-of-ms device call). TODO: version-swapped
-        # double buffering to let reads proceed against the previous version.
+        # Host-side WRITE lock. Scatter updates do not donate their buffers,
+        # so an in-flight search keeps consuming the previous (immutable)
+        # device arrays while a writer installs new ones — reads are lock-free
+        # with bounded staleness: a query racing an upsert may see the
+        # pre-update corpus or skip rows whose metadata is mid-swap, but
+        # never crashes or returns torn data.
         self._lock = threading.RLock()
         self._connected = False
         self.version = 0  # bumped on every mutation (cache invalidation)
@@ -142,6 +144,7 @@ class VectorStore:
         new_rows = ivf.add(vectors)
         remap = dict(zip(live.tolist(), new_rows.tolist()))
         self._id_to_row = {k: remap[v] for k, v in self._id_to_row.items()}
+        self._row_to_id = {r: i for i, r in self._id_to_row.items()}
         self._row_meta = {remap[r]: m for r, m in self._row_meta.items()}
         self._index = ivf
         log.info("index_promotion_done", rows=int(ivf.size))
@@ -173,6 +176,7 @@ class VectorStore:
                     rows = index.add(new_vecs)
                     for p, r in zip(new_items, rows):
                         self._id_to_row[p.id] = int(r)
+                        self._row_to_id[int(r)] = p.id
                         self._row_meta[int(r)] = self._payload_meta(p)
                 if old_items:
                     old_vecs = vecs[~np.asarray(new_mask)]
@@ -186,7 +190,9 @@ class VectorStore:
                         for p, r in zip(old_items, new_rows):
                             old_row = self._id_to_row[p.id]
                             self._row_meta.pop(old_row, None)
+                            self._row_to_id.pop(old_row, None)
                             self._id_to_row[p.id] = int(r)
+                            self._row_to_id[int(r)] = p.id
                             self._row_meta[int(r)] = self._payload_meta(p)
                     else:
                         index.update_rows(rows, old_vecs)
@@ -219,6 +225,7 @@ class VectorStore:
                 row = self._id_to_row.pop(i, None)
                 if row is not None:
                     self._row_meta.pop(row, None)
+                    self._row_to_id.pop(row, None)
             self.version += 1
             return len(rows)
 
@@ -262,21 +269,20 @@ class VectorStore:
     ) -> List[List[SearchHit]]:
         self.connect()
         q = np.ascontiguousarray(np.atleast_2d(vectors), dtype=np.float32)
-        with self._lock:
-            if self._index is None or self.count() == 0:
-                return [[] for _ in range(q.shape[0])]
-            index = self._index
-            # over-fetch for post-filtering and for f32 rescoring headroom
-            fetch_k = max(
-                top_k * 4 if filters else top_k,
-                top_k * self.config.index_rescore,
-            )
-            if isinstance(index, IVFIndex):
-                scores, ids = index.search(q, k=fetch_k, nprobe=nprobe)
-            else:
-                scores, ids = index.search(q, k=fetch_k)
-            scores, ids = self._rescore_host(q, scores, ids)
-            return self._hits_from(scores, ids, top_k, filters)
+        index = self._index  # lock-free read: snapshot the index ref once
+        if index is None or self.count() == 0:
+            return [[] for _ in range(q.shape[0])]
+        # over-fetch for post-filtering and for f32 rescoring headroom
+        fetch_k = max(
+            top_k * 4 if filters else top_k,
+            top_k * self.config.index_rescore,
+        )
+        if isinstance(index, IVFIndex):
+            scores, ids = index.search(q, k=fetch_k, nprobe=nprobe)
+        else:
+            scores, ids = index.search(q, k=fetch_k)
+        scores, ids = self._rescore_host(index, q, scores, ids)
+        return self._hits_from(scores, ids, top_k, filters)
 
     def search_batch_device(
         self,
@@ -291,29 +297,29 @@ class VectorStore:
         path; the single host sync happens when results transfer back."""
         self.connect()
         n_q = q_dev.shape[0]
-        with self._lock:
-            if self._index is None or self.count() == 0:
-                return [[] for _ in range(n_q)]
-            fetch_k = max(
-                top_k * 4 if filters else top_k,
-                top_k * self.config.index_rescore,
-            )
-            fetch_k = min(fetch_k, max(self.count(), 1))
-            scores, ids = self._index.search_device(q_dev, fetch_k)
-            scores = np.asarray(scores)
-            ids = np.asarray(ids)
-            scores, ids = self._rescore_host(
-                np.asarray(q_dev, dtype=np.float32), scores, ids
-            )
-            return self._hits_from(scores, ids, top_k, filters)
+        index = self._index  # lock-free read: snapshot the index ref once
+        if index is None or self.count() == 0:
+            return [[] for _ in range(n_q)]
+        fetch_k = max(
+            top_k * 4 if filters else top_k,
+            top_k * self.config.index_rescore,
+        )
+        fetch_k = min(fetch_k, max(self.count(), 1))
+        scores, ids = index.search_device(q_dev, fetch_k)
+        scores = np.asarray(scores)
+        ids = np.asarray(ids)
+        scores, ids = self._rescore_host(
+            index, np.asarray(q_dev, dtype=np.float32), scores, ids
+        )
+        return self._hits_from(scores, ids, top_k, filters)
 
-    def _rescore_host(self, q: np.ndarray, scores, ids):
+    def _rescore_host(self, index, q: np.ndarray, scores, ids):
         """Re-rank the device candidates with exact f32 scores from the host
         mirror — recovers bf16/int8 scoring-precision losses at negligible
         cost (tens of candidate rows per query)."""
         if self.config.index_rescore <= 0:
             return scores, ids
-        host = getattr(self._index, "_host", None)
+        host = getattr(index, "_host", None)
         if host is None:
             return scores, ids
         scores = np.asarray(scores, dtype=np.float32).copy()
@@ -321,7 +327,8 @@ class VectorStore:
         if self.metric == "cosine":
             q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
         for qi in range(ids.shape[0]):
-            mask = ids[qi] >= 0
+            # upper bound guards stale ids racing a compaction (host shrank)
+            mask = (ids[qi] >= 0) & (ids[qi] < host.shape[0])
             if not mask.any():
                 continue
             rows = ids[qi][mask]
@@ -338,7 +345,9 @@ class VectorStore:
         )
 
     def _hits_from(self, scores, ids, top_k, filters) -> List[List[SearchHit]]:
-        row_to_id = {r: i for i, r in self._id_to_row.items()}
+        # incremental reverse map: point lookups only (building this per
+        # search would be O(corpus) host work on every query)
+        row_to_id = self._row_to_id
         out: List[List[SearchHit]] = []
         for q_scores, q_ids in zip(scores, ids):
             hits: List[SearchHit] = []
@@ -436,6 +445,7 @@ class VectorStore:
         else:  # snapshots from before the msgpack split
             self._id_to_row = {k: int(v) for k, v in meta["id_to_row"].items()}
             self._row_meta = {int(k): v for k, v in meta["row_meta"].items()}
+        self._row_to_id = {r: i for i, r in self._id_to_row.items()}
         self.version += 1
         log.info("store_loaded", path=str(directory), rows=self.count())
 
