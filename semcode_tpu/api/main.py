@@ -58,7 +58,9 @@ def create_app(
     )
     job_manager = job_manager or JobManager()
     telemetry = telemetry or Telemetry()
-    executor = ThreadPoolExecutor(max_workers=4, thread_name_prefix="semcode")
+    executor = ThreadPoolExecutor(
+        max_workers=config.api_max_workers, thread_name_prefix="semcode"
+    )
     batcher = None
     if config.api_batch_window_ms > 0:
         from .batcher import QueryBatcher
@@ -194,6 +196,12 @@ def create_app(
                     ignore_dirs=payload["ignore"],
                 )
             )
+        except ValueError as exc:
+            # bad client input (e.g. unsafe repo name) — not a server fault
+            _record_ingest(
+                start, ok=False, metadata={"repo": payload["name"], "error": str(exc)}
+            )
+            raise web.HTTPBadRequest(reason=str(exc))
         except Exception as exc:
             _record_ingest(
                 start, ok=False, metadata={"repo": payload["name"], "error": str(exc)}
@@ -331,7 +339,16 @@ def create_app(
         if not question:
             raise web.HTTPBadRequest(reason="Question cannot be empty.")
         top_k = body.get("top_k")
+        if top_k is not None:
+            from ..index.store import validate_top_k
+
+            try:
+                top_k = validate_top_k(top_k, config.search_top_k_max)
+            except ValueError as exc:
+                raise web.HTTPBadRequest(reason=str(exc))
         filters = body.get("filters")
+        if filters is not None and not isinstance(filters, dict):
+            raise web.HTTPBadRequest(reason="'filters' must be an object")
         start = time.time()
         try:
             if batcher is not None:

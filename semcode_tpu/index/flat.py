@@ -230,8 +230,11 @@ class FlatIndex:
         q_pad = pad_bucket(n_q)
         if q_pad != n_q:
             q = np.pad(q, ((0, q_pad - n_q), (0, 0)))
-        # shapes come from the snapshot, not live attributes (lock-free reads)
-        k_eff = min(k, vecs.shape[0] // self.n_shards)
+        # shapes come from the snapshot, not live attributes (lock-free reads).
+        # per-shard top_k is bounded by shard rows, but the merged pool holds
+        # n_shards * k_shard candidates — so k up to that is still servable.
+        k_shard = min(k, vecs.shape[0] // self.n_shards)
+        k_eff = min(k, k_shard * self.n_shards)
         scores, ids = _flat_search(
             self.mesh,
             vecs,
@@ -239,9 +242,10 @@ class FlatIndex:
             valid,
             scales if scales is not None else norms,
             jax.device_put(q, NamedSharding(self.mesh, P(None, None))),
-            k_eff,
+            k_shard,
             self.metric,
             self._dtype == jnp.int8,
+            k_eff,
         )
         scores = np.asarray(scores[:n_q]).astype(np.float32)
         ids = np.asarray(ids[:n_q]).astype(np.int64)
@@ -333,9 +337,15 @@ def _clear_valid(valid, rows):
     return valid.at[rows].set(False)
 
 
-@partial(jax.jit, static_argnums=(0, 6, 7, 8))
-def _flat_search(mesh, vecs, norms, valid, scales, q, k, metric, quantized):
-    """One fused query step: per-shard scan+top-k, all-gather, global merge."""
+@partial(jax.jit, static_argnums=(0, 6, 7, 8, 9))
+def _flat_search(mesh, vecs, norms, valid, scales, q, k, metric, quantized,
+                 k_out=None):
+    """One fused query step: per-shard scan+top-k, all-gather, global merge.
+
+    ``k`` is the per-shard selection width; the final merge returns
+    ``k_out`` (default k) columns out of the n_shards*k candidate pool."""
+    if k_out is None:
+        k_out = k
     n_shards = int(np.prod(mesh.devices.shape))
     shard_rows = vecs.shape[0] // n_shards
 
@@ -371,7 +381,7 @@ def _flat_search(mesh, vecs, norms, valid, scales, q, k, metric, quantized):
         out_specs=(P(None, DATA_AXIS), P(None, DATA_AXIS)),
     )(vecs, norms, valid, scales, q)
     # s, ids: (Q, n_shards * k) replicated-ish small arrays; final merge.
-    top_s, top_i = jax.lax.top_k(s, k)
+    top_s, top_i = jax.lax.top_k(s, k_out)
     top_ids = jnp.take_along_axis(ids, top_i, axis=1)
     if metric == "l2":
         qnorm = jnp.sum(q.astype(jnp.float32) ** 2, axis=1, keepdims=True)

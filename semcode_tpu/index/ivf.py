@@ -401,8 +401,12 @@ class IVFIndex:
         q_pad = pad_bucket(n_q)
         if q_pad != n_q:
             q = np.pad(q, ((0, q_pad - n_q), (0, 0)))
-        # shapes come from the snapshot, not live attributes (lock-free reads)
-        k_eff = min(k, data.shape[1] * np_probe)
+        # shapes come from the snapshot, not live attributes (lock-free reads);
+        # per-shard top_k bounds the SHARD selection width by shard rows, but
+        # the merged pool holds n_shards * k_shard candidates
+        rows_total = data.shape[0] * data.shape[1]
+        k_shard = min(k, data.shape[1] * np_probe, rows_total // self.n_shards)
+        k_eff = min(k, k_shard * self.n_shards)
         q_dev = jax.device_put(q, NamedSharding(self.mesh, P(None, None)))
         if mode == "auto":
             mode = self._pick_mode(q.shape[0], np_probe, k_eff)
@@ -411,7 +415,7 @@ class IVFIndex:
         if mode == "exact":
             scores, ids = _ivf_exact_scan(
                 self.mesh, data, ids_dev, sqnorms, scales, q_dev,
-                k_eff, self.metric, quantized, self._approx(),
+                k_shard, self.metric, quantized, self._approx(), k_eff,
             )
         else:
             scores, ids = _ivf_search(
@@ -422,11 +426,12 @@ class IVFIndex:
                 scales,
                 centroids_dev,
                 q_dev,
-                k_eff,
+                k_shard,
                 np_probe,
                 self.metric,
                 self._pallas_mode(),
                 quantized,
+                k_eff,
             )
         scores = np.asarray(scores[:n_q]).astype(np.float32)
         ids = np.asarray(ids[:n_q]).astype(np.int64)
@@ -479,8 +484,14 @@ class IVFIndex:
         self._rebuild_layout()
         self._materialize()
 
-    def compact(self) -> None:
-        """Drop tombstoned rows from host storage and re-pack."""
+    def compact(self) -> np.ndarray:
+        """Drop tombstoned rows from host storage and re-pack.
+
+        Returns the remap array (old row -> new row, -1 for dropped rows) so
+        callers can renumber their own row-keyed maps. Materializes eagerly:
+        compaction renumbers rows, so serving the stale pre-compaction device
+        arrays would return ids that dereference the wrong vectors.
+        """
         live = np.flatnonzero(self._alive)
         remap = np.full(self._n_rows, -1, dtype=np.int64)
         remap[live] = np.arange(live.size)
@@ -491,6 +502,8 @@ class IVFIndex:
         self._n_rows = int(live.size)
         self.size = int(live.size)
         self._rebuild_layout()
+        self._materialize()
+        return remap
 
     def state_dict(self) -> dict:
         live = np.flatnonzero(self._alive)
@@ -558,13 +571,16 @@ def _tombstone(ids, clusters, slots):
     return ids.at[clusters, slots].set(-1)
 
 
-@partial(jax.jit, static_argnums=(0, 6, 7, 8, 9))
+@partial(jax.jit, static_argnums=(0, 6, 7, 8, 9, 10))
 def _ivf_exact_scan(mesh, data, ids, sqnorms, scales, q, k, metric, quantized,
-                    approx=False):
+                    approx=False, k_out=None):
     """Masked full scan of the padded cluster layout (one MXU pass for the
     whole query batch). With ``approx`` the per-shard selection uses the
     TPU-native ``lax.approx_max_k`` (recall target 0.99) — the plain
-    ``top_k`` over millions of columns otherwise dominates the step."""
+    ``top_k`` over millions of columns otherwise dominates the step.
+    ``k`` is the per-shard selection width; the merge returns ``k_out``."""
+    if k_out is None:
+        k_out = k
     n_shards = int(np.prod(mesh.devices.shape))
 
     def shard_fn(data_s, ids_s, sqn_s, scl_s, qq):
@@ -604,7 +620,7 @@ def _ivf_exact_scan(mesh, data, ids, sqnorms, scales, q, k, metric, quantized,
         ),
         out_specs=(P(None, DATA_AXIS), P(None, DATA_AXIS)),
     )(data, ids, sqnorms, scales, q)
-    top_s, top_pos = jax.lax.top_k(s, k)
+    top_s, top_pos = jax.lax.top_k(s, k_out)
     top_ids = jnp.take_along_axis(ids_out, top_pos, axis=1)
     if metric == "l2":
         qnorm = jnp.sum(q.astype(jnp.float32) ** 2, axis=1, keepdims=True)
@@ -612,10 +628,15 @@ def _ivf_exact_scan(mesh, data, ids, sqnorms, scales, q, k, metric, quantized,
     return top_s, top_ids
 
 
-@partial(jax.jit, static_argnums=(0, 7, 8, 9, 10, 11))
+@partial(jax.jit, static_argnums=(0, 7, 8, 9, 10, 11, 12))
 def _ivf_search(mesh, data, ids, sqnorms, scales, centroids, q, k, nprobe,
-                metric, pallas_mode="off", quantized=False):
-    """Fused IVF query step: probe selection + sharded cluster scans + merge."""
+                metric, pallas_mode="off", quantized=False, k_out=None):
+    """Fused IVF query step: probe selection + sharded cluster scans + merge.
+
+    ``k`` is the per-shard running-top-k width; the final merge over the
+    n_shards*k candidate pool returns ``k_out`` (default k) columns."""
+    if k_out is None:
+        k_out = k
     n_shards = int(np.prod(mesh.devices.shape))
     nlist = data.shape[0]
     nlist_s = nlist // n_shards
@@ -711,7 +732,7 @@ def _ivf_search(mesh, data, ids, sqnorms, scales, centroids, q, k, nprobe,
         # varying/unvarying dynamic_slice operands; checks stay on for XLA
         check_vma=(pallas_mode == "off"),
     )(data, ids, sqnorms, scales, q, probes)
-    top_s, top_pos = jax.lax.top_k(s, k)
+    top_s, top_pos = jax.lax.top_k(s, k_out)
     top_ids = jnp.take_along_axis(ids_out, top_pos, axis=1)
     if metric == "l2":
         qnorm = jnp.sum(q.astype(jnp.float32) ** 2, axis=1, keepdims=True)

@@ -30,6 +30,19 @@ log = get_logger("index.store")
 ProgressCallback = Callable[[int, int], None]
 
 
+def validate_top_k(top_k, max_k: int) -> int:
+    """Coerce/validate a caller-supplied top_k (API bodies pass it raw)."""
+    try:
+        k = int(top_k)
+    except (TypeError, ValueError):
+        raise ValueError(f"top_k must be an integer, got {top_k!r}") from None
+    if isinstance(top_k, float) and top_k != k:
+        raise ValueError(f"top_k must be an integer, got {top_k!r}")
+    if k <= 0:
+        raise ValueError(f"top_k must be positive, got {k}")
+    return min(k, max_k)
+
+
 @dataclass
 class SearchHit:
     """One retrieval result (the reference returns Milvus hit entities with
@@ -58,10 +71,14 @@ class VectorStore:
         self.dim = int(dim or self.config.embedding_dimension)
         self.metric = self.config.index_metric
         self._mesh = mesh
-        self._index = None  # FlatIndex | IVFIndex, created lazily
         self._id_to_row: Dict[str, int] = {}
-        self._row_to_id: Dict[int, str] = {}  # incremental reverse map
-        self._row_meta: Dict[int, Dict[str, Any]] = {}
+        # Reader-visible state is ONE atomically-swapped tuple
+        # (index, row_to_id, row_meta) — mirroring the device-tuple pattern
+        # inside the indexes. Row-stable mutations (appends, metadata updates)
+        # mutate the dicts in place; row-RENUMBERING mutations (flat->IVF
+        # promotion, load) build fresh dicts and swap the whole tuple, so a
+        # lock-free reader can never map old row numbers through new maps.
+        self._view: tuple = (None, {}, {})
         # Host-side WRITE lock. Scatter updates do not donate their buffers,
         # so an in-flight search keeps consuming the previous (immutable)
         # device arrays while a writer installs new ones — reads are lock-free
@@ -71,6 +88,21 @@ class VectorStore:
         self._lock = threading.RLock()
         self._connected = False
         self.version = 0  # bumped on every mutation (cache invalidation)
+
+    # Convenience accessors into the current view (writers hold the lock, so
+    # in-place dict mutation through these is safe; readers must instead
+    # snapshot self._view ONCE and destructure it).
+    @property
+    def _index(self):
+        return self._view[0]
+
+    @property
+    def _row_to_id(self) -> Dict[int, str]:
+        return self._view[1]
+
+    @property
+    def _row_meta(self) -> Dict[int, Dict[str, Any]]:
+        return self._view[2]
 
     # -- lifecycle -----------------------------------------------------------
 
@@ -103,19 +135,21 @@ class VectorStore:
         return None
 
     def _ensure_index(self):
-        if self._index is None:
+        index, row_to_id, row_meta = self._view
+        if index is None:
             kind = self.config.index_kind
             if kind == "ivf":
-                self._index = self._new_ivf()
+                index = self._new_ivf()
             else:  # flat | auto start flat; auto promotes later
-                self._index = FlatIndex(
+                index = FlatIndex(
                     self.dim,
                     metric=self.metric,
                     dtype=self.config.index_dtype,
                     mesh=self._mesh,
                     capacity=self.config.index_capacity,
                 )
-        return self._index
+            self._view = (index, row_to_id, row_meta)
+        return index
 
     def _new_ivf(self) -> IVFIndex:
         return IVFIndex(
@@ -143,10 +177,17 @@ class VectorStore:
         ivf = self._new_ivf()
         new_rows = ivf.add(vectors)
         remap = dict(zip(live.tolist(), new_rows.tolist()))
-        self._id_to_row = {k: remap[v] for k, v in self._id_to_row.items()}
-        self._row_to_id = {r: i for i, r in self._id_to_row.items()}
-        self._row_meta = {remap[r]: m for r, m in self._row_meta.items()}
-        self._index = ivf
+        # Promotion renumbers rows: build FRESH maps and install them together
+        # with the new index in one view swap, so a concurrent lock-free
+        # search never maps flat row numbers through IVF-numbered dicts.
+        old_meta = self._row_meta
+        id_to_row = {k: remap[v] for k, v in self._id_to_row.items()}
+        self._id_to_row = id_to_row
+        self._view = (
+            ivf,
+            {r: i for i, r in id_to_row.items()},
+            {remap[r]: m for r, m in old_meta.items()},
+        )
         log.info("index_promotion_done", rows=int(ivf.size))
 
     # -- mutation ----------------------------------------------------------------
@@ -268,21 +309,19 @@ class VectorStore:
         filters: Optional[Dict[str, Any]] = None,
     ) -> List[List[SearchHit]]:
         self.connect()
+        top_k = validate_top_k(top_k, self.config.search_top_k_max)
         q = np.ascontiguousarray(np.atleast_2d(vectors), dtype=np.float32)
-        index = self._index  # lock-free read: snapshot the index ref once
+        view = self._view  # lock-free read: snapshot the view tuple once
+        index = view[0]
         if index is None or self.count() == 0:
             return [[] for _ in range(q.shape[0])]
-        # over-fetch for post-filtering and for f32 rescoring headroom
-        fetch_k = max(
-            top_k * 4 if filters else top_k,
-            top_k * self.config.index_rescore,
-        )
+        fetch_k = self._fetch_k(index, top_k, filters)
         if isinstance(index, IVFIndex):
             scores, ids = index.search(q, k=fetch_k, nprobe=nprobe)
         else:
             scores, ids = index.search(q, k=fetch_k)
         scores, ids = self._rescore_host(index, q, scores, ids)
-        return self._hits_from(scores, ids, top_k, filters)
+        return self._hits_from(view, scores, ids, top_k, filters)
 
     def search_batch_device(
         self,
@@ -296,27 +335,38 @@ class VectorStore:
         (Q multiple of 8). Saves a host->device round trip on the serving
         path; the single host sync happens when results transfer back."""
         self.connect()
+        top_k = validate_top_k(top_k, self.config.search_top_k_max)
         n_q = q_dev.shape[0]
-        index = self._index  # lock-free read: snapshot the index ref once
+        view = self._view  # lock-free read: snapshot the view tuple once
+        index = view[0]
         if index is None or self.count() == 0:
             return [[] for _ in range(n_q)]
-        fetch_k = max(
-            top_k * 4 if filters else top_k,
-            top_k * self.config.index_rescore,
-        )
-        fetch_k = min(fetch_k, max(self.count(), 1))
+        fetch_k = self._fetch_k(index, top_k, filters)
         scores, ids = index.search_device(q_dev, fetch_k)
         scores = np.asarray(scores)
         ids = np.asarray(ids)
         scores, ids = self._rescore_host(
             index, np.asarray(q_dev, dtype=np.float32), scores, ids
         )
-        return self._hits_from(scores, ids, top_k, filters)
+        return self._hits_from(view, scores, ids, top_k, filters)
+
+    def _fetch_k(self, index, top_k: int, filters) -> int:
+        """Candidate fetch depth: headroom for post-filtering and for f32
+        rescoring (deep enough that approx-topk/bf16 misses get recovered),
+        capped to what the index can actually return."""
+        fetch_k = max(
+            top_k * 4 if filters else top_k,
+            top_k * self.config.index_rescore,
+            self.config.index_rescore_min if self.config.index_rescore else 0,
+        )
+        return min(fetch_k, max(index.size, 1))
 
     def _rescore_host(self, index, q: np.ndarray, scores, ids):
         """Re-rank the device candidates with exact f32 scores from the host
         mirror — recovers bf16/int8 scoring-precision losses at negligible
-        cost (tens of candidate rows per query)."""
+        cost (hundreds of candidate rows per query). Fully vectorized: one
+        gather + one batched matmul per query chunk, so rescore cost stays
+        flat as the batch grows."""
         if self.config.index_rescore <= 0:
             return scores, ids
         host = getattr(index, "_host", None)
@@ -326,28 +376,36 @@ class VectorStore:
         ids = np.asarray(ids)
         if self.metric == "cosine":
             q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
-        for qi in range(ids.shape[0]):
-            # upper bound guards stale ids racing a compaction (host shrank)
-            mask = (ids[qi] >= 0) & (ids[qi] < host.shape[0])
-            if not mask.any():
-                continue
-            rows = ids[qi][mask]
-            x = host[rows]
+        # upper bound guards stale ids racing a compaction (host shrank)
+        mask = (ids >= 0) & (ids < host.shape[0])  # (Q, K)
+        safe_rows = np.where(mask, ids, 0)
+        # chunk queries to bound the gather footprint at high dim
+        # (Q*K*dim f32 would be ~1.3 GB at Q=256, K=400, d=3072)
+        chunk = max(1, int(8e6 // max(ids.shape[1] * host.shape[1], 1)))
+        for lo in range(0, ids.shape[0], chunk):
+            hi = lo + chunk
+            x = host[safe_rows[lo:hi]]  # (q, K, d)
             if self.metric == "l2":
-                s = -np.sum((x - q[qi][None, :]) ** 2, axis=1)
+                s = -np.sum(
+                    (x - q[lo:hi, None, :]) ** 2, axis=2, dtype=np.float32
+                )
             else:
-                s = x @ q[qi]
-            scores[qi][mask] = s
+                s = np.einsum(
+                    "qkd,qd->qk", x, q[lo:hi], dtype=np.float32
+                )
+            scores[lo:hi] = np.where(mask[lo:hi], s, scores[lo:hi])
         order = np.argsort(-scores, axis=1, kind="stable")
         return (
             np.take_along_axis(scores, order, axis=1),
             np.take_along_axis(ids, order, axis=1),
         )
 
-    def _hits_from(self, scores, ids, top_k, filters) -> List[List[SearchHit]]:
-        # incremental reverse map: point lookups only (building this per
-        # search would be O(corpus) host work on every query)
-        row_to_id = self._row_to_id
+    def _hits_from(self, view, scores, ids, top_k, filters) -> List[List[SearchHit]]:
+        # row maps come from the caller's view snapshot — consistent with the
+        # index the ids came from even across a concurrent promotion/load.
+        # Incremental reverse map: point lookups only (building this per
+        # search would be O(corpus) host work on every query).
+        _, row_to_id, row_meta = view
         out: List[List[SearchHit]] = []
         for q_scores, q_ids in zip(scores, ids):
             hits: List[SearchHit] = []
@@ -357,7 +415,7 @@ class VectorStore:
                 pid = row_to_id.get(int(r))
                 if pid is None:
                     continue
-                meta = self._row_meta.get(int(r), {})
+                meta = row_meta.get(int(r), {})
                 if filters and any(meta.get(k) != v for k, v in filters.items()):
                     continue
                 hits.append(
@@ -430,22 +488,24 @@ class VectorStore:
         kind = meta.get("kind")
         common = dict(dtype=self.config.index_dtype, mesh=self._mesh)
         if kind == "ivf":
-            self._index = IVFIndex.from_state(state, **common)
+            index = IVFIndex.from_state(state, **common)
         elif kind == "flat":
-            self._index = FlatIndex.from_state(state, **common)
+            index = FlatIndex.from_state(state, **common)
         else:
-            self._index = None
+            index = None
         rows_file = directory / "rows.msgpack"
         if rows_file.exists():
             import msgpack
 
             rows = msgpack.unpackb(rows_file.read_bytes(), raw=False)
-            self._id_to_row = {k: int(v) for k, v in rows["id_to_row"].items()}
-            self._row_meta = {int(k): v for k, v in rows["row_meta"].items()}
+            id_to_row = {k: int(v) for k, v in rows["id_to_row"].items()}
+            row_meta = {int(k): v for k, v in rows["row_meta"].items()}
         else:  # snapshots from before the msgpack split
-            self._id_to_row = {k: int(v) for k, v in meta["id_to_row"].items()}
-            self._row_meta = {int(k): v for k, v in meta["row_meta"].items()}
-        self._row_to_id = {r: i for i, r in self._id_to_row.items()}
+            id_to_row = {k: int(v) for k, v in meta["id_to_row"].items()}
+            row_meta = {int(k): v for k, v in meta["row_meta"].items()}
+        self._id_to_row = id_to_row
+        # single atomic view swap: loading renumbers rows wholesale
+        self._view = (index, {r: i for i, r in id_to_row.items()}, row_meta)
         self.version += 1
         log.info("store_loaded", path=str(directory), rows=self.count())
 

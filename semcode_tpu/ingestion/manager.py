@@ -12,6 +12,7 @@ come from settings instead of a llama.cpp context window.
 from __future__ import annotations
 
 import fnmatch
+import re
 import shutil
 from dataclasses import dataclass, field
 from pathlib import Path
@@ -53,6 +54,26 @@ SOURCE_SUFFIXES = tuple(
     for s in CHUNKABLE_SUFFIXES
     if LANGUAGE_BY_SUFFIX[s] not in ("text", "markdown")
 )
+
+_SAFE_REPO_NAME = re.compile(r"[A-Za-z0-9][A-Za-z0-9._-]*")
+
+
+def validate_repo_name(name: str) -> str:
+    """Reject repo names that are not a single safe path segment.
+
+    Repo names flow (possibly from unauthenticated API bodies) into
+    ``workspace/<name>`` and, with ``force=true``, into ``shutil.rmtree`` —
+    a traversal like ``../../x`` would escape the workspace and delete an
+    arbitrary directory. The reference shares this flaw
+    (manager.py:69-83 builds the path unvalidated); we close it instead.
+    """
+    name = str(name or "").strip()
+    if not name or name in (".", "..") or not _SAFE_REPO_NAME.fullmatch(name):
+        raise ValueError(
+            "repo name must be a single path segment of "
+            f"[A-Za-z0-9._-] not starting with '.', got {name!r}"
+        )
+    return name
 
 
 @dataclass
@@ -103,7 +124,12 @@ class RepositoryIngestionManager:
                 raise FileNotFoundError(f"Source path not found: {src}")
             resolved.append(src.resolve())
 
+        repo_name = validate_repo_name(repo_name)
         target = self.workspace / repo_name
+        # belt and braces on top of the name validation: never rmtree outside
+        # the workspace even if a future caller builds the path differently
+        if target.resolve().parent != self.workspace.resolve():
+            raise ValueError(f"repo target escapes the workspace: {target}")
         user_ignores = tuple(
             str(p).strip() for p in (ignore_dirs or []) if str(p).strip()
         )

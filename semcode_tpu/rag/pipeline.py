@@ -15,6 +15,7 @@ unless an external LLM provider is configured.
 from __future__ import annotations
 
 import re
+import threading
 from collections import OrderedDict
 from typing import Any, Dict, List, Optional
 
@@ -57,6 +58,8 @@ class SemanticSearchPipeline:
         self._embeddings = embeddings
         self._connected = False
         self._cache: "OrderedDict" = OrderedDict()  # (q, k, filters) -> result
+        # query() runs on the API's executor threads: guard cache mutations
+        self._cache_lock = threading.Lock()
 
     # lazy collaborators (reference connects lazily too, pipeline.py:94-101)
     @property
@@ -91,18 +94,33 @@ class SemanticSearchPipeline:
                 tuple(sorted((filters or {}).items())),
                 getattr(self._vector_store, "version", None),
             )
-            hit = self._cache.get(cache_key)
+            with self._cache_lock:
+                hit = self._cache.get(cache_key)
+                if hit is not None:
+                    self._cache.move_to_end(cache_key)
             if hit is not None:
-                self._cache.move_to_end(cache_key)
                 result = dict(hit)
                 result["meta"] = dict(hit.get("meta") or {}, cached=True)
                 return result
         result = self._execute_query(question, top_k=top_k, filters=filters)
-        if cache_key is not None:
-            self._cache[cache_key] = result
-            while len(self._cache) > self.config.rag_query_cache_size:
-                self._cache.popitem(last=False)
+        if cache_key is not None and self._cacheable(result):
+            with self._cache_lock:
+                self._cache[cache_key] = result
+                while len(self._cache) > self.config.rag_query_cache_size:
+                    self._cache.popitem(last=False)
         return result
+
+    @staticmethod
+    def _cacheable(result: Dict[str, Any]) -> bool:
+        """Never cache fallbacks caused by transient failures — a retrieval
+        or LLM hiccup would otherwise poison that question until the next
+        store mutation bumps the version. ``no_llm_configured`` IS cacheable
+        (deterministic given the config)."""
+        meta = result.get("meta") or {}
+        if not meta.get("fallback_used"):
+            return True
+        reason = str(meta.get("reason") or "")
+        return reason == "no_llm_configured"
 
     def _execute_query(
         self,

@@ -49,6 +49,8 @@ class AppSettings(BaseModel):
     # dynamic micro-batching of concurrent /query requests (0 disables)
     api_batch_window_ms: float = 3.0
     api_batch_max: int = 64
+    # worker threads for blocking pipeline work behind the async handlers
+    api_max_workers: int = 4
 
     # -- embedding (on-TPU by default; remote providers are optional) ---------
     embedding_provider: str = "tpu-hash"  # tpu-hash | tpu-encoder | openai | jina
@@ -78,6 +80,12 @@ class AppSettings(BaseModel):
     # f32 host rescoring of the top (rescore x k) device candidates; recovers
     # bf16/int8 scoring precision (0 disables)
     index_rescore: int = 4
+    # floor on the rescore fetch depth: deep enough that approx-topk +
+    # low-precision scoring misses get recovered even at small top_k
+    index_rescore_min: int = 128
+    # cap accepted by API/store search entry points (huge top_k would blow
+    # per-shard top_k limits and compile fresh jit shapes)
+    search_top_k_max: int = 1024
 
     # -- mesh / parallelism ----------------------------------------------------
     mesh_shape: str = ""  # e.g. "8" or "4x2"; empty = all local devices, 1-D
@@ -96,7 +104,7 @@ class AppSettings(BaseModel):
     )
     rag_prompt_template: Optional[str] = None
     rag_fallback_enabled: bool = True
-    rag_query_cache_size: int = 0  # 0 = disabled
+    rag_query_cache_size: int = 256  # LRU entries; 0 disables
     rag_max_context_sources: int = 5
     rag_fallback_max_sources: int = 3
     rag_fallback_summary_sentences: int = 3
@@ -156,6 +164,7 @@ _SECTION_FIELDS: Dict[str, Dict[str, str]] = {
         "port": "api_port",
         "batch_window_ms": "api_batch_window_ms",
         "batch_max": "api_batch_max",
+        "max_workers": "api_max_workers",
     },
     "embedding": {
         "provider": "embedding_provider",
@@ -184,6 +193,8 @@ _SECTION_FIELDS: Dict[str, Dict[str, str]] = {
         "upsert_batch_size": "upsert_batch_size",
         "search_batch_size": "search_batch_size",
         "rescore": "index_rescore",
+        "rescore_min": "index_rescore_min",
+        "top_k_max": "search_top_k_max",
     },
     "mesh": {"shape": "mesh_shape", "axis_names": "mesh_axis_names"},
     "rag": {

@@ -210,6 +210,17 @@ def test_query_contract(tmp_path):
         # engine failure -> 502
         resp = await client.post("/query", json={"question": "boom"}, headers=AUTH)
         assert resp.status == 502
+        # invalid top_k values -> 400, not a 502 from deep jit errors
+        for bad in (0, -1, "ten", 2.5, [3]):
+            resp = await client.post(
+                "/query", json={"question": "q", "top_k": bad}, headers=AUTH
+            )
+            assert resp.status == 400, f"top_k={bad!r} -> {resp.status}"
+        # non-object filters -> 400
+        resp = await client.post(
+            "/query", json={"question": "q", "filters": "repo"}, headers=AUTH
+        )
+        assert resp.status == 400
 
     _run(tmp_path, scenario)
 

@@ -108,10 +108,18 @@ def test_ivf_tombstone_and_compact(mesh8, rng):
     _, ids = idx.search(x[5:6], k=5)
     assert 5 not in ids[0].tolist()
     assert idx.size == 799
-    idx.compact()
+    remap = idx.compact()
     assert idx._n_rows == 799
-    _, ids = idx.search(x[6:7], k=5)
-    assert (ids >= 0).all()
+    assert remap.shape == (800,) and remap[5] == -1
+    # compaction renumbers rows AND must refresh the device arrays eagerly:
+    # post-compact search ids must match an exact-scan oracle on the
+    # compacted corpus (round-1 regression: stale device state served
+    # pre-compaction row numbers).
+    compacted = np.delete(x, 5, axis=0)
+    q = x[6:14]
+    _, ids = idx.search(q, k=5)
+    ref = _oracle_ids(compacted, q, 5)
+    np.testing.assert_array_equal(np.sort(ids, axis=1), np.sort(ref, axis=1))
 
 
 def test_ivf_retrain(mesh8, rng):

@@ -151,3 +151,30 @@ def test_query_cache(monkeypatch):
     store.version = 2
     p.query("same question")
     assert calls["n"] == 2
+
+
+def test_transient_failure_results_not_cached():
+    # round-1 advisor finding: caching fallback answers caused by transient
+    # retrieval/LLM failures poisons the question until the next version bump
+    calls = {"n": 0}
+
+    class FlakyStore(StubStore):
+        version = 1
+
+        def search(self, vector, top_k=10, filters=None, **kw):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("transient engine hiccup")
+            return super().search(vector, top_k=top_k, filters=filters)
+
+    from semcode_tpu.settings import AppSettings
+
+    cfg = AppSettings(rag_provider="fallback", rag_query_cache_size=4)
+    p = SemanticSearchPipeline(
+        config=cfg, vector_store=FlakyStore(_hits(2)), embeddings=StubEmbeddings()
+    )
+    r1 = p.query("flaky question")
+    assert r1["meta"]["fallback_used"] and not r1["sources"]
+    r2 = p.query("flaky question")  # must NOT be served from cache
+    assert r2["meta"].get("cached") is None
+    assert r2["sources"], "second attempt should succeed and return sources"

@@ -128,3 +128,49 @@ def test_f32_rescore_recovers_bf16_precision(tmp_path, mesh8, rng):
     rec_rescored = build(8)
     assert rec_rescored >= rec_plain
     assert rec_rescored >= 0.9, f"rescored recall too low: {rec_rescored}"
+
+
+def test_promotion_after_deletes_keeps_ids_consistent(tmp_path, mesh8, rng):
+    # round-1 advisor finding: promotion renumbers rows when earlier deletes
+    # made the remap non-identity; hits must still resolve to the RIGHT
+    # payloads afterwards (view tuple swapped atomically with the new maps).
+    cfg = _cfg(
+        tmp_path,
+        index_kind="auto",
+        index_ivf_min_size=256,
+        index_nlist=16,
+        index_nprobe=16,
+    )
+    store = VectorStore(cfg, mesh=mesh8)
+    p1, v1 = _payloads(rng, 200)
+    store.upsert_embeddings(p1)
+    store.delete([f"c{i}" for i in range(0, 50)])  # non-identity remap
+    p2, v2 = _payloads(rng, 200, prefix="d", repo="r2")
+    store.upsert_embeddings(p2)  # crosses ivf_min_size -> promotion
+    assert store.stats()["kind"] == "ivf"
+    # every live payload must resolve to itself as its own top hit
+    for i in (50, 123, 199):
+        hits = store.search(v1[i], top_k=1)
+        assert hits[0].id == f"c{i}" and hits[0].repo == "r1"
+    for i in (0, 150):
+        hits = store.search(v2[i], top_k=1)
+        assert hits[0].id == f"d{i}" and hits[0].repo == "r2"
+    # deleted payloads stay gone
+    hits = store.search(v1[3], top_k=5)
+    assert "c3" not in [h.id for h in hits]
+
+
+def test_top_k_validation(tmp_path, mesh8, rng):
+    store = VectorStore(_cfg(tmp_path, search_top_k_max=64), mesh=mesh8)
+    payloads, vecs = _payloads(rng, 20)
+    store.upsert_embeddings(payloads)
+    import pytest
+
+    for bad in (None, 0, -3, 2.5, "ten", [10]):
+        with pytest.raises(ValueError):
+            store.search(vecs[0], top_k=bad)
+    # integer-valued strings coerce (API bodies arrive as JSON scalars)
+    assert len(store.search(vecs[0], top_k="3")) == 3
+    # huge top_k is capped, not an error (and must not crash per-shard top_k)
+    hits = store.search(vecs[0], top_k=10**9)
+    assert len(hits) == 20
