@@ -35,7 +35,7 @@ from ..rag import SemanticSearchPipeline
 from ..services import IndexerService, IndexingCallbacks
 from ..settings import AppSettings, settings as default_settings
 from .dependencies import API_KEY_HEADER, check_api_key, telemetry_enabled
-from .jobs import JobInfo, JobManager
+from .jobs import JobLedger, JobSnapshot
 from .telemetry import Telemetry
 
 log = get_logger("api")
@@ -48,7 +48,7 @@ def create_app(
     config: Optional[AppSettings] = None,
     indexer: Optional[IndexerService] = None,
     pipeline: Optional[SemanticSearchPipeline] = None,
-    job_manager: Optional[JobManager] = None,
+    job_manager: Optional[JobLedger] = None,
     telemetry: Optional[Telemetry] = None,
 ) -> web.Application:
     config = config or default_settings
@@ -56,7 +56,11 @@ def create_app(
     pipeline = pipeline or SemanticSearchPipeline(
         config=config, vector_store=indexer.vector_store
     )
-    job_manager = job_manager or JobManager()
+    # durable by default: job state survives API restarts (journal replay
+    # marks mid-flight jobs 'interrupted' instead of silently dropping them)
+    job_manager = job_manager or JobLedger(
+        Path(config.workspace_root) / "jobs.jsonl"
+    )
     telemetry = telemetry or Telemetry()
     executor = ThreadPoolExecutor(
         max_workers=config.api_max_workers, thread_name_prefix="semcode"
@@ -103,13 +107,13 @@ def create_app(
             "chunk_count": chunk_count,
         }
 
-    def _job_response(job: JobInfo) -> Dict[str, Any]:
+    def _job_response(job: JobSnapshot) -> Dict[str, Any]:
         return {
             "id": job.id,
             "type": job.type,
             "status": job.status,
             "stage": job.stage,
-            "progress": job.progress,
+            "progress": dict(job.progress),
             "result": job.result,
             "error": job.error,
             "duration_ms": job.duration_ms(),
