@@ -2,7 +2,7 @@
 
 PYTHON ?= python
 
-.PHONY: test test-unit test-integration lint bench serve ingest-self dryrun
+.PHONY: test test-unit test-integration lint typecheck check bench serve ingest-self dryrun
 
 test:
 	$(PYTHON) -m pytest tests/ -q
@@ -13,8 +13,18 @@ test-unit:
 test-integration:
 	$(PYTHON) -m pytest tests/integration -q
 
+# static lint: in-repo AST/symtable linter (ruff is not installable in this
+# image; tools/lint.py covers F401/F811/F821/B006/F541/E722/W605)
 lint:
-	$(PYTHON) -m compileall -q semcode_tpu tests bench.py __graft_entry__.py
+	$(PYTHON) -m compileall -q semcode_tpu tests bench.py __graft_entry__.py tools
+	$(PYTHON) tools/lint.py
+
+# runtime typecheck: typeguard instruments every annotated semcode_tpu
+# function during the test suite (mypy is not installable in this image)
+typecheck:
+	$(PYTHON) -m pytest tests/ -q --typeguard-packages=semcode_tpu
+
+check: lint test typecheck
 
 bench:
 	$(PYTHON) bench.py

@@ -31,6 +31,7 @@ from typing import Any, Dict, List, Optional
 from aiohttp import web
 
 from ..logger import configure_logging, get_logger
+from ..protocols import IndexerLike, QueryPipelineLike
 from ..rag import SemanticSearchPipeline
 from ..services import IndexerService, IndexingCallbacks
 from ..settings import AppSettings, settings as default_settings
@@ -46,8 +47,8 @@ _OPEN_PATHS = {"/healthz", "/"}
 def create_app(
     *,
     config: Optional[AppSettings] = None,
-    indexer: Optional[IndexerService] = None,
-    pipeline: Optional[SemanticSearchPipeline] = None,
+    indexer: Optional[IndexerLike] = None,
+    pipeline: Optional[QueryPipelineLike] = None,
     job_manager: Optional[JobLedger] = None,
     telemetry: Optional[Telemetry] = None,
 ) -> web.Application:

@@ -67,6 +67,7 @@ class IVFIndex:
         use_pallas: str = "auto",  # auto | always | never
         balance_cap: float = 2.0,  # cluster capacity cap, x mean occupancy
         approx_topk: bool = True,  # lax.approx_max_k in full scans (TPU-fast)
+        approx_recall_target: float = 0.99,  # per-shard approx_max_k target
     ):
         if metric not in ("ip", "cosine", "l2"):
             raise ValueError(f"unknown metric: {metric}")
@@ -81,6 +82,7 @@ class IVFIndex:
         self.use_pallas = use_pallas
         self.balance_cap = float(balance_cap)
         self.approx_topk = bool(approx_topk)
+        self.approx_recall_target = float(approx_recall_target)
         self._dtype = _storage_dtype(dtype)
 
         # host-authoritative storage
@@ -367,9 +369,14 @@ class IVFIndex:
 
         Per-query probing reads Q * nprobe * cmax rows; a single masked full
         scan of the padded layout reads nlist * cmax rows once for the whole
-        batch and is a dense MXU matmul. For large batches the full scan is
-        strictly cheaper AND exact. k > 64 also routes to exact (the pallas
-        fold and the scan merge both cap k).
+        batch and is a dense MXU matmul — strictly cheaper for large batches.
+        Exactness caveat: with ``approx_topk`` on a TPU backend the full
+        scan's per-shard selection is ``lax.approx_max_k`` at
+        ``approx_recall_target`` and the scoring precision is the storage
+        dtype, so the scan covers every row but is NOT bit-exact — the store
+        recovers exact order by over-fetching and f32-rescoring on the host
+        (store._fetch_k / _rescore_host). With ``approx_topk=False`` and f32
+        storage the scan is exact.
         """
         ivf_rows = n_q_padded * nprobe * self.cmax
         scan_rows = self.nlist * self.cmax
@@ -416,6 +423,7 @@ class IVFIndex:
             scores, ids = _ivf_exact_scan(
                 self.mesh, data, ids_dev, sqnorms, scales, q_dev,
                 k_shard, self.metric, quantized, self._approx(), k_eff,
+                self.approx_recall_target,
             )
         else:
             scores, ids = _ivf_search(
@@ -459,7 +467,8 @@ class IVFIndex:
         if mode == "exact":
             return _ivf_exact_scan(
                 self.mesh, data, ids_dev, sqnorms, scales, q_dev,
-                k, self.metric, quantized, self._approx(),
+                k, self.metric, quantized, self._approx(), None,
+                self.approx_recall_target,
             )
         return _ivf_search(
             self.mesh,
@@ -571,12 +580,12 @@ def _tombstone(ids, clusters, slots):
     return ids.at[clusters, slots].set(-1)
 
 
-@partial(jax.jit, static_argnums=(0, 6, 7, 8, 9, 10))
+@partial(jax.jit, static_argnums=(0, 6, 7, 8, 9, 10, 11))
 def _ivf_exact_scan(mesh, data, ids, sqnorms, scales, q, k, metric, quantized,
-                    approx=False, k_out=None):
+                    approx=False, k_out=None, recall_target=0.99):
     """Masked full scan of the padded cluster layout (one MXU pass for the
     whole query batch). With ``approx`` the per-shard selection uses the
-    TPU-native ``lax.approx_max_k`` (recall target 0.99) — the plain
+    TPU-native ``lax.approx_max_k`` at ``recall_target`` — the plain
     ``top_k`` over millions of columns otherwise dominates the step.
     ``k`` is the per-shard selection width; the merge returns ``k_out``."""
     if k_out is None:
@@ -600,7 +609,7 @@ def _ivf_exact_scan(mesh, data, ids, sqnorms, scales, q, k, metric, quantized,
             scores = 2.0 * scores - sqn_s.reshape(1, rows)
         scores = jnp.where(ids_flat >= 0, scores, _NEG_INF)
         if approx:
-            s, pos = jax.lax.approx_max_k(scores, k, recall_target=0.99)
+            s, pos = jax.lax.approx_max_k(scores, k, recall_target=recall_target)
         else:
             s, pos = jax.lax.top_k(scores, k)
         i = jnp.take_along_axis(

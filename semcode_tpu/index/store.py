@@ -15,7 +15,17 @@ import json
 import threading
 from dataclasses import dataclass, field
 from pathlib import Path
-from typing import Any, Callable, Dict, List, Optional, Sequence
+from typing import (
+    Any,
+    Callable,
+    Dict,
+    List,
+    Optional,
+    Protocol,
+    Sequence,
+    Union,
+    runtime_checkable,
+)
 
 import numpy as np
 
@@ -28,6 +38,8 @@ from .ivf import IVFIndex
 log = get_logger("index.store")
 
 ProgressCallback = Callable[[int, int], None]
+# queries arrive as python lists from the API and as ndarrays internally
+VectorLike = Union[Sequence[float], np.ndarray]
 
 
 def validate_top_k(top_k, max_k: int) -> int:
@@ -160,6 +172,7 @@ class VectorStore:
             dtype=self.config.index_dtype,
             mesh=self._mesh,
             kmeans_iters=self.config.index_kmeans_iters,
+            approx_recall_target=self.config.index_approx_recall_target,
         )
 
     def _maybe_promote(self) -> None:
@@ -282,9 +295,9 @@ class VectorStore:
 
     def search(
         self,
-        vector: Sequence[float],
+        vector: VectorLike,
         *,
-        top_k: int = 10,
+        top_k: Any = 10,  # validated/coerced via validate_top_k (API passes raw JSON)
         nprobe: Optional[int] = None,
         filters: Optional[Dict[str, Any]] = None,
     ) -> List[SearchHit]:
@@ -304,7 +317,7 @@ class VectorStore:
         self,
         vectors: np.ndarray,
         *,
-        top_k: int = 10,
+        top_k: Any = 10,  # validated/coerced via validate_top_k (API passes raw JSON)
         nprobe: Optional[int] = None,
         filters: Optional[Dict[str, Any]] = None,
     ) -> List[List[SearchHit]]:
@@ -327,7 +340,7 @@ class VectorStore:
         self,
         q_dev,
         *,
-        top_k: int = 10,
+        top_k: Any = 10,  # validated/coerced via validate_top_k (API passes raw JSON)
         nprobe: Optional[int] = None,
         filters: Optional[Dict[str, Any]] = None,
     ) -> List[List[SearchHit]]:
@@ -529,10 +542,11 @@ class VectorStore:
         return info
 
 
-class EmbeddingPayloadLike:
-    """Duck type for upsert payloads: id, text, vector, metadata."""
+@runtime_checkable
+class EmbeddingPayloadLike(Protocol):
+    """Structural type for upsert payloads: id, text, vector, metadata."""
 
     id: str
     text: str
-    vector: Sequence[float]
+    vector: VectorLike
     metadata: Optional[Dict[str, Any]]

@@ -21,7 +21,6 @@ much longer sequences than code chunks).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from pathlib import Path
 from typing import Any, List, Optional, Sequence
 

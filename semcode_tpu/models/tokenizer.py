@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import zlib
 from pathlib import Path
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 

@@ -23,6 +23,7 @@ import numpy as np
 
 from ..embeddings import EmbeddingProviderFactory
 from ..index.store import SearchHit, VectorStore
+from ..protocols import SearcherLike
 from ..logger import get_logger
 from ..settings import AppSettings, settings as default_settings
 from ..utils.tracing import StageTimer
@@ -50,7 +51,7 @@ class SemanticSearchPipeline:
         self,
         *,
         config: Optional[AppSettings] = None,
-        vector_store: Optional[VectorStore] = None,
+        vector_store: Optional[SearcherLike] = None,
         embeddings=None,
     ) -> None:
         self.config = config or default_settings
@@ -63,7 +64,7 @@ class SemanticSearchPipeline:
 
     # lazy collaborators (reference connects lazily too, pipeline.py:94-101)
     @property
-    def vector_store(self) -> VectorStore:
+    def vector_store(self) -> SearcherLike:
         if self._vector_store is None:
             self._vector_store = VectorStore(self.config)
         return self._vector_store

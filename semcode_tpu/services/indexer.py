@@ -23,6 +23,7 @@ from ..embeddings import EmbeddingPayload, EmbeddingProviderFactory
 from ..index.store import VectorStore
 from ..ingestion import RepositoryIngestionManager, RepositoryMetadata
 from ..logger import get_logger
+from ..protocols import UpsertStoreLike
 from ..settings import AppSettings, settings as default_settings
 from ..storage import RepositoryRecord, RepositoryRegistry
 
@@ -60,7 +61,7 @@ class IndexerService:
         config: Optional[AppSettings] = None,
         ingestion_manager: Optional[RepositoryIngestionManager] = None,
         registry: Optional[RepositoryRegistry] = None,
-        vector_store: Optional[VectorStore] = None,
+        vector_store: Optional[UpsertStoreLike] = None,
         embeddings=None,
         auto_connect: bool = True,
     ) -> None:

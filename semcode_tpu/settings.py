@@ -86,6 +86,8 @@ class AppSettings(BaseModel):
     # cap accepted by API/store search entry points (huge top_k would blow
     # per-shard top_k limits and compile fresh jit shapes)
     search_top_k_max: int = 1024
+    # per-shard lax.approx_max_k recall target in full scans (TPU only)
+    index_approx_recall_target: float = 0.99
 
     # -- mesh / parallelism ----------------------------------------------------
     mesh_shape: str = ""  # e.g. "8" or "4x2"; empty = all local devices, 1-D
@@ -195,6 +197,7 @@ _SECTION_FIELDS: Dict[str, Dict[str, str]] = {
         "rescore": "index_rescore",
         "rescore_min": "index_rescore_min",
         "top_k_max": "search_top_k_max",
+        "approx_recall_target": "index_approx_recall_target",
     },
     "mesh": {"shape": "mesh_shape", "axis_names": "mesh_axis_names"},
     "rag": {

@@ -18,7 +18,7 @@ from __future__ import annotations
 import time
 from contextlib import contextmanager
 from pathlib import Path
-from typing import Dict, Iterator, Optional
+from typing import ContextManager, Dict
 
 from ..logger import get_logger
 
@@ -32,7 +32,9 @@ class StageTimer:
         self._totals: Dict[str, float] = {}
 
     @contextmanager
-    def stage(self, name: str) -> Iterator[None]:
+    # annotated as the decorated callable's public type (what callers
+    # and runtime checkers see), not the generator convention
+    def stage(self, name: str) -> ContextManager[None]:
         start = time.perf_counter()
         try:
             yield
@@ -50,7 +52,7 @@ class StageTimer:
 @contextmanager
 def profiler_trace(
     log_dir: Path, *, host_tracer_level: int = 2
-) -> Iterator[None]:
+) -> ContextManager[None]:
     """Capture a jax.profiler device trace into ``log_dir`` (TensorBoard)."""
     import jax
 

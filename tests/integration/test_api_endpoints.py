@@ -7,7 +7,6 @@ test_api_endpoints.py): auth via X-API-Key, /repos, /ingest, /query contracts
 
 import asyncio
 
-import pytest
 from aiohttp.test_utils import TestClient, TestServer
 
 from semcode_tpu.api.main import create_app

@@ -2,7 +2,6 @@
 
 import asyncio
 
-import numpy as np
 from aiohttp.test_utils import TestClient, TestServer
 
 from semcode_tpu.api.main import create_app

@@ -2,7 +2,7 @@
 
 import logging
 import time
-from pathlib import Path
+
 
 from semcode_tpu.cli import _collect_files, _render_directory_tree
 from semcode_tpu.logger import (

@@ -2,7 +2,7 @@
 workspace paths and (with force=true) into rmtree — traversal must be
 impossible (round-1 advisor finding; the reference shares the flaw)."""
 
-from pathlib import Path
+
 
 import pytest
 

@@ -5,11 +5,10 @@ folded into immutable snapshots; replaces the reference's volatile in-memory
 registry (reference src/semcode/api/jobs.py loses jobs on restart)."""
 
 import json
-import time
 
 import pytest
 
-from semcode_tpu.api.jobs import JobLedger, JobSnapshot, TERMINAL_STATUSES
+from semcode_tpu.api.jobs import JobLedger
 
 
 def test_lifecycle_fold(tmp_path):

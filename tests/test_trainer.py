@@ -5,7 +5,7 @@ import numpy as np
 import jax
 
 from semcode_tpu.models.encoder import EncoderConfig
-from semcode_tpu.models.train import ContrastiveTrainer, param_spec
+from semcode_tpu.models.train import ContrastiveTrainer
 from semcode_tpu.parallel.mesh import make_mesh
 
 
