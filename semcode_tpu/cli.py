@@ -236,11 +236,25 @@ def cmd_remove(args) -> int:
 
 def cmd_stats(_args) -> int:
     configure_logging(enable_console=False)
+    from .embeddings import EmbeddingProviderFactory
     from .index.store import VectorStore
+    from .settings import settings
 
     store = VectorStore()
     store.connect()
-    print(json.dumps(store.stats(), indent=2))
+    stats = store.stats()
+    stats["embedding_provider"] = settings.embedding_provider
+    try:
+        provider = EmbeddingProviderFactory.create(settings)
+        if getattr(provider, "random_init", False):
+            stats["warning"] = (
+                "tpu-encoder is running with RANDOM weights — retrieval "
+                "quality will be poor; set encoder.weights_path or run "
+                "'semcode-tpu train'"
+            )
+    except Exception as exc:
+        stats["embedding_provider_error"] = str(exc)
+    print(json.dumps(stats, indent=2))
     return 0
 
 
@@ -248,6 +262,69 @@ def cmd_serve(_args) -> int:
     from .api.main import run
 
     run()
+    return 0
+
+
+def cmd_eval(args) -> int:
+    """Score embedding providers on self-labelled queries from the corpus.
+
+    The store must be populated with the SAME provider being scored (vectors
+    are compared in its space), so each provider gets its own in-memory
+    re-index of the snapshot corpus texts.
+    """
+    configure_logging()
+    from .embeddings import EmbeddingProviderFactory
+    from .embeddings.providers import EmbeddingPayload
+    from .eval import evaluate_store, generate_queries
+    from .index.store import VectorStore
+    from .settings import settings
+
+    base = VectorStore()
+    base.connect()
+    if base.count() == 0:
+        print("index is empty; ingest a repository first", file=sys.stderr)
+        return 1
+    filters = {"repo": args.repo} if args.repo else None
+    metas = [
+        (pid, meta)
+        for pid, meta in base.iter_payload_meta()
+        if not args.repo or meta.get("repo") == args.repo
+    ]
+    if not metas:
+        print(f"no chunks found for repo {args.repo!r}", file=sys.stderr)
+        return 1
+    queries = generate_queries(metas, max_per_kind=args.max_per_kind)
+    providers = args.provider or [settings.embedding_provider]
+    results = []
+    for name in providers:
+        cfg = settings.model_copy(update={"embedding_provider": name})
+        emb = EmbeddingProviderFactory.create(cfg)
+        dim = len(emb.embed_query("probe"))
+        store = VectorStore(
+            cfg.model_copy(
+                update={
+                    "embedding_dimension": dim,
+                    "index_snapshot_dir": None,
+                    "workspace_root": None,
+                }
+            ),
+            dim=dim,
+        )
+        texts = [m.get("text") or "" for _, m in metas]
+        payloads = []
+        bs = max(1, cfg.embedding_batch_size)
+        for lo in range(0, len(texts), bs):
+            vecs = emb.embed_documents(texts[lo : lo + bs])
+            for (pid, meta), v in zip(metas[lo : lo + bs], vecs):
+                payloads.append(
+                    EmbeddingPayload(pid, meta.get("text") or "", v, meta)
+                )
+        store.upsert_embeddings(payloads)
+        report = evaluate_store(
+            store, emb, provider_name=name, queries=queries, filters=filters
+        )
+        results.append(report.as_dict())
+    print(json.dumps(results, indent=2))
     return 0
 
 
@@ -348,6 +425,18 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser("serve", help="Run the API server")
     p.set_defaults(func=cmd_serve)
+
+    p = sub.add_parser(
+        "eval", help="Measure retrieval quality (MRR/recall) on an ingested repo"
+    )
+    p.add_argument("--repo", help="Restrict to one ingested repo (default: all)")
+    p.add_argument(
+        "--provider",
+        action="append",
+        help="Embedding provider(s) to score (default: configured provider)",
+    )
+    p.add_argument("--max-per-kind", type=int, default=150)
+    p.set_defaults(func=cmd_eval)
 
     p = sub.add_parser(
         "train", help="Contrastive-train the encoder on an ingested repo"

@@ -1,0 +1,10 @@
+"""Retrieval-quality evaluation harness."""
+
+from .quality import QualityQuery, QualityReport, evaluate_store, generate_queries
+
+__all__ = [
+    "QualityQuery",
+    "QualityReport",
+    "evaluate_store",
+    "generate_queries",
+]

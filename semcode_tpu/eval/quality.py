@@ -1,0 +1,228 @@
+"""Retrieval-quality evaluation on REAL code.
+
+The reference outsources semantic quality to hosted embeddings
+(reference src/semcode/settings.py:46-47, text-embedding-3-large) and never
+measures it. This harness makes quality a first-class, self-measured number:
+it auto-generates queries from an ingested corpus and scores any embedding
+provider with MRR@10 / recall@k against known-relevant chunks.
+
+Query generators (no labels needed — the corpus labels itself):
+
+- ``docstring``: a chunk's own docstring/leading-comment is the query; the
+  chunk (and same-symbol siblings) are the relevant set. Measures
+  natural-language -> code retrieval, the product's core ask.
+- ``symbol``: "where is <function/class> <name> defined" from the chunk's
+  symbol tag. Measures identifier lookup.
+- ``paraphrase``: the symbol split into words ("parse config file" for
+  ``parse_config_file``) phrased as a task. Measures tokenizer/semantic
+  generalization — hash embeddings must work without the literal identifier.
+
+Usage: ``semcode-tpu eval --repo NAME [--provider tpu-hash ...]`` or
+``evaluate_store(...)`` programmatically. Used by docs/BENCHMARKS.md numbers.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Any, Dict, Iterable, List, Optional, Sequence, Set
+
+import numpy as np
+
+from ..logger import get_logger
+
+log = get_logger("eval.quality")
+
+_DOCSTRING_RE = re.compile(r'(?s)(?:"""|\'\'\')(.+?)(?:"""|\'\'\')')
+_COMMENT_LINE = re.compile(r"^\s*(?://+|\*+|#)\s?(.*)$")
+_WORD_SPLIT = re.compile(r"[_\W]+|(?<=[a-z0-9])(?=[A-Z])")
+
+
+@dataclass
+class QualityQuery:
+    text: str
+    relevant: Set[str]
+    kind: str  # docstring | symbol | paraphrase
+
+
+@dataclass
+class QualityReport:
+    provider: str
+    n_queries: int
+    mrr_at_10: float
+    recall_at_1: float
+    recall_at_5: float
+    recall_at_10: float
+    by_kind: Dict[str, Dict[str, float]] = field(default_factory=dict)
+
+    def as_dict(self) -> Dict[str, Any]:
+        return {
+            "provider": self.provider,
+            "n_queries": self.n_queries,
+            "mrr@10": round(self.mrr_at_10, 4),
+            "recall@1": round(self.recall_at_1, 4),
+            "recall@5": round(self.recall_at_5, 4),
+            "recall@10": round(self.recall_at_10, 4),
+            "by_kind": self.by_kind,
+        }
+
+
+def _extract_docstring(text: str, language: str) -> Optional[str]:
+    """First docstring / leading comment block of a chunk, cleaned."""
+    if language == "python":
+        m = _DOCSTRING_RE.search(text)
+        if m:
+            doc = m.group(1)
+        else:
+            return None
+    else:  # C/C++/JS style: leading comment block
+        lines = []
+        for line in text.splitlines():
+            m = _COMMENT_LINE.match(line)
+            if m:
+                lines.append(m.group(1))
+            elif lines:
+                break
+            elif line.strip():
+                break
+        doc = "\n".join(lines)
+    doc = re.sub(r"\s+", " ", doc).strip()
+    # drop param lists/sphinx noise; keep the leading prose
+    doc = doc.split(":param")[0].split("Args:")[0].split("@param")[0].strip()
+    if len(doc) < 25 or len(doc.split()) < 4:
+        return None  # too short to be a meaningful query
+    return doc[:400]
+
+
+def _symbol_words(symbol: str) -> List[str]:
+    words = [w.lower() for w in _WORD_SPLIT.split(symbol) if len(w) > 1]
+    return words
+
+
+def generate_queries(
+    metas: Iterable,  # (payload_id, metadata) pairs; metadata holds text/symbol
+    *,
+    max_per_kind: int = 150,
+    seed: int = 0,
+    min_text_len: int = 80,
+) -> List[QualityQuery]:
+    """Self-label queries from an ingested corpus (see module docstring)."""
+    rng = np.random.default_rng(seed)
+    by_symbol: Dict[tuple, Set[str]] = {}
+    rows: List[tuple] = []
+    for pid, meta in metas:
+        text = meta.get("text") or ""
+        if len(text) < min_text_len:
+            continue
+        key = (meta.get("path"), meta.get("symbol"))
+        if meta.get("symbol"):
+            by_symbol.setdefault(key, set()).add(pid)
+        rows.append((pid, meta, text))
+
+    doc_q: List[QualityQuery] = []
+    sym_q: List[QualityQuery] = []
+    par_q: List[QualityQuery] = []
+    seen_symbols: Set[str] = set()
+    order = rng.permutation(len(rows))
+    for idx in order:
+        pid, meta, text = rows[idx]
+        symbol = meta.get("symbol")
+        language = meta.get("language") or "text"
+        relevant = {pid}
+        if symbol:
+            relevant |= by_symbol.get((meta.get("path"), symbol), set())
+        doc = _extract_docstring(text, language)
+        if doc is not None and len(doc_q) < max_per_kind:
+            # exclude queries that literally contain the symbol? No: a
+            # docstring is the natural query a user would type.
+            doc_q.append(QualityQuery(doc, relevant, "docstring"))
+        if symbol and symbol not in seen_symbols:
+            seen_symbols.add(symbol)
+            if len(sym_q) < max_per_kind:
+                sym_q.append(
+                    QualityQuery(
+                        f"where is {symbol} defined", relevant, "symbol"
+                    )
+                )
+            words = _symbol_words(symbol)
+            if len(words) >= 2 and len(par_q) < max_per_kind:
+                par_q.append(
+                    QualityQuery(
+                        "code that implements " + " ".join(words),
+                        relevant,
+                        "paraphrase",
+                    )
+                )
+    queries = doc_q + sym_q + par_q
+    log.info(
+        "quality_queries_generated",
+        docstring=len(doc_q),
+        symbol=len(sym_q),
+        paraphrase=len(par_q),
+    )
+    return queries
+
+
+def evaluate_store(
+    store,
+    embeddings,
+    *,
+    provider_name: str = "?",
+    queries: Optional[Sequence[QualityQuery]] = None,
+    k: int = 10,
+    batch: int = 64,
+    filters: Optional[Dict[str, Any]] = None,
+) -> QualityReport:
+    """Score a provider against a populated VectorStore."""
+    if queries is None:
+        queries = generate_queries(store.iter_payload_meta())
+    if not queries:
+        raise ValueError("no quality queries could be generated from the corpus")
+    ranks: List[float] = []  # 1-based rank of first relevant hit, inf if absent
+    kinds: List[str] = []
+    for lo in range(0, len(queries), batch):
+        chunk = queries[lo : lo + batch]
+        vecs = np.asarray(
+            embeddings.embed_documents([q.text for q in chunk]), dtype=np.float32
+        )
+        hits_batch = store.search_batch(vecs, top_k=k, filters=filters)
+        for q, hits in zip(chunk, hits_batch):
+            rank = np.inf
+            for pos, hit in enumerate(hits, start=1):
+                if hit.id in q.relevant:
+                    rank = pos
+                    break
+            ranks.append(rank)
+            kinds.append(q.kind)
+    ranks_arr = np.asarray(ranks)
+
+    def metrics(sel) -> Dict[str, float]:
+        r = ranks_arr[sel]
+        if r.size == 0:
+            return {}
+        return {
+            "mrr@10": float(np.mean(np.where(r <= 10, 1.0 / r, 0.0))),
+            "recall@1": float(np.mean(r <= 1)),
+            "recall@5": float(np.mean(r <= 5)),
+            "recall@10": float(np.mean(r <= 10)),
+            "n": int(r.size),
+        }
+
+    overall = metrics(np.ones(len(ranks), dtype=bool))
+    by_kind = {
+        kind: metrics(np.asarray([x == kind for x in kinds]))
+        for kind in sorted(set(kinds))
+    }
+    report = QualityReport(
+        provider=provider_name,
+        n_queries=len(queries),
+        mrr_at_10=overall["mrr@10"],
+        recall_at_1=overall["recall@1"],
+        recall_at_5=overall["recall@5"],
+        recall_at_10=overall["recall@10"],
+        by_kind=by_kind,
+    )
+    log.info("quality_evaluated", provider=provider_name, **{
+        "mrr": round(report.mrr_at_10, 4), "r5": round(report.recall_at_5, 4)
+    })
+    return report

@@ -14,7 +14,6 @@ approximate results.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Tuple
 
 import jax
@@ -23,8 +22,13 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..parallel.mesh import DATA_AXIS, get_mesh, pad_bucket, round_up
+from .scan import exact_scan
 
 _NEG_INF = np.float32(-3.0e38)
+
+# above this f32-mirror footprint the fused device rescore is disabled by
+# default and the store falls back to host rescoring (HBM budget guard)
+DEVICE_RESCORE_MAX_BYTES = 4 << 30
 
 
 def _storage_dtype(name: str):
@@ -60,6 +64,9 @@ class FlatIndex:
         dtype: str = "bfloat16",
         mesh: Optional[Mesh] = None,
         capacity: int = 0,
+        device_rescore: Optional[bool] = None,  # None = auto by HBM budget
+        approx_topk: bool = True,
+        approx_recall_target: float = 0.99,
     ):
         if metric not in ("ip", "cosine", "l2"):
             raise ValueError(f"unknown metric: {metric}")
@@ -68,6 +75,9 @@ class FlatIndex:
         self.mesh = mesh if mesh is not None else get_mesh()
         self.n_shards = int(np.prod(self.mesh.devices.shape))
         self._dtype = _storage_dtype(dtype)
+        self._device_rescore = device_rescore
+        self.approx_topk = bool(approx_topk)
+        self.approx_recall_target = float(approx_recall_target)
         # rows must split evenly across shards AND stay lane-aligned
         import math
 
@@ -78,8 +88,8 @@ class FlatIndex:
         self._host = np.zeros((self.capacity, self.dim), dtype=np.float32)
         self._alive = np.zeros((self.capacity,), dtype=bool)
         # device state: one atomically-swapped tuple
-        # (vecs, norms, valid, scales-or-None) so lock-free readers always
-        # see a consistent set of arrays
+        # (vecs, norms, valid, scales-or-None, f32-rescore-mirror-or-None)
+        # so lock-free readers always see a consistent set of arrays
         self._dev: Optional[tuple] = None
         self._dirty = True  # device arrays need (re)materialization
 
@@ -90,6 +100,15 @@ class FlatIndex:
 
     def _norm_sharding(self) -> NamedSharding:
         return NamedSharding(self.mesh, P(DATA_AXIS))
+
+    def _rescore_enabled(self) -> bool:
+        """Fused f32 device rescore: on for lossy storage when the mirror
+        fits the HBM budget (or forced via the constructor flag)."""
+        if self._dtype == jnp.float32:
+            return False  # storage is already exact
+        if self._device_rescore is not None:
+            return bool(self._device_rescore)
+        return self.capacity * self.dim * 4 <= DEVICE_RESCORE_MAX_BYTES
 
     def _materialize(self) -> tuple:
         """Push the host buffer to (sharded) device arrays."""
@@ -108,10 +127,24 @@ class FlatIndex:
             self._norm_sharding(),
         )
         valid = jax.device_put(self._alive, self._norm_sharding())
-        dev = (vecs, norms, valid, scales_dev)
+        rescore = (
+            jax.device_put(self._host, self._vec_sharding())
+            if self._rescore_enabled()
+            else None
+        )
+        dev = (vecs, norms, valid, scales_dev, rescore)
         self._dev = dev  # single atomic swap
         self._dirty = False
         return dev
+
+    @property
+    def device_rescore_active(self) -> bool:
+        """True when searches already return exact-f32-rescored results
+        (the store then skips its host-side rescore)."""
+        dev = self._dev
+        if dev is not None:
+            return dev[4] is not None
+        return self._rescore_enabled()
 
     def _ensure_device(self) -> tuple:
         """Reader-side snapshot. Materialization is a WRITER responsibility
@@ -183,7 +216,7 @@ class FlatIndex:
         dev = self._dev
         if not self._dirty and dev is not None:
             valid = _clear_valid(dev[2], jnp.asarray(rows, jnp.int32))
-            self._dev = (dev[0], dev[1], valid, dev[3])
+            self._dev = (dev[0], dev[1], valid, dev[3], dev[4])
 
     def _write_device(self, rows: np.ndarray, x: np.ndarray) -> None:
         """Incremental scatter into the device arrays (keeps HBM warm)."""
@@ -191,6 +224,9 @@ class FlatIndex:
         if self._dirty or dev is None:
             return  # will materialize lazily before the next search
         rows_d = jnp.asarray(rows, dtype=jnp.int32)
+        rescore = dev[4]
+        if rescore is not None:  # keep the f32 mirror in lockstep
+            rescore = _scatter_mirror(rescore, rows_d, jnp.asarray(x))
         if self._dtype == jnp.int8:
             qx, scales = quantize_rows(x)
             vecs, norms, valid, scl = _scatter_rows_q(
@@ -203,14 +239,31 @@ class FlatIndex:
                 jnp.asarray(scales),
                 jnp.asarray(np.sum(x.astype(np.float32) ** 2, axis=1)),
             )
-            self._dev = (vecs, norms, valid, scl)
+            self._dev = (vecs, norms, valid, scl, rescore)
         else:
             vecs, norms, valid = _scatter_rows(
                 dev[0], dev[1], dev[2], rows_d, jnp.asarray(x)
             )
-            self._dev = (vecs, norms, valid, dev[3])
+            self._dev = (vecs, norms, valid, dev[3], rescore)
 
     # -- search -----------------------------------------------------------------
+
+    def _storage_name(self) -> str:
+        return {jnp.int8: "int8", jnp.bfloat16: "bfloat16"}.get(
+            self._dtype, "float32"
+        )
+
+    def _approx(self) -> bool:
+        """approx_max_k only pays (and only lowers natively) on TPU."""
+        return self.approx_topk and jax.default_backend() == "tpu"
+
+    def _fetch_width(self, k: int, shard_rows: int, rescore) -> int:
+        """Per-shard candidate width. With the fused rescore active we
+        over-fetch so approx-selection/storage-precision misses are recovered
+        by the exact f32 re-ranking; without it there is nothing to re-rank."""
+        if rescore is None:
+            return min(k, shard_rows)
+        return min(max(4 * k, 128), shard_rows)
 
     def search(self, queries: np.ndarray, k: int = 10) -> Tuple[np.ndarray, np.ndarray]:
         """Top-k search; returns (scores f32 (Q,k), ids int64 (Q,k), -1 = empty)."""
@@ -226,25 +279,30 @@ class FlatIndex:
         if self.metric == "cosine":
             q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
         dev = self._ensure_device()
-        vecs, norms, valid, scales = dev
+        vecs, norms, valid, scales, rescore = dev
         q_pad = pad_bucket(n_q)
         if q_pad != n_q:
             q = np.pad(q, ((0, q_pad - n_q), (0, 0)))
         # shapes come from the snapshot, not live attributes (lock-free reads).
         # per-shard top_k is bounded by shard rows, but the merged pool holds
         # n_shards * k_shard candidates — so k up to that is still servable.
-        k_shard = min(k, vecs.shape[0] // self.n_shards)
+        shard_rows = vecs.shape[0] // self.n_shards
+        k_shard = min(k, shard_rows)
         k_eff = min(k, k_shard * self.n_shards)
-        scores, ids = _flat_search(
+        scores, ids = exact_scan(
             self.mesh,
             vecs,
             norms,
             valid,
             scales if scales is not None else norms,
+            rescore,
             jax.device_put(q, NamedSharding(self.mesh, P(None, None))),
             k_shard,
+            self._fetch_width(k, shard_rows, rescore),
             self.metric,
-            self._dtype == jnp.int8,
+            self._storage_name(),
+            self._approx(),
+            self.approx_recall_target,
             k_eff,
         )
         scores = np.asarray(scores[:n_q]).astype(np.float32)
@@ -265,18 +323,23 @@ class FlatIndex:
         (scores, ids). Used for pipelined high-throughput serving/benchmarks
         where multiple batches are kept in flight.
         """
-        vecs, norms, valid, scales = self._ensure_device()
-        k = min(k, vecs.shape[0] // self.n_shards)
-        return _flat_search(
+        vecs, norms, valid, scales, rescore = self._ensure_device()
+        shard_rows = vecs.shape[0] // self.n_shards
+        k = min(k, shard_rows)
+        return exact_scan(
             self.mesh,
             vecs,
             norms,
             valid,
             scales if scales is not None else norms,
+            rescore,
             q_dev,
             k,
+            self._fetch_width(k, shard_rows, rescore),
             self.metric,
-            self._dtype == jnp.int8,
+            self._storage_name(),
+            self._approx(),
+            self.approx_recall_target,
         )
 
     # -- persistence ---------------------------------------------------------------
@@ -337,53 +400,6 @@ def _clear_valid(valid, rows):
     return valid.at[rows].set(False)
 
 
-@partial(jax.jit, static_argnums=(0, 6, 7, 8, 9))
-def _flat_search(mesh, vecs, norms, valid, scales, q, k, metric, quantized,
-                 k_out=None):
-    """One fused query step: per-shard scan+top-k, all-gather, global merge.
-
-    ``k`` is the per-shard selection width; the final merge returns
-    ``k_out`` (default k) columns out of the n_shards*k candidate pool."""
-    if k_out is None:
-        k_out = k
-    n_shards = int(np.prod(mesh.devices.shape))
-    shard_rows = vecs.shape[0] // n_shards
-
-    def shard_fn(v, nrm, vld, scl, qq):
-        base = jax.lax.axis_index(DATA_AXIS).astype(jnp.int32) * shard_rows
-        # (Q, rows) scores on the MXU with f32 accumulation; int8 storage is
-        # upcast in-register (HBM still reads 1 byte/elem) and rescaled per row
-        rhs = v.astype(jnp.bfloat16) if quantized else v
-        scores = jax.lax.dot_general(
-            qq,
-            rhs,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        if quantized:
-            scores = scores * scl[None, :]
-        if metric == "l2":
-            scores = 2.0 * scores - nrm[None, :]
-        scores = jnp.where(vld[None, :], scores, _NEG_INF)
-        s, i = jax.lax.top_k(scores, k)  # (Q, k)
-        return s, (i + base)
-
-    s, ids = jax.shard_map(
-        shard_fn,
-        mesh=mesh,
-        in_specs=(
-            P(DATA_AXIS, None),
-            P(DATA_AXIS),
-            P(DATA_AXIS),
-            P(DATA_AXIS),
-            P(None, None),
-        ),
-        out_specs=(P(None, DATA_AXIS), P(None, DATA_AXIS)),
-    )(vecs, norms, valid, scales, q)
-    # s, ids: (Q, n_shards * k) replicated-ish small arrays; final merge.
-    top_s, top_i = jax.lax.top_k(s, k_out)
-    top_ids = jnp.take_along_axis(ids, top_i, axis=1)
-    if metric == "l2":
-        qnorm = jnp.sum(q.astype(jnp.float32) ** 2, axis=1, keepdims=True)
-        top_s = top_s - qnorm  # score = -||q - x||^2 (higher = closer)
-    return top_s, top_ids
+@jax.jit
+def _scatter_mirror(rescore, rows, x):
+    return rescore.at[rows].set(x)

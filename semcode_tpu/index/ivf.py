@@ -24,7 +24,7 @@ Tombstones (``ids == -1``) support upsert-by-id from the store layer.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -34,8 +34,32 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..logger import get_logger
 from ..ops.kmeans import balanced_assign, kmeans_fit, topm_clusters
 from ..parallel.mesh import DATA_AXIS, get_mesh, pad_bucket, round_up
+from .flat import DEVICE_RESCORE_MAX_BYTES, quantize_rows
+from .scan import exact_scan
 
 log = get_logger("index.ivf")
+
+
+class _Dev(NamedTuple):
+    """One atomically-swapped device snapshot (lock-free readers).
+
+    The padded cluster layout (data/ids/sqnorms/scales/centroids) serves the
+    probing path; the flat row-major mirror (fvecs/fvalid/fnorms/fscales,
+    position == global row id) serves the exact path — it reads 1/fill times
+    fewer bytes than scanning the padded layout, and frescore (f32) feeds
+    the fused exact re-ranking in scan.exact_scan.
+    """
+
+    data: object       # (nlist, cmax, d) storage dtype
+    ids: object        # (nlist, cmax) int32 row ids, -1 = empty/tombstone
+    sqnorms: object    # (nlist, cmax) f32
+    scales: object     # (nlist, cmax) f32 or None (int8 only)
+    centroids: object  # (nlist, d) f32 replicated
+    fvecs: object      # (R, d) storage dtype flat mirror
+    fvalid: object     # (R,) bool
+    fnorms: object     # (R,) f32
+    fscales: object    # (R,) f32 (int8) or placeholder
+    frescore: object   # (R, d) f32 or None
 
 _NEG_INF = np.float32(-3.0e38)
 
@@ -68,6 +92,7 @@ class IVFIndex:
         balance_cap: float = 2.0,  # cluster capacity cap, x mean occupancy
         approx_topk: bool = True,  # lax.approx_max_k in full scans (TPU-fast)
         approx_recall_target: float = 0.99,  # per-shard approx_max_k target
+        device_rescore: Optional[bool] = None,  # None = auto by HBM budget
     ):
         if metric not in ("ip", "cosine", "l2"):
             raise ValueError(f"unknown metric: {metric}")
@@ -84,6 +109,11 @@ class IVFIndex:
         self.approx_topk = bool(approx_topk)
         self.approx_recall_target = float(approx_recall_target)
         self._dtype = _storage_dtype(dtype)
+        self.device_rescore = device_rescore
+        import math
+
+        self._row_multiple = math.lcm(self.n_shards * 8, 128)
+        self._mirror_cap = 0  # flat-mirror rows currently materialized
 
         # host-authoritative storage
         self._host = np.zeros((0, self.dim), dtype=np.float32)
@@ -96,10 +126,9 @@ class IVFIndex:
         self._counts = np.zeros((self.nlist,), dtype=np.int32)  # slots used
         self.cmax = 0
 
-        # device state: one atomically-swapped tuple
-        # (data, ids, sqnorms, scales-or-None, centroids) so lock-free
+        # device state: one atomically-swapped _Dev snapshot so lock-free
         # readers always see a consistent set of arrays
-        self._dev: Optional[tuple] = None
+        self._dev: Optional[_Dev] = None
         self._dirty = True
 
     # -- helpers ---------------------------------------------------------------
@@ -190,53 +219,90 @@ class IVFIndex:
         locs = self._loc[rows]
         placed = locs[:, 0] >= 0
         dev = self._dev
-        if placed.any() and not self._dirty and dev is not None:
-            c = jnp.asarray(locs[placed, 0])
-            s = jnp.asarray(locs[placed, 1])
-            ids = _tombstone(dev[1], c, s)
-            self._dev = (dev[0], ids, dev[2], dev[3], dev[4])
+        if not self._dirty and dev is not None:
+            new = dev
+            if placed.any():
+                c = jnp.asarray(locs[placed, 0])
+                s = jnp.asarray(locs[placed, 1])
+                new = new._replace(ids=_tombstone(new.ids, c, s))
+            new = new._replace(
+                fvalid=_clear_mirror_valid(
+                    new.fvalid, jnp.asarray(rows, jnp.int32)
+                )
+            )
+            self._dev = new
 
     def _place_rows(self, rows: np.ndarray, assign: np.ndarray) -> None:
         """Assign slots for new rows and scatter them into the device layout."""
-        slots = np.zeros_like(assign)
-        for i, c in enumerate(assign):  # vectorize later; batches are small
-            slots[i] = self._counts[c]
-            self._counts[c] += 1
+        # vectorized slot assignment: rows headed to the same cluster take
+        # consecutive slots starting at the cluster's current count
+        order = np.argsort(assign, kind="stable")
+        sorted_assign = assign[order]
+        group_start = np.zeros(len(order), dtype=np.int64)
+        new_group = np.flatnonzero(np.diff(sorted_assign)) + 1
+        group_start[new_group] = new_group
+        np.maximum.accumulate(group_start, out=group_start)
+        rank_in_group = np.arange(len(order), dtype=np.int64) - group_start
+        slots = np.empty(len(assign), dtype=self._counts.dtype)
+        slots[order] = self._counts[sorted_assign] + rank_in_group
+        np.add.at(self._counts, assign, 1)
         self._assign[rows] = assign
         self._loc[rows, 0] = assign
         self._loc[rows, 1] = slots
         dev = self._dev
         if self._dirty or dev is None:
             return
+        if int(rows.max()) >= self._mirror_cap:
+            # flat mirror is out of headroom: fall back to a full rebuild
+            self._dirty = True
+            return
         x = self._host[rows]
+        rows_d = jnp.asarray(rows, dtype=jnp.int32)
+        norms_d = jnp.asarray(np.sum(x.astype(np.float32) ** 2, axis=1))
+        frescore = dev.frescore
+        if frescore is not None:
+            frescore = _scatter_mirror_rows(frescore, rows_d, jnp.asarray(x))
         if self._dtype == jnp.int8:
-            from .flat import quantize_rows
-
             qx, scales = quantize_rows(x)
             data, ids, sqnorms, scl = _scatter_slots_q(
-                dev[0],
-                dev[1],
-                dev[2],
-                dev[3],
+                dev.data,
+                dev.ids,
+                dev.sqnorms,
+                dev.scales,
                 jnp.asarray(assign),
                 jnp.asarray(slots),
                 jnp.asarray(qx),
                 jnp.asarray(scales),
-                jnp.asarray(np.sum(x.astype(np.float32) ** 2, axis=1)),
-                jnp.asarray(rows, dtype=jnp.int32),
+                norms_d,
+                rows_d,
             )
-            self._dev = (data, ids, sqnorms, scl, dev[4])
+            fvecs, fvalid, fnorms, fscales = _scatter_flat_q(
+                dev.fvecs, dev.fvalid, dev.fnorms, dev.fscales,
+                rows_d, jnp.asarray(qx), jnp.asarray(scales), norms_d,
+            )
+            self._dev = dev._replace(
+                data=data, ids=ids, sqnorms=sqnorms, scales=scl,
+                fvecs=fvecs, fvalid=fvalid, fnorms=fnorms, fscales=fscales,
+                frescore=frescore,
+            )
         else:
             data, ids, sqnorms = _scatter_slots(
-                dev[0],
-                dev[1],
-                dev[2],
+                dev.data,
+                dev.ids,
+                dev.sqnorms,
                 jnp.asarray(assign),
                 jnp.asarray(slots),
                 jnp.asarray(x),
-                jnp.asarray(rows, dtype=jnp.int32),
+                rows_d,
             )
-            self._dev = (data, ids, sqnorms, dev[3], dev[4])
+            fvecs, fvalid, fnorms = _scatter_flat(
+                dev.fvecs, dev.fvalid, dev.fnorms, rows_d,
+                jnp.asarray(x), norms_d,
+            )
+            self._dev = dev._replace(
+                data=data, ids=ids, sqnorms=sqnorms,
+                fvecs=fvecs, fvalid=fvalid, fnorms=fnorms, frescore=frescore,
+            )
 
     def _rebuild_layout(self) -> None:
         """Re-pack live rows into capacity-padded cluster blocks (host side).
@@ -312,28 +378,80 @@ class IVFIndex:
             ids[c, s] = rows.astype(np.int32)
             sqnorms[c, s] = np.sum(vals.astype(np.float32) ** 2, axis=1)
             if scales is not None:
-                from .flat import quantize_rows
-
                 qvals, qscales = quantize_rows(vals)
                 data[c, s] = qvals
                 scales[c, s] = qscales
             else:
                 data[c, s] = vals.astype(np_dtype)
+        # ---- flat row-major mirror (exact path; position == row id) --------
+        mcap = round_up(
+            self._n_rows + max(1024, self._n_rows // 8), self._row_multiple
+        )
+        fvecs = np.zeros((mcap, self.dim), dtype=np_dtype)
+        fvalid = np.zeros((mcap,), dtype=bool)
+        fnorms = np.zeros((mcap,), dtype=np.float32)
+        fscales = np.zeros((mcap,), dtype=np.float32)
+        want_rescore = self._rescore_enabled(mcap)
+        frescore = (
+            np.zeros((mcap, self.dim), dtype=np.float32) if want_rescore else None
+        )
+        for lo in range(0, self._n_rows, step):
+            hi = min(lo + step, self._n_rows)
+            vals = self._host[lo:hi]
+            fnorms[lo:hi] = np.sum(vals.astype(np.float32) ** 2, axis=1)
+            if self._dtype == jnp.int8:
+                qvals, qscales = quantize_rows(vals)
+                fvecs[lo:hi] = qvals
+                fscales[lo:hi] = qscales
+            else:
+                fvecs[lo:hi] = vals.astype(np_dtype)
+            if frescore is not None:
+                frescore[lo:hi] = vals
+        fvalid[: self._n_rows] = self._alive
+        self._mirror_cap = mcap
+
         shard3 = NamedSharding(self.mesh, P(DATA_AXIS, None, None))
         shard2 = NamedSharding(self.mesh, P(DATA_AXIS, None))
-        dev = (
-            jax.device_put(data, shard3),
-            jax.device_put(ids, shard2),
-            jax.device_put(sqnorms, shard2),
-            jax.device_put(scales, shard2) if scales is not None else None,
-            jax.device_put(
+        rshard2 = NamedSharding(self.mesh, P(DATA_AXIS, None))
+        rshard1 = NamedSharding(self.mesh, P(DATA_AXIS))
+        dev = _Dev(
+            data=jax.device_put(data, shard3),
+            ids=jax.device_put(ids, shard2),
+            sqnorms=jax.device_put(sqnorms, shard2),
+            scales=jax.device_put(scales, shard2) if scales is not None else None,
+            centroids=jax.device_put(
                 np.ascontiguousarray(self.centroids, dtype=np.float32),
                 NamedSharding(self.mesh, P(None, None)),
+            ),
+            fvecs=jax.device_put(fvecs, rshard2),
+            fvalid=jax.device_put(fvalid, rshard1),
+            fnorms=jax.device_put(fnorms, rshard1),
+            fscales=jax.device_put(fscales, rshard1),
+            frescore=(
+                jax.device_put(frescore, rshard2) if frescore is not None else None
             ),
         )
         self._dev = dev  # single atomic swap
         self._dirty = False
         return dev
+
+    def _rescore_enabled(self, mirror_rows: int) -> bool:
+        """Fused f32 device rescore: on for lossy storage when the mirror
+        fits the HBM budget (or forced via the constructor flag)."""
+        if self._dtype == jnp.float32:
+            return False  # storage is already exact
+        if self.device_rescore is not None:
+            return bool(self.device_rescore)
+        return mirror_rows * self.dim * 4 <= DEVICE_RESCORE_MAX_BYTES
+
+    @property
+    def device_rescore_active(self) -> bool:
+        """True when exact-path searches already return f32-rescored results
+        (the store then skips its host-side rescore)."""
+        dev = self._dev
+        if dev is not None:
+            return dev.frescore is not None
+        return self._rescore_enabled(max(self._n_rows, 1))
 
     def _ensure_device(self) -> tuple:
         """Reader-side snapshot. Materialization is a WRITER responsibility
@@ -355,6 +473,17 @@ class IVFIndex:
     def _approx(self) -> bool:
         """approx_max_k only pays (and only lowers natively) on TPU."""
         return self.approx_topk and jax.default_backend() == "tpu"
+
+    def _storage_name(self) -> str:
+        return {jnp.int8: "int8", jnp.bfloat16: "bfloat16"}.get(
+            self._dtype, "float32"
+        )
+
+    def _fetch_width(self, k: int, shard_rows: int, rescore) -> int:
+        """Per-shard candidate width for the exact path (see FlatIndex)."""
+        if rescore is None:
+            return min(k, shard_rows)
+        return min(max(4 * k, 128), shard_rows)
 
     def _pallas_mode(self) -> str:
         """'off' | 'compiled' | 'interpret' (interpret covers CPU test meshes)."""
@@ -403,36 +532,42 @@ class IVFIndex:
         if self.metric == "cosine":
             q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
         dev = self._ensure_device()
-        data, ids_dev, sqnorms, scales_dev, centroids_dev = dev
-        np_probe = min(nprobe or self.nprobe, data.shape[0])
+        np_probe = min(nprobe or self.nprobe, dev.data.shape[0])
         q_pad = pad_bucket(n_q)
         if q_pad != n_q:
             q = np.pad(q, ((0, q_pad - n_q), (0, 0)))
         # shapes come from the snapshot, not live attributes (lock-free reads);
         # per-shard top_k bounds the SHARD selection width by shard rows, but
         # the merged pool holds n_shards * k_shard candidates
-        rows_total = data.shape[0] * data.shape[1]
-        k_shard = min(k, data.shape[1] * np_probe, rows_total // self.n_shards)
-        k_eff = min(k, k_shard * self.n_shards)
         q_dev = jax.device_put(q, NamedSharding(self.mesh, P(None, None)))
         if mode == "auto":
-            mode = self._pick_mode(q.shape[0], np_probe, k_eff)
-        scales = scales_dev if scales_dev is not None else sqnorms
+            mode = self._pick_mode(q.shape[0], np_probe, k)
         quantized = self._dtype == jnp.int8
         if mode == "exact":
-            scores, ids = _ivf_exact_scan(
-                self.mesh, data, ids_dev, sqnorms, scales, q_dev,
-                k_shard, self.metric, quantized, self._approx(), k_eff,
-                self.approx_recall_target,
+            shard_rows = dev.fvecs.shape[0] // self.n_shards
+            k_shard = min(k, shard_rows)
+            k_eff = min(k, k_shard * self.n_shards)
+            scores, ids = exact_scan(
+                self.mesh, dev.fvecs, dev.fnorms, dev.fvalid, dev.fscales,
+                dev.frescore, q_dev, k_shard,
+                self._fetch_width(k, shard_rows, dev.frescore),
+                self.metric, self._storage_name(), self._approx(),
+                self.approx_recall_target, k_eff,
             )
         else:
+            rows_total = dev.data.shape[0] * dev.data.shape[1]
+            k_shard = min(
+                k, dev.data.shape[1] * np_probe, rows_total // self.n_shards
+            )
+            k_eff = min(k, k_shard * self.n_shards)
+            scales = dev.scales if dev.scales is not None else dev.sqnorms
             scores, ids = _ivf_search(
                 self.mesh,
-                data,
-                ids_dev,
-                sqnorms,
+                dev.data,
+                dev.ids,
+                dev.sqnorms,
                 scales,
-                centroids_dev,
+                dev.centroids,
                 q_dev,
                 k_shard,
                 np_probe,
@@ -456,33 +591,35 @@ class IVFIndex:
     ):
         """Device-to-device IVF search (see FlatIndex.search_device)."""
         dev = self._ensure_device()
-        data, ids_dev, sqnorms, scales_dev, centroids_dev = dev
-        np_probe = min(nprobe or self.nprobe, data.shape[0])
-        rows_total = data.shape[0] * data.shape[1]
-        k = min(k, data.shape[1] * np_probe, rows_total // self.n_shards)
+        np_probe = min(nprobe or self.nprobe, dev.data.shape[0])
         if mode == "auto":
             mode = self._pick_mode(q_dev.shape[0], np_probe, k)
-        scales = scales_dev if scales_dev is not None else sqnorms
-        quantized = self._dtype == jnp.int8
         if mode == "exact":
-            return _ivf_exact_scan(
-                self.mesh, data, ids_dev, sqnorms, scales, q_dev,
-                k, self.metric, quantized, self._approx(), None,
+            shard_rows = dev.fvecs.shape[0] // self.n_shards
+            k = min(k, shard_rows)
+            return exact_scan(
+                self.mesh, dev.fvecs, dev.fnorms, dev.fvalid, dev.fscales,
+                dev.frescore, q_dev, k,
+                self._fetch_width(k, shard_rows, dev.frescore),
+                self.metric, self._storage_name(), self._approx(),
                 self.approx_recall_target,
             )
+        rows_total = dev.data.shape[0] * dev.data.shape[1]
+        k = min(k, dev.data.shape[1] * np_probe, rows_total // self.n_shards)
+        scales = dev.scales if dev.scales is not None else dev.sqnorms
         return _ivf_search(
             self.mesh,
-            data,
-            ids_dev,
-            sqnorms,
+            dev.data,
+            dev.ids,
+            dev.sqnorms,
             scales,
-            centroids_dev,
+            dev.centroids,
             q_dev,
             k,
             np_probe,
             self.metric,
             self._pallas_mode(),
-            quantized,
+            self._dtype == jnp.int8,
         )
 
     # -- maintenance / persistence -------------------------------------------------
@@ -580,61 +717,31 @@ def _tombstone(ids, clusters, slots):
     return ids.at[clusters, slots].set(-1)
 
 
-@partial(jax.jit, static_argnums=(0, 6, 7, 8, 9, 10, 11))
-def _ivf_exact_scan(mesh, data, ids, sqnorms, scales, q, k, metric, quantized,
-                    approx=False, k_out=None, recall_target=0.99):
-    """Masked full scan of the padded cluster layout (one MXU pass for the
-    whole query batch). With ``approx`` the per-shard selection uses the
-    TPU-native ``lax.approx_max_k`` at ``recall_target`` — the plain
-    ``top_k`` over millions of columns otherwise dominates the step.
-    ``k`` is the per-shard selection width; the merge returns ``k_out``."""
-    if k_out is None:
-        k_out = k
-    n_shards = int(np.prod(mesh.devices.shape))
+@jax.jit
+def _clear_mirror_valid(fvalid, rows):
+    return fvalid.at[rows].set(False)
 
-    def shard_fn(data_s, ids_s, sqn_s, scl_s, qq):
-        rows = data_s.shape[0] * data_s.shape[1]
-        flat = data_s.reshape(rows, data_s.shape[2])
-        ids_flat = ids_s.reshape(1, rows)
-        rhs = flat.astype(jnp.bfloat16) if quantized else flat
-        scores = jax.lax.dot_general(
-            qq,
-            rhs,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (Q, rows)
-        if quantized:
-            scores = scores * scl_s.reshape(1, rows)
-        if metric == "l2":
-            scores = 2.0 * scores - sqn_s.reshape(1, rows)
-        scores = jnp.where(ids_flat >= 0, scores, _NEG_INF)
-        if approx:
-            s, pos = jax.lax.approx_max_k(scores, k, recall_target=recall_target)
-        else:
-            s, pos = jax.lax.top_k(scores, k)
-        i = jnp.take_along_axis(
-            jnp.broadcast_to(ids_flat, scores.shape), pos, axis=1
-        )
-        return s, i
 
-    s, ids_out = jax.shard_map(
-        shard_fn,
-        mesh=mesh,
-        in_specs=(
-            P(DATA_AXIS, None, None),
-            P(DATA_AXIS, None),
-            P(DATA_AXIS, None),
-            P(DATA_AXIS, None),
-            P(None, None),
-        ),
-        out_specs=(P(None, DATA_AXIS), P(None, DATA_AXIS)),
-    )(data, ids, sqnorms, scales, q)
-    top_s, top_pos = jax.lax.top_k(s, k_out)
-    top_ids = jnp.take_along_axis(ids_out, top_pos, axis=1)
-    if metric == "l2":
-        qnorm = jnp.sum(q.astype(jnp.float32) ** 2, axis=1, keepdims=True)
-        top_s = top_s - qnorm
-    return top_s, top_ids
+@jax.jit
+def _scatter_mirror_rows(frescore, rows, x):
+    return frescore.at[rows].set(x)
+
+
+@jax.jit
+def _scatter_flat(fvecs, fvalid, fnorms, rows, x, norms):
+    fvecs = fvecs.at[rows].set(x.astype(fvecs.dtype))
+    fvalid = fvalid.at[rows].set(True)
+    fnorms = fnorms.at[rows].set(norms)
+    return fvecs, fvalid, fnorms
+
+
+@jax.jit
+def _scatter_flat_q(fvecs, fvalid, fnorms, fscales, rows, qx, scales, norms):
+    fvecs = fvecs.at[rows].set(qx)
+    fvalid = fvalid.at[rows].set(True)
+    fnorms = fnorms.at[rows].set(norms)
+    fscales = fscales.at[rows].set(scales)
+    return fvecs, fvalid, fnorms, fscales
 
 
 @partial(jax.jit, static_argnums=(0, 7, 8, 9, 10, 11, 12))

@@ -1,0 +1,164 @@
+"""Shared exact-scan step for the flat index and the IVF exact path.
+
+TPU-first scoring design (round-2 engine core):
+
+- **int8 exact-integer arithmetic.** For ``int8`` storage the QUERIES are
+  also quantized (symmetric per-row, on device). Both operands are integers
+  ≤ 127; cast to bf16 they are exactly representable (8 mantissa bits), so
+  the MXU matmul with f32 accumulation computes the EXACT integer dot
+  product, rescaled by (query scale x row scale). Score error is just the
+  original quantization noise (std ≈ scale/sqrt(12) ~ 5e-4 for unit-norm
+  embeddings) — ~5x tighter than bf16 scoring, whose 2^-8 epsilon ties
+  hundreds of clustered near-duplicates, at HALF the HBM traffic.
+  (Measured on chip: bf16 scoring caps recall@10 vs an f32 oracle at 0.986
+  no matter how deep the rescore fetch; see docs/BENCHMARKS.md.)
+
+- **Fused f32 device rescore.** Each shard over-fetches ``fetch``
+  candidates, gathers their rows from an f32 mirror resident in HBM, and
+  re-scores them exactly — inside the same jit step. The gather reads
+  Q x fetch rows (~1/8 of one corpus pass at fetch=128), so exact final
+  ordering costs ~12% extra HBM instead of a 1M-row f32 scan (4x the
+  bytes) or a host-side rescore (which single-threads the serving path).
+
+- **Per-shard approx selection.** ``lax.approx_max_k`` picks the ``fetch``
+  candidates (plain top_k over millions of columns dominates the step
+  otherwise); misses concentrate at the BOTTOM of the fetched set, so the
+  true top-k survive the fetch with margin once scores are tie-free.
+
+Replaces: the per-query work Milvus IVF_FLAT does server-side for the
+reference (reference src/semcode/storage/milvus_store.py:135-148).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from ..parallel.mesh import DATA_AXIS
+
+_NEG_INF = np.float32(-3.0e38)
+
+
+def quantize_queries_device(q):
+    """Symmetric per-row int8 quantization of a query batch, on device.
+
+    Returns (q_int as bf16 — exact for values ≤ 127 — and f32 scales).
+    Matches flat.quantize_rows semantics (host path).
+    """
+    scale = jnp.maximum(jnp.max(jnp.abs(q), axis=1), 1e-12) / 127.0
+    qq = jnp.clip(jnp.round(q / scale[:, None]), -127, 127)
+    return qq.astype(jnp.bfloat16), scale.astype(jnp.float32)
+
+
+def _score_block(qq, vecs, scales_rows, storage, q_scales=None):
+    """(Q, d) x (R, d) -> (Q, R) f32 scores for a storage-dtype block."""
+    if storage == "int8":
+        rhs = vecs.astype(jnp.bfloat16)  # ints ≤ 127: exact in bf16
+        raw = jax.lax.dot_general(
+            qq,
+            rhs,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return raw * q_scales[:, None] * scales_rows[None, :]
+    raw = jax.lax.dot_general(
+        qq,
+        vecs,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return raw
+
+
+@partial(jax.jit, static_argnums=(0, 7, 8, 9, 10, 11, 12, 13))
+def exact_scan(
+    mesh,
+    vecs,        # (R, d) row-sharded, storage dtype
+    norms,       # (R,) f32 row sqnorms (l2)
+    valid,       # (R,) bool liveness
+    scales,      # (R,) f32 int8 row scales (or placeholder)
+    rescore,     # (R, d) f32 mirror for fused rescore, or None
+    q,           # (Q, d) f32, replicated, metric-normalized
+    k,           # per-shard result width
+    fetch,       # per-shard candidate width before rescore (>= k)
+    metric,      # ip | cosine | l2
+    storage,     # int8 | bfloat16 | float32
+    approx,      # use lax.approx_max_k for the candidate selection
+    recall_target=0.99,
+    k_out=None,  # final merged width (default k)
+):
+    """Fused: scan + select + (rescore) per shard, all-gather, global merge."""
+    if k_out is None:
+        k_out = k
+    n_shards = int(np.prod(mesh.devices.shape))
+    shard_rows = vecs.shape[0] // n_shards
+    fetch = min(fetch, shard_rows)
+    k = min(k, fetch)
+
+    if storage == "int8":
+        qq, q_scales = quantize_queries_device(q)
+    else:
+        qq, q_scales = q, None
+
+    def shard_fn(v, nrm, vld, scl, resc, qq_s, q_f32):
+        base = jax.lax.axis_index(DATA_AXIS).astype(jnp.int32) * shard_rows
+        scores = _score_block(qq_s, v, scl, storage, q_scales)
+        if metric == "l2":
+            scores = 2.0 * scores - nrm[None, :]
+        scores = jnp.where(vld[None, :], scores, _NEG_INF)
+        if approx:
+            s, pos = jax.lax.approx_max_k(scores, fetch, recall_target=recall_target)
+        else:
+            s, pos = jax.lax.top_k(scores, fetch)  # (Q, fetch) local rows
+        if resc is not None:
+            # fused exact rescore: gather candidate rows from the f32 mirror
+            cand = resc[pos]  # (Q, fetch, d)
+            exact = jnp.einsum(
+                "qfd,qd->qf", cand, q_f32, preferred_element_type=jnp.float32
+            )
+            if metric == "l2":
+                exact = 2.0 * exact - nrm[pos]
+            s = jnp.where(s > _NEG_INF / 2, exact, s)
+        if k < fetch:
+            s, sel = jax.lax.top_k(s, k)
+            pos = jnp.take_along_axis(pos, sel, axis=1)
+        return s, pos + base
+
+    in_specs = [
+        P(DATA_AXIS, None),
+        P(DATA_AXIS),
+        P(DATA_AXIS),
+        P(DATA_AXIS),
+        P(DATA_AXIS, None) if rescore is not None else P(),
+        P(None, None),
+        P(None, None),
+    ]
+    operands = [vecs, norms, valid, scales, rescore, qq, q]
+    if rescore is None:
+        # shard_map needs a real operand; pass a zero-dim placeholder
+        def wrapper(v, nrm, vld, scl, qq_s, q_f32):
+            return shard_fn(v, nrm, vld, scl, None, qq_s, q_f32)
+
+        s, ids = jax.shard_map(
+            wrapper,
+            mesh=mesh,
+            in_specs=tuple(in_specs[:4] + in_specs[5:]),
+            out_specs=(P(None, DATA_AXIS), P(None, DATA_AXIS)),
+        )(vecs, norms, valid, scales, qq, q)
+    else:
+        s, ids = jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=tuple(in_specs),
+            out_specs=(P(None, DATA_AXIS), P(None, DATA_AXIS)),
+        )(*operands)
+    top_s, top_i = jax.lax.top_k(s, k_out)
+    top_ids = jnp.take_along_axis(ids, top_i, axis=1)
+    if metric == "l2":
+        qnorm = jnp.sum(q.astype(jnp.float32) ** 2, axis=1, keepdims=True)
+        top_s = top_s - qnorm  # score = -||q - x||^2 (higher = closer)
+    return top_s, top_ids

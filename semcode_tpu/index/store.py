@@ -159,6 +159,8 @@ class VectorStore:
                     dtype=self.config.index_dtype,
                     mesh=self._mesh,
                     capacity=self.config.index_capacity,
+                    device_rescore=self.config.index_device_rescore,
+                    approx_recall_target=self.config.index_approx_recall_target,
                 )
             self._view = (index, row_to_id, row_meta)
         return index
@@ -173,6 +175,7 @@ class VectorStore:
             mesh=self._mesh,
             kmeans_iters=self.config.index_kmeans_iters,
             approx_recall_target=self.config.index_approx_recall_target,
+            device_rescore=self.config.index_device_rescore,
         )
 
     def _maybe_promote(self) -> None:
@@ -364,14 +367,16 @@ class VectorStore:
         return self._hits_from(view, scores, ids, top_k, filters)
 
     def _fetch_k(self, index, top_k: int, filters) -> int:
-        """Candidate fetch depth: headroom for post-filtering and for f32
-        rescoring (deep enough that approx-topk/bf16 misses get recovered),
-        capped to what the index can actually return."""
-        fetch_k = max(
-            top_k * 4 if filters else top_k,
-            top_k * self.config.index_rescore,
-            self.config.index_rescore_min if self.config.index_rescore else 0,
-        )
+        """Candidate fetch depth: headroom for post-filtering, plus — only
+        when the index does NOT rescore on device — headroom for the host
+        f32 rescore to recover approx-topk/low-precision-scoring misses."""
+        fetch_k = top_k * 4 if filters else top_k
+        if not getattr(index, "device_rescore_active", False):
+            fetch_k = max(
+                fetch_k,
+                top_k * self.config.index_rescore,
+                self.config.index_rescore_min if self.config.index_rescore else 0,
+            )
         return min(fetch_k, max(index.size, 1))
 
     def _rescore_host(self, index, q: np.ndarray, scores, ids):
@@ -382,6 +387,8 @@ class VectorStore:
         flat as the batch grows."""
         if self.config.index_rescore <= 0:
             return scores, ids
+        if getattr(index, "device_rescore_active", False):
+            return scores, ids  # already exactly rescored in the scan step
         host = getattr(index, "_host", None)
         if host is None:
             return scores, ids
@@ -449,6 +456,15 @@ class VectorStore:
 
     def count(self) -> int:
         return len(self._id_to_row)
+
+    def iter_payload_meta(self):
+        """Yield (payload id, metadata dict) for every stored chunk.
+
+        Snapshot-consistent: iterates one view, so concurrent mutation can't
+        produce a mixed-generation listing (used by the quality harness)."""
+        _, row_to_id, row_meta = self._view
+        for row, pid in list(row_to_id.items()):
+            yield pid, row_meta.get(row, {})
 
     # -- persistence ------------------------------------------------------------------
 

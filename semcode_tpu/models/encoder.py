@@ -85,7 +85,8 @@ class _Block(nn.Module):
             x = ln1((x + attn(x, x, mask=mask)).astype(jnp.float32)).astype(
                 cfg.dtype
             )
-            h = mlp_out(nn.gelu(mlp_in(x)))
+            # HF BERT's "gelu" is the exact erf form, not the tanh approx
+            h = mlp_out(nn.gelu(mlp_in(x), approximate=False))
             return ln2((x + h).astype(jnp.float32)).astype(cfg.dtype)
         # pre-LN layout (default: more stable to train from scratch)
         h = ln1(x).astype(cfg.dtype)
@@ -170,6 +171,7 @@ class EncoderEmbeddings:
         )
         self.batch_size = int(batch_size)
         self.model = CodeEncoder(self.cfg)
+        self.random_init = False  # set True below if no checkpoint is found
         if weights_path is not None and (Path(weights_path)).exists():
             wp = Path(weights_path)
             if (wp / "semcode_encoder.msgpack").exists():
@@ -191,11 +193,16 @@ class EncoderEmbeddings:
             self.params = self.model.init(
                 jax.random.PRNGKey(seed), init_ids, init_mask
             )
-            log.info(
-                "encoder_initialized_random",
+            self.random_init = True
+            log.warning(
+                "encoder_running_with_RANDOM_weights",
                 preset=preset,
-                hidden=self.cfg.hidden,
-                layers=self.cfg.layers,
+                detail=(
+                    "provider=tpu-encoder has no checkpoint: embeddings are "
+                    "random-init and retrieval quality will be poor. Set "
+                    "encoder.weights_path to an HF checkpoint dir or run "
+                    "'semcode-tpu train' first; or use provider=tpu-hash."
+                ),
             )
         self.dim = self.cfg.hidden
         if dim is not None and dim != self.dim:

@@ -39,7 +39,7 @@ class AppSettings(BaseModel):
     model_config = ConfigDict(extra="allow")
 
     # -- workspace / registry -------------------------------------------------
-    workspace_root: Path = Path("./workspace")
+    workspace_root: Optional[Path] = Path("./workspace")  # None = no workspace (ephemeral in-memory store)
 
     # -- API service ----------------------------------------------------------
     api_key: Optional[str] = None
@@ -68,7 +68,11 @@ class AppSettings(BaseModel):
     # -- TPU vector index (replaces the reference's Milvus section) -----------
     index_kind: str = "auto"  # flat | ivf | auto (flat until ivf_min_size rows)
     index_metric: str = "ip"  # ip | l2 | cosine
-    index_dtype: str = "bfloat16"  # storage dtype; accumulation is float32
+    # int8 by default: per-row-quantized corpus AND queries give EXACT integer
+    # dots on the MXU (ints <= 127 are exact in bf16) — tighter scores than
+    # bf16 at half the HBM traffic; the fused f32 device rescore makes final
+    # ordering exact (see index/scan.py)
+    index_dtype: str = "int8"  # int8 | bfloat16 | float32
     index_nlist: int = 128  # reference milvus_store.py:81
     index_nprobe: int = 16  # reference milvus_store.py:144
     index_ivf_min_size: int = 8192  # below this, auto uses flat exact scan
@@ -88,6 +92,9 @@ class AppSettings(BaseModel):
     search_top_k_max: int = 1024
     # per-shard lax.approx_max_k recall target in full scans (TPU only)
     index_approx_recall_target: float = 0.99
+    # fused f32 device rescore: None = auto (on while the f32 mirror fits
+    # the HBM budget), True/False to force
+    index_device_rescore: Optional[bool] = None
 
     # -- mesh / parallelism ----------------------------------------------------
     mesh_shape: str = ""  # e.g. "8" or "4x2"; empty = all local devices, 1-D
@@ -198,6 +205,7 @@ _SECTION_FIELDS: Dict[str, Dict[str, str]] = {
         "rescore_min": "index_rescore_min",
         "top_k_max": "search_top_k_max",
         "approx_recall_target": "index_approx_recall_target",
+        "device_rescore": "index_device_rescore",
     },
     "mesh": {"shape": "mesh_shape", "axis_names": "mesh_axis_names"},
     "rag": {
