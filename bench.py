@@ -1,9 +1,13 @@
-"""Headline benchmark: IVF query throughput at matched recall on TPU.
+"""Headline benchmark: query throughput at matched recall on TPU.
 
 Builds a 1M x 384 clustered synthetic corpus (code embeddings cluster by
-repo/module, so a Gaussian mixture is the realistic shape), trains the IVF
-index on TPU (nlist=1024), verifies recall@10 >= 0.95 against the exact-scan
-oracle, then measures steady-state query throughput in batches.
+repo/module, so a Gaussian mixture is the realistic shape), builds the IVF
+index on TPU (nlist=1024, int8 storage + fused f32 device rescore), measures
+recall@10 against an exact f32 oracle, then measures:
+
+- amortized batch throughput for the exact-scan and probing modes,
+- per-query serving latency (micro-batches of 8, pipelined dispatch),
+- reader latency while a writer streams inserts (lock-free serving).
 
 Baseline: the reference delegates ANN to Milvus IVF_FLAT on CPU
 (/root/reference/docker-compose.yml); Milvus itself cannot run in this image,
@@ -12,9 +16,13 @@ nlist/nprobe (same FLOPs Milvus's IVF_FLAT performs per query, favourable to
 the baseline since it skips Milvus's RPC + scheduling overhead).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": QPS, "unit": "qps", "vs_baseline": ratio}
+  {"metric": ..., "value": QPS, "unit": "qps", "vs_baseline": ratio,
+   "extras": {recall, probing qps, serving p50/p99, under-ingest p50/p99}}
 
-Extra context (recall, build time, p50 latency, baseline QPS) goes to stderr.
+NOTE on methodology: on this platform jax.block_until_ready() does NOT
+synchronize — only data fetches do. Throughput is measured by enqueueing a
+chunk of batches and fetching only the last result (the TPU executes
+in order); latency is dispatch + full result fetch.
 """
 
 from __future__ import annotations
@@ -22,6 +30,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import threading
 import time
 
 import numpy as np
@@ -34,8 +43,9 @@ NPROBE = int(os.environ.get("BENCH_NPROBE", 32))
 K = 10
 N_QUERIES = int(os.environ.get("BENCH_QUERIES", 512))
 BATCH = int(os.environ.get("BENCH_BATCH", 256))
-TIMED_ROUNDS = int(os.environ.get("BENCH_ROUNDS", 20))
-DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")  # bfloat16 | int8 | float32
+SERVE_BATCH = int(os.environ.get("BENCH_SERVE_BATCH", 8))
+TIMED_SECS = float(os.environ.get("BENCH_SECS", 20))
+DTYPE = os.environ.get("BENCH_DTYPE", "int8")  # int8 | bfloat16 | float32
 
 
 def log(msg: str) -> None:
@@ -56,6 +66,26 @@ def make_corpus(rng: np.random.Generator):
         ).astype(np.float32)
     out /= np.maximum(np.linalg.norm(out, axis=1, keepdims=True), 1e-9)
     return out, centers
+
+
+def host_oracle(x: np.ndarray, queries: np.ndarray, k: int) -> np.ndarray:
+    """Exact f32 top-k on the host (keeps HBM free for the index build)."""
+    out = np.zeros((queries.shape[0], k), dtype=np.int64)
+    for i in range(0, queries.shape[0], 64):
+        scores = queries[i : i + 64] @ x.T
+        out[i : i + 64] = np.argpartition(-scores, k, axis=1)[:, :k]
+    return out
+
+
+def recall_of(got: np.ndarray, oracle: np.ndarray) -> float:
+    return float(
+        np.mean(
+            [
+                len(set(a.tolist()) & set(b.tolist())) / oracle.shape[1]
+                for a, b in zip(got, oracle)
+            ]
+        )
+    )
 
 
 def cpu_ivf_baseline_qps(x, queries, centroids, counts_order, rounds=3):
@@ -87,7 +117,7 @@ def cpu_ivf_baseline_qps(x, queries, centroids, counts_order, rounds=3):
 
 def main() -> None:
     rng = np.random.default_rng(42)
-    log(f"[bench] corpus N={N} dim={DIM} nlist={NLIST} nprobe={NPROBE}")
+    log(f"[bench] corpus N={N} dim={DIM} nlist={NLIST} nprobe={NPROBE} {DTYPE}")
     t0 = time.perf_counter()
     x, _ = make_corpus(rng)
     queries = x[rng.choice(N, N_QUERIES, replace=False)] + 0.05 * rng.standard_normal(
@@ -96,25 +126,13 @@ def main() -> None:
     queries /= np.maximum(np.linalg.norm(queries, axis=1, keepdims=True), 1e-9)
     log(f"[bench] corpus built in {time.perf_counter()-t0:.1f}s")
 
-    from semcode_tpu.index.flat import FlatIndex
-    from semcode_tpu.index.ivf import IVFIndex
-
-    # ---- exact oracle (f32 so it is the true ranking; also proves the TPU
-    # flat path at 1M scale) ---------------------------------------------------
     t0 = time.perf_counter()
-    flat = FlatIndex(DIM, metric="ip", dtype="float32")
-    flat.add(x)
-    oracle_ids = np.zeros((N_QUERIES, K), dtype=np.int64)
-    for i in range(0, N_QUERIES, BATCH):
-        _, ids = flat.search(queries[i : i + BATCH], k=K)
-        oracle_ids[i : i + ids.shape[0]] = ids
-    log(f"[bench] exact oracle done in {time.perf_counter()-t0:.1f}s")
-    # free the oracle's HBM before building the IVF layout (f32 oracle +
-    # padded layout cannot coexist on one chip at high dims)
-    del flat
-    import gc
+    oracle_ids = host_oracle(x, queries, K)
+    log(f"[bench] exact f32 host oracle in {time.perf_counter()-t0:.1f}s")
 
-    gc.collect()
+    import jax
+
+    from semcode_tpu.index.ivf import IVFIndex
 
     # ---- IVF build ----------------------------------------------------------
     t0 = time.perf_counter()
@@ -124,68 +142,57 @@ def main() -> None:
     )
     ivf.add(x)
     build_s = time.perf_counter() - t0
-    log(f"[bench] IVF build: {build_s:.1f}s (nlist={ivf.nlist}, cmax={ivf.cmax})")
-
-    # ---- warm + recall -------------------------------------------------------
-    def measure_recall(mode):
-        # mirror the production store path: fetch 4K candidates, f32-rescore
-        got = np.zeros((N_QUERIES, K), dtype=np.int64)
-        for i in range(0, N_QUERIES, BATCH):
-            _, ids = ivf.search(queries[i : i + BATCH], k=4 * K, mode=mode)
-            for j, row in enumerate(ids):
-                rows = row[row >= 0]
-                s = x[rows] @ queries[i + j]
-                got[i + j] = rows[np.argsort(-s)[:K]]
-        return float(
-            np.mean(
-                [
-                    len(set(a.tolist()) & set(b.tolist())) / K
-                    for a, b in zip(got, oracle_ids)
-                ]
-            )
-        )
-
-    t0 = time.perf_counter()
-    auto_mode = ivf._pick_mode(BATCH, NPROBE, K)
-    recall = measure_recall("auto")
-    recall_ivf = measure_recall("ivf") if auto_mode != "ivf" else recall
     log(
-        f"[bench] warm pass: {time.perf_counter()-t0:.1f}s; auto mode={auto_mode}"
-        f" recall@10={recall:.4f} (forced-ivf recall={recall_ivf:.4f})"
+        f"[bench] IVF build: {build_s:.1f}s (nlist={ivf.nlist}, cmax={ivf.cmax},"
+        f" device_rescore={ivf.device_rescore_active})"
     )
 
-    # ---- timed QPS -------------------------------------------------------------
-    # Throughput: pipelined device-to-device calls (dispatch is async; keep
-    # several batches in flight so tunnel/dispatch latency is hidden).
-    import jax
+    # snapshot the built layout now: the streaming-ingest section below adds
+    # rows past N, which the baseline's corpus array doesn't contain
+    base_live = np.flatnonzero(ivf._alive).copy()
+    base_assign = ivf._assign[base_live].copy()
 
     q_batches = [
         jax.device_put(queries[i : i + BATCH])
         for i in range(0, N_QUERIES, BATCH)
         if queries[i : i + BATCH].shape[0] == BATCH
     ]
-    def timed_qps(mode):
-        """Throughput via amortized dispatch: enqueue a chunk of batches and
-        fetch only the last result (the TPU executes enqueued programs in
-        order, so the fetch forces the whole chunk). NOTE: on this platform
-        block_until_ready does NOT synchronize — only data fetches do — so
-        latency is measured as dispatch + full result fetch."""
-        np.asarray(ivf.search_device(q_batches[0], K, mode=mode)[0])  # warm
+
+    # ---- recall (both scan modes, production path: fused device rescore) ----
+    def measure_recall(mode):
+        got = np.zeros((N_QUERIES, K), dtype=np.int64)
+        for bi, i in enumerate(range(0, N_QUERIES, BATCH)):
+            _, ids = ivf.search_device(q_batches[bi], K, mode=mode)
+            got[i : i + BATCH] = np.asarray(ids)
+        return recall_of(got, oracle_ids)
+
+    auto_mode = ivf._pick_mode(BATCH, NPROBE, K)
+    recall = measure_recall("exact")
+    recall_ivf = measure_recall("ivf")
+    log(
+        f"[bench] recall@10: exact={recall:.4f} probing(nprobe={NPROBE})="
+        f"{recall_ivf:.4f}; auto mode at batch {BATCH} = {auto_mode}"
+    )
+
+    # ---- timed QPS ------------------------------------------------------------
+    def timed_qps(mode, batches, secs=TIMED_SECS):
+        np.asarray(ivf.search_device(batches[0], K, mode=mode)[0])  # warm
         lat = []
         for _ in range(8):  # single-call sync latency (incl. host transfer)
             t0 = time.perf_counter()
-            np.asarray(ivf.search_device(q_batches[0], K, mode=mode)[0])
+            np.asarray(ivf.search_device(batches[0], K, mode=mode)[0])
             lat.append(time.perf_counter() - t0)
+        bsz = batches[0].shape[0]
         chunk = 32
         t_start = time.perf_counter()
         n_done = 0
-        while time.perf_counter() - t_start < 30:
+        while time.perf_counter() - t_start < secs:
             outs = []
             for i in range(chunk):
                 outs.append(
-                    ivf.search_device(q_batches[i % len(q_batches)], K, mode=mode)
+                    ivf.search_device(batches[i % len(batches)], K, mode=mode)
                 )
-                n_done += BATCH
+                n_done += bsz
             np.asarray(outs[-1][0])
         total_s = time.perf_counter() - t_start
         return (
@@ -194,21 +201,70 @@ def main() -> None:
             float(np.percentile(lat, 99) * 1000),
         )
 
-    qps, p50, p99 = timed_qps("auto")
+    qps, p50, p99 = timed_qps("exact", q_batches)
     log(
-        f"[bench] TPU auto({auto_mode}): {qps:.0f} QPS amortized (batch={BATCH}),"
+        f"[bench] TPU exact scan: {qps:.0f} QPS amortized (batch={BATCH}),"
         f" single-call latency p50={p50:.1f}ms p99={p99:.1f}ms per batch"
     )
-    if auto_mode != "ivf":
-        qps_ivf, p50_ivf, p99_ivf = timed_qps("ivf")
-        log(
-            f"[bench] TPU forced-ivf: {qps_ivf:.0f} QPS, p50={p50_ivf:.1f}ms "
-            f"p99={p99_ivf:.1f}ms per batch"
-        )
+    qps_ivf, p50_ivf, p99_ivf = timed_qps("ivf", q_batches, secs=TIMED_SECS / 2)
+    log(
+        f"[bench] TPU probing (pallas={ivf._pallas_mode()}): {qps_ivf:.0f} QPS,"
+        f" p50={p50_ivf:.1f}ms p99={p99_ivf:.1f}ms per batch"
+    )
 
-    # ---- CPU baseline ------------------------------------------------------------
-    live = np.flatnonzero(ivf._alive)
-    assign = ivf._assign[live]
+    # ---- serving-path per-query latency (micro-batches, pipelined) ----------
+    serve_batches = [
+        jax.device_put(queries[i : i + SERVE_BATCH])
+        for i in range(0, min(N_QUERIES, 32 * SERVE_BATCH), SERVE_BATCH)
+    ]
+    lat = []
+    np.asarray(ivf.search_device(serve_batches[0], K)[0])  # warm the shape
+    for i in range(64):
+        t0 = time.perf_counter()
+        np.asarray(ivf.search_device(serve_batches[i % len(serve_batches)], K)[0])
+        lat.append((time.perf_counter() - t0) * 1000)
+    serve_p50 = float(np.percentile(lat, 50))
+    serve_p99 = float(np.percentile(lat, 99))
+    log(
+        f"[bench] serving path (batch={SERVE_BATCH}): per-request "
+        f"p50={serve_p50:.1f}ms p99={serve_p99:.1f}ms (incl. host transfer)"
+    )
+
+    # ---- queries during streaming ingest (lock-free serving) ----------------
+    stop = threading.Event()
+    write_count = {"n": 0}
+
+    def writer():
+        # bounded: stays inside the layout/mirror headroom so the stream
+        # exercises the scatter path, not a (slow-compile) full rebuild
+        wrng = np.random.default_rng(7)
+        for _ in range(20):
+            if stop.is_set():
+                return
+            ivf.add(
+                (wrng.standard_normal((256, DIM)) * 0.3).astype(np.float32)
+            )
+            write_count["n"] += 256
+
+    ingest_lat = []
+    wt = threading.Thread(target=writer, daemon=True)
+    wt.start()
+    t_start = time.perf_counter()
+    while time.perf_counter() - t_start < min(TIMED_SECS, 15):
+        t0 = time.perf_counter()
+        np.asarray(ivf.search_device(serve_batches[0], K)[0])
+        ingest_lat.append((time.perf_counter() - t0) * 1000)
+    stop.set()
+    wt.join(timeout=30)
+    under_p50 = float(np.percentile(ingest_lat, 50))
+    under_p99 = float(np.percentile(ingest_lat, 99))
+    log(
+        f"[bench] under ingest ({write_count['n']} rows streamed): reader "
+        f"p50={under_p50:.1f}ms p99={under_p99:.1f}ms ({len(ingest_lat)} reads)"
+    )
+
+    # ---- CPU baseline ----------------------------------------------------------
+    live, assign = base_live, base_assign
     order = np.argsort(assign, kind="stable")
     packed = live[order]
     counts = np.bincount(assign, minlength=ivf.nlist)
@@ -221,14 +277,28 @@ def main() -> None:
 
     result = {
         "metric": (
-            f"query throughput at recall@10={recall:.3f} "
-            f"(N={N}, dim={DIM}, auto scan mode={auto_mode}, nlist={NLIST}, "
-            f"nprobe={NPROBE}, {DTYPE}, 1 chip; CPU baseline = numpy "
-            f"IVF-equivalent same nlist/nprobe)"
+            f"query throughput at recall@10={recall:.4f} "
+            f"(N={N}, dim={DIM}, {DTYPE} + fused f32 device rescore, exact "
+            f"scan mode, nlist={NLIST}, 1 chip; CPU baseline = numpy "
+            f"IVF-equivalent nprobe={NPROBE})"
         ),
         "value": round(qps, 1),
         "unit": "qps",
         "vs_baseline": round(qps / base_qps, 2) if base_qps > 0 else None,
+        "extras": {
+            "recall_at_10_exact": round(recall, 4),
+            "recall_at_10_probing": round(recall_ivf, 4),
+            "probing_qps": round(qps_ivf, 1),
+            "batch_p50_ms": round(p50, 1),
+            "batch_p99_ms": round(p99, 1),
+            "serving_batch": SERVE_BATCH,
+            "serving_p50_ms": round(serve_p50, 1),
+            "serving_p99_ms": round(serve_p99, 1),
+            "under_ingest_p50_ms": round(under_p50, 1),
+            "under_ingest_p99_ms": round(under_p99, 1),
+            "build_s": round(build_s, 1),
+            "cpu_baseline_qps": round(base_qps, 1),
+        },
     }
     print(json.dumps(result))
 

@@ -66,7 +66,7 @@ class FlatIndex:
         capacity: int = 0,
         device_rescore: Optional[bool] = None,  # None = auto by HBM budget
         approx_topk: bool = True,
-        approx_recall_target: float = 0.99,
+        approx_recall_target: float = 0.95,
     ):
         if metric not in ("ip", "cosine", "l2"):
             raise ValueError(f"unknown metric: {metric}")

@@ -35,7 +35,7 @@ from ..logger import get_logger
 from ..ops.kmeans import balanced_assign, kmeans_fit, topm_clusters
 from ..parallel.mesh import DATA_AXIS, get_mesh, pad_bucket, round_up
 from .flat import DEVICE_RESCORE_MAX_BYTES, quantize_rows
-from .scan import exact_scan
+from .scan import exact_scan, rescore_global
 
 log = get_logger("index.ivf")
 
@@ -91,7 +91,7 @@ class IVFIndex:
         use_pallas: str = "auto",  # auto | always | never
         balance_cap: float = 2.0,  # cluster capacity cap, x mean occupancy
         approx_topk: bool = True,  # lax.approx_max_k in full scans (TPU-fast)
-        approx_recall_target: float = 0.99,  # per-shard approx_max_k target
+        approx_recall_target: float = 0.95,  # per-shard approx_max_k target
         device_rescore: Optional[bool] = None,  # None = auto by HBM budget
     ):
         if metric not in ("ip", "cosine", "l2"):
@@ -576,6 +576,14 @@ class IVFIndex:
                 quantized,
                 k_eff,
             )
+            if dev.frescore is not None:
+                scores, ids = _resort(
+                    rescore_global(
+                        self.mesh, dev.frescore, dev.fnorms, q_dev, ids,
+                        self.metric,
+                    ),
+                    ids,
+                )
         scores = np.asarray(scores[:n_q]).astype(np.float32)
         ids = np.asarray(ids[:n_q]).astype(np.int64)
         bad = (ids < 0) | (scores <= _NEG_INF / 2)
@@ -607,7 +615,7 @@ class IVFIndex:
         rows_total = dev.data.shape[0] * dev.data.shape[1]
         k = min(k, dev.data.shape[1] * np_probe, rows_total // self.n_shards)
         scales = dev.scales if dev.scales is not None else dev.sqnorms
-        return _ivf_search(
+        scores, ids = _ivf_search(
             self.mesh,
             dev.data,
             dev.ids,
@@ -621,6 +629,14 @@ class IVFIndex:
             self._pallas_mode(),
             self._dtype == jnp.int8,
         )
+        if dev.frescore is not None:
+            scores, ids = _resort(
+                rescore_global(
+                    self.mesh, dev.frescore, dev.fnorms, q_dev, ids, self.metric
+                ),
+                ids,
+            )
+        return scores, ids
 
     # -- maintenance / persistence -------------------------------------------------
 
@@ -718,6 +734,13 @@ def _tombstone(ids, clusters, slots):
 
 
 @jax.jit
+def _resort(scores, ids):
+    """Order (scores, ids) by descending score (post-rescore)."""
+    s, pos = jax.lax.top_k(scores, scores.shape[1])
+    return s, jnp.take_along_axis(ids, pos, axis=1)
+
+
+@jax.jit
 def _clear_mirror_valid(fvalid, rows):
     return fvalid.at[rows].set(False)
 
@@ -794,16 +817,34 @@ def _ivf_search(mesh, data, ids, sqnorms, scales, centroids, q, k, nprobe,
                 scales_s=scl_s,
             )
 
+        if quantized:
+            # exact-int scoring, matching the pallas kernel and scan.py:
+            # both operands are ints <= 127 (exact in bf16), the dot is the
+            # exact integer product, rescaled by query x row scales
+            from .scan import quantize_queries_device
+
+            q_int, q_scl = quantize_queries_device(qq)
+        else:
+            q_int, q_scl = qq, None
+
         def step(carry, inputs):
             best_s, best_i = carry
             pl, own = inputs  # (Q,), (Q,)
             blocks = data_s[pl]  # (Q, cmax, d) gather
-            scores = jnp.einsum(
-                "qd,qcd->qc",
-                qq,
-                blocks.astype(jnp.float32),
-                preferred_element_type=jnp.float32,
-            )
+            if quantized:
+                scores = jnp.einsum(
+                    "qd,qcd->qc",
+                    q_int,
+                    blocks.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                ) * q_scl[:, None]
+            else:
+                scores = jnp.einsum(
+                    "qd,qcd->qc",
+                    qq,
+                    blocks.astype(jnp.float32),
+                    preferred_element_type=jnp.float32,
+                )
             ids_blk = ids_s[pl]  # (Q, cmax)
             if quantized:
                 scores = scores * scl_s[pl]

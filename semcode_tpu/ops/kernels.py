@@ -1,16 +1,29 @@
 """Pallas TPU kernels for the IVF scan hot path.
 
-The XLA fallback path (lax.scan over probes in index/ivf.py) gathers each
-probed cluster block into a fresh buffer before scoring — the gathered copies
-triple HBM traffic and the per-step `top_k(concat(...))` sorts far more than
-k elements. This kernel streams each probed cluster block HBM->VMEM exactly
-once with double-buffered async DMA, scores it against the query on-chip, and
-maintains the running top-k in VMEM scratch with k cheap max+mask passes
-(k is small and static). Layout requirements: cmax and dim multiples of 128
-(the IVF layout rounds up when the kernel is enabled).
+Cluster-major fused probing kernel (round-2 rewrite). The round-1 kernel ran
+one grid step per QUERY with the probe loop inside, so a cluster probed by
+many queries was DMA'd HBM->VMEM once *per query* (measured ~6x read
+amplification at batch 64) and scoring was a (1, cmax) GEMV — poor MXU
+shape. This kernel inverts the loop nest:
 
-Grid: (Q, nprobe), probe index innermost so the per-query scratch carries the
-running top-k across probe steps; outputs are written on the last probe step.
+- the grid walks the COMPACTED UNION of probed clusters (computed with two
+  static-shaped XLA ops before the call), so each cluster block moves
+  HBM->VMEM exactly once per batch regardless of how many queries probe it;
+- scoring is one (Q, cmax) GEMM per block — real MXU work;
+- a per-query bitmask (does query q probe cluster c?) is evaluated in-VMEM
+  from the padded probe table, masking scores for non-probing queries;
+- the running top-k lives in VMEM scratch that persists across grid steps
+  (the TPU grid is a sequential loop), folded with k cheap max+mask passes;
+- blocks are pipelined automatically by pallas via the scalar-prefetched
+  index map (no manual double-buffered DMA).
+
+int8 storage uses the same exact-integer trick as index/scan.py: queries are
+quantized symmetrically per row, both operands are ints <= 127 (exact in
+bf16), so the MXU computes the exact integer dot rescaled by the two scales.
+
+Layout requirements: cmax and dim multiples of 128 (the IVF layout rounds up
+when the kernel is enabled); nprobe <= 128 (the IVF path falls back to XLA
+beyond that).
 """
 
 from __future__ import annotations
@@ -24,132 +37,99 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -3.0e38  # python float: jnp scalars become captured consts in pallas
 K_PAD = 128  # output row padding (top-k slots, lane-aligned)
+PROBE_PAD = 128  # probe-table lane padding
 
 
-def _ivf_scan_kernel(
+def _ivf_cluster_kernel(
     # scalar prefetch
-    probes_ref,  # (Q, nprobe) int32 local cluster ids (clipped)
-    owned_ref,  # (Q, nprobe) int32 1 = this shard owns the probe
-    # inputs
-    q_ref,  # (Q, d) f32, VMEM
-    data_ref,  # (nlist_s, cmax, d) storage dtype, HBM
-    ids_ref,  # (nlist_s, 1, cmax) int32, HBM
-    scl_ref,  # (nlist_s, 1, cmax) f32, HBM (int8 per-row scales)
+    union_ref,  # (U,) int32 compacted probed-cluster ids (padding = unprobed)
+    # inputs (auto-pipelined VMEM blocks)
+    q_ref,      # (Q, d) f32 (or exact-int bf16), whole-array VMEM
+    qscl_ref,   # (Q, 128) f32 query scales (int8) or ones
+    probes_ref,  # (Q, PROBE_PAD) int32 local cluster ids, -1 = not probed
+    data_ref,   # (1, cmax, d) current cluster block
+    ids_ref,    # (1, 1, cmax) int32 row ids
+    scl_ref,    # (1, 1, cmax) f32 row scales
     # outputs
-    out_s_ref,  # (Q, K_PAD) f32, VMEM
-    out_i_ref,  # (Q, K_PAD) int32, VMEM
-    # scratch
-    blocks,  # (2, cmax, d) storage dtype, VMEM (double buffer)
-    idblocks,  # (2, 1, cmax) int32
-    sclblocks,  # (2, 1, cmax) f32
-    sems,  # DMA semaphores (2, 3)
+    out_s_ref,  # (Q, K_PAD) f32
+    out_i_ref,  # (Q, K_PAD) int32
+    # scratch (persists across the sequential grid)
+    acc_s,      # (Q, K_PAD) f32 running top-k scores
+    acc_i,      # (Q, K_PAD) int32 running top-k ids
     *,
     k: int,
-    nprobe: int,
+    n_steps: int,
     quantized: bool,
 ):
-    qi = pl.program_id(0)
-    qv = q_ref[pl.ds(qi, 1), :]  # (1, d)
+    u = pl.program_id(0)
+    c = union_ref[u]
 
-    def data_dma(buf_slot, probe_j):
-        c = probes_ref[qi, probe_j]
-        return pltpu.make_async_copy(
-            data_ref.at[c], blocks.at[buf_slot], sems.at[buf_slot, 0]
-        )
+    @pl.when(u == 0)
+    def _init():
+        acc_s[...] = jnp.full(acc_s.shape, NEG_INF, dtype=jnp.float32)
+        acc_i[...] = jnp.full(acc_i.shape, -1, dtype=jnp.int32)
 
-    def ids_dma(buf_slot, probe_j):
-        c = probes_ref[qi, probe_j]
-        return pltpu.make_async_copy(
-            ids_ref.at[c], idblocks.at[buf_slot], sems.at[buf_slot, 1]
-        )
+    block = data_ref[0]  # (cmax, d)
+    if quantized:
+        block = block.astype(jnp.bfloat16)
+    scores = jax.lax.dot_general(
+        q_ref[...],
+        block,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (Q, cmax)
+    if quantized:
+        scores = scores * qscl_ref[:, :1] * scl_ref[0]
+    ids_row = ids_ref[0]  # (1, cmax)
+    # does query q probe cluster c? one VMEM compare over the padded table
+    probing = jnp.max(
+        (probes_ref[...] == c).astype(jnp.float32), axis=1, keepdims=True
+    )  # (Q, 1)
+    valid = (ids_row >= 0) & (probing > 0.0)
+    scores = jnp.where(valid, scores, NEG_INF)
 
-    def scl_dma(buf_slot, probe_j):
-        c = probes_ref[qi, probe_j]
-        return pltpu.make_async_copy(
-            scl_ref.at[c], sclblocks.at[buf_slot], sems.at[buf_slot, 2]
-        )
-
-    def start_all(buf_slot, probe_j):
-        data_dma(buf_slot, probe_j).start()
-        ids_dma(buf_slot, probe_j).start()
-        if quantized:
-            scl_dma(buf_slot, probe_j).start()
-
-    def wait_all(buf_slot, probe_j):
-        data_dma(buf_slot, probe_j).wait()
-        ids_dma(buf_slot, probe_j).wait()
-        if quantized:
-            scl_dma(buf_slot, probe_j).wait()
-
-    # one grid step per query: the probe loop lives inside the kernel so the
-    # (formerly dominant) per-grid-step overhead is paid once per query, not
-    # once per (query, probe) pair. Double-buffered DMA hides block loads.
-    start_all(0, 0)
-    cmax = blocks.shape[1]
+    n_q, cmax = scores.shape
     col = jax.lax.broadcasted_iota(jnp.int32, (1, cmax), 1)
     kcol = jax.lax.broadcasted_iota(jnp.int32, (1, K_PAD), 1)
+    bs, bi = acc_s[...], acc_i[...]
 
-    def probe_body(j, carry):
-        bs, bi = carry
-        slot = jax.lax.rem(j, 2)
-        next_slot = jax.lax.rem(j + 1, 2)
+    # fold the block's top-k into the running best: k passes of max+mask,
+    # each replacing the per-query worst best-slot if it improves on it
+    def fold(_, carry):
+        scores, bs, bi = carry
+        m = jnp.max(scores, axis=1, keepdims=True)  # (Q, 1)
+        arg = jnp.argmax(scores, axis=1).reshape(n_q, 1)
+        hit = col == arg  # (Q, cmax)
+        cand_id = jnp.sum(
+            jnp.where(hit, jnp.broadcast_to(ids_row, scores.shape), 0),
+            axis=1,
+            keepdims=True,
+        )
+        wmin = jnp.min(bs, axis=1, keepdims=True)
+        warg = jnp.argmin(bs, axis=1).reshape(n_q, 1)
+        better = m > wmin
+        slot = kcol == warg
+        bs = jnp.where(better & slot, m, bs)
+        bi = jnp.where(better & slot, cand_id, bi)
+        scores = jnp.where(hit, NEG_INF, scores)
+        return scores, bs, bi
 
-        @pl.when(j + 1 < nprobe)
-        def _():
-            start_all(next_slot, j + 1)
+    _, bs, bi = jax.lax.fori_loop(0, k, fold, (scores, bs, bi))
+    acc_s[...] = bs
+    acc_i[...] = bi
 
-        wait_all(slot, j)
-        block = blocks[slot]  # (cmax, d)
-        if quantized:
-            block = block.astype(jnp.bfloat16)
-        scores = jax.lax.dot_general(
-            qv,
-            block,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (1, cmax)
-        if quantized:
-            scores = scores * sclblocks[slot]
-        ids_row = idblocks[slot]  # (1, cmax)
-        own = owned_ref[qi, j]
-        valid = (ids_row >= 0) & (own > 0)
-        scores = jnp.where(valid, scores, NEG_INF)
-
-        # fold the block's top-k into the running best: k passes of max+mask,
-        # each replacing the current worst best-slot if it improves on it.
-        def fold(t, fold_carry):
-            scores, bs, bi = fold_carry
-            m = jnp.max(scores, axis=1, keepdims=True)  # (1,1)
-            arg = jnp.argmax(scores, axis=1).reshape(1, 1)
-            cand_id = jnp.sum(
-                jnp.where(col == arg, ids_row, 0), axis=1, keepdims=True
-            )
-            wmin = jnp.min(bs, axis=1, keepdims=True)
-            warg = jnp.argmin(bs, axis=1).reshape(1, 1)
-            better = m > wmin
-            bs = jnp.where(better & (kcol == warg), m, bs)
-            bi = jnp.where(better & (kcol == warg), cand_id, bi)
-            scores = jnp.where(col == arg, NEG_INF, scores)
-            return scores, bs, bi
-
-        _, bs, bi = jax.lax.fori_loop(0, k, fold, (scores, bs, bi))
-        return bs, bi
-
-    init = (
-        jnp.full((1, K_PAD), NEG_INF, dtype=jnp.float32),
-        jnp.full((1, K_PAD), -1, dtype=jnp.int32),
-    )
-    bs, bi = jax.lax.fori_loop(0, nprobe, probe_body, init)
-    out_s_ref[pl.ds(qi, 1), :] = bs
-    out_i_ref[pl.ds(qi, 1), :] = bi
+    @pl.when(u == n_steps - 1)
+    def _emit():
+        out_s_ref[...] = acc_s[...]
+        out_i_ref[...] = acc_i[...]
 
 
 def ivf_scan_shard(
     data_s: jax.Array,  # (nlist_s, cmax, d)
     ids_s: jax.Array,  # (nlist_s, cmax)
-    q: jax.Array,  # (Q, d) f32
+    q: jax.Array,  # (Q, d) f32, metric-normalized
     probes_local: jax.Array,  # (Q, nprobe) int32, clipped to [0, nlist_s)
-    owned: jax.Array,  # (Q, nprobe) int32
+    owned: jax.Array,  # (Q, nprobe) int32 1 = this shard owns the probe
     *,
     k: int,
     interpret: bool = False,
@@ -158,43 +138,75 @@ def ivf_scan_shard(
 ):
     """Per-shard fused IVF scan. Returns (scores (Q, k), ids (Q, k))."""
     n_q, d = q.shape
+    nlist_s, cmax = data_s.shape[0], data_s.shape[1]
     nprobe = probes_local.shape[1]
-    cmax = data_s.shape[1]
     assert cmax % 128 == 0 and d % 128 == 0, "pallas layout needs 128-multiples"
+    assert nprobe <= PROBE_PAD, "kernel supports nprobe <= 128"
     quantized = data_s.dtype == jnp.int8
-    # ids/scales get a leading singleton so VMEM blocks are 2-D (1, cmax)
-    ids3 = ids_s.reshape(data_s.shape[0], 1, cmax)
-    if scales_s is None or not quantized:
-        scl3 = jnp.zeros((data_s.shape[0], 1, cmax), jnp.float32)
+
+    # ---- compacted union of probed clusters (static shapes) ----------------
+    owned_i = owned.astype(jnp.int32)
+    flat_local = jnp.where(owned_i > 0, probes_local, 0).reshape(-1)
+    probed = (
+        jnp.zeros((nlist_s,), jnp.int32)
+        .at[flat_local]
+        .max(owned_i.reshape(-1))
+    )
+    # probed clusters first (stable by id); tail = unprobed (masked in-kernel)
+    union = jnp.argsort(-probed, stable=True).astype(jnp.int32)
+    n_steps = min(nlist_s, n_q * nprobe)
+    union = union[:n_steps]
+
+    # ---- padded probe table: -1 where not probed/owned ----------------------
+    table = jnp.where(owned_i > 0, probes_local.astype(jnp.int32), -1)
+    table = jnp.pad(
+        table, ((0, 0), (0, PROBE_PAD - nprobe)), constant_values=-1
+    )
+
+    if quantized:
+        from ..index.scan import quantize_queries_device
+
+        qq, q_scales = quantize_queries_device(q)
+        qscl = jnp.broadcast_to(q_scales[:, None], (n_q, PROBE_PAD))
     else:
-        scl3 = scales_s.reshape(data_s.shape[0], 1, cmax).astype(jnp.float32)
+        qq = q
+        qscl = jnp.ones((n_q, PROBE_PAD), jnp.float32)
+    ids3 = ids_s.reshape(nlist_s, 1, cmax)
+    if scales_s is None or not quantized:
+        scl3 = jnp.zeros((nlist_s, 1, cmax), jnp.float32)
+    else:
+        scl3 = scales_s.reshape(nlist_s, 1, cmax).astype(jnp.float32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(n_q,),
+        num_scalar_prefetch=1,
+        grid=(n_steps,),
         in_specs=[
-            pl.BlockSpec((n_q, d), lambda qi, *_: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((n_q, d), lambda u, un: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (n_q, PROBE_PAD), lambda u, un: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (n_q, PROBE_PAD), lambda u, un: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((1, cmax, d), lambda u, un: (un[u], 0, 0)),
+            pl.BlockSpec((1, 1, cmax), lambda u, un: (un[u], 0, 0)),
+            pl.BlockSpec((1, 1, cmax), lambda u, un: (un[u], 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec(
-                (n_q, K_PAD), lambda qi, *_: (0, 0), memory_space=pltpu.VMEM
+                (n_q, K_PAD), lambda u, un: (0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (n_q, K_PAD), lambda qi, *_: (0, 0), memory_space=pltpu.VMEM
+                (n_q, K_PAD), lambda u, un: (0, 0), memory_space=pltpu.VMEM
             ),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, cmax, d), data_s.dtype),
-            pltpu.VMEM((2, 1, cmax), jnp.int32),
-            pltpu.VMEM((2, 1, cmax), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.VMEM((n_q, K_PAD), jnp.float32),
+            pltpu.VMEM((n_q, K_PAD), jnp.int32),
         ],
     )
     kernel = functools.partial(
-        _ivf_scan_kernel, k=k, nprobe=nprobe, quantized=quantized
+        _ivf_cluster_kernel, k=k, n_steps=n_steps, quantized=quantized
     )
     out_s, out_i = pl.pallas_call(
         kernel,
@@ -204,14 +216,7 @@ def ivf_scan_shard(
             jax.ShapeDtypeStruct((n_q, K_PAD), jnp.int32, vma=vma),
         ],
         interpret=interpret,
-    )(
-        probes_local.astype(jnp.int32),
-        owned.astype(jnp.int32),
-        q,
-        data_s,
-        ids3,
-        scl3,
-    )
+    )(union, qq, qscl, table, data_s, ids3, scl3)
     # top-k slots are unsorted; order them
     top_s, pos = jax.lax.top_k(out_s[:, :K_PAD], k)
     top_i = jnp.take_along_axis(out_i, pos, axis=1)

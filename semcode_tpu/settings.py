@@ -91,7 +91,7 @@ class AppSettings(BaseModel):
     # per-shard top_k limits and compile fresh jit shapes)
     search_top_k_max: int = 1024
     # per-shard lax.approx_max_k recall target in full scans (TPU only)
-    index_approx_recall_target: float = 0.99
+    index_approx_recall_target: float = 0.95
     # fused f32 device rescore: None = auto (on while the f32 mirror fits
     # the HBM budget), True/False to force
     index_device_rescore: Optional[bool] = None
