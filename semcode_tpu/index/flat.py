@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..parallel.mesh import DATA_AXIS, get_mesh, pad_bucket, round_up
+from ..parallel.mesh import get_mesh, pad_bucket, round_up, row_axes
 from .scan import exact_scan
 
 _NEG_INF = np.float32(-3.0e38)
@@ -73,7 +73,9 @@ class FlatIndex:
         self.dim = int(dim)
         self.metric = metric
         self.mesh = mesh if mesh is not None else get_mesh()
-        self.n_shards = int(np.prod(self.mesh.devices.shape))
+        self._row_axes = row_axes(self.mesh)
+        sizes = dict(zip(self.mesh.axis_names, self.mesh.devices.shape))
+        self.n_shards = int(np.prod([sizes[a] for a in self._row_axes]))
         self._dtype = _storage_dtype(dtype)
         self._device_rescore = device_rescore
         self.approx_topk = bool(approx_topk)
@@ -96,10 +98,10 @@ class FlatIndex:
     # -- host <-> device ------------------------------------------------------
 
     def _vec_sharding(self) -> NamedSharding:
-        return NamedSharding(self.mesh, P(DATA_AXIS, None))
+        return NamedSharding(self.mesh, P(self._row_axes, None))
 
     def _norm_sharding(self) -> NamedSharding:
-        return NamedSharding(self.mesh, P(DATA_AXIS))
+        return NamedSharding(self.mesh, P(self._row_axes))
 
     def _rescore_enabled(self) -> bool:
         """Fused f32 device rescore: on for lossy storage when the mirror

@@ -33,7 +33,14 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..logger import get_logger
 from ..ops.kmeans import balanced_assign, kmeans_fit, topm_clusters
-from ..parallel.mesh import DATA_AXIS, get_mesh, pad_bucket, round_up
+from ..parallel.mesh import (
+    get_mesh,
+    hierarchical_topk_merge,
+    linear_rank,
+    pad_bucket,
+    round_up,
+    row_axes,
+)
 from .flat import DEVICE_RESCORE_MAX_BYTES, quantize_rows
 from .scan import exact_scan, rescore_global
 
@@ -99,7 +106,9 @@ class IVFIndex:
         self.dim = int(dim)
         self.metric = metric
         self.mesh = mesh if mesh is not None else get_mesh()
-        self.n_shards = int(np.prod(self.mesh.devices.shape))
+        self._row_axes = row_axes(self.mesh)
+        _sizes = dict(zip(self.mesh.axis_names, self.mesh.devices.shape))
+        self.n_shards = int(np.prod([_sizes[a] for a in self._row_axes]))
         self.nlist = round_up(int(nlist), self.n_shards)
         self.nprobe = min(int(nprobe), self.nlist)
         self.kmeans_iters = kmeans_iters
@@ -410,10 +419,11 @@ class IVFIndex:
         fvalid[: self._n_rows] = self._alive
         self._mirror_cap = mcap
 
-        shard3 = NamedSharding(self.mesh, P(DATA_AXIS, None, None))
-        shard2 = NamedSharding(self.mesh, P(DATA_AXIS, None))
-        rshard2 = NamedSharding(self.mesh, P(DATA_AXIS, None))
-        rshard1 = NamedSharding(self.mesh, P(DATA_AXIS))
+        axes = self._row_axes
+        shard3 = NamedSharding(self.mesh, P(axes, None, None))
+        shard2 = NamedSharding(self.mesh, P(axes, None))
+        rshard2 = NamedSharding(self.mesh, P(axes, None))
+        rshard1 = NamedSharding(self.mesh, P(axes))
         dev = _Dev(
             data=jax.device_put(data, shard3),
             ids=jax.device_put(ids, shard2),
@@ -556,8 +566,13 @@ class IVFIndex:
             )
         else:
             rows_total = dev.data.shape[0] * dev.data.shape[1]
+            # with the f32 mirror available, over-fetch candidates so the
+            # post-merge exact rescore can recover int8-ranking misses
+            # (64 keeps the pallas kernel eligible; exact top-64 of the
+            # integer scores virtually always contains the true top-k)
+            fetch = max(4 * k, 64) if dev.frescore is not None else k
             k_shard = min(
-                k, dev.data.shape[1] * np_probe, rows_total // self.n_shards
+                fetch, dev.data.shape[1] * np_probe, rows_total // self.n_shards
             )
             k_eff = min(k, k_shard * self.n_shards)
             scales = dev.scales if dev.scales is not None else dev.sqnorms
@@ -574,7 +589,7 @@ class IVFIndex:
                 self.metric,
                 self._pallas_mode(),
                 quantized,
-                k_eff,
+                min(fetch, k_shard * self.n_shards),
             )
             if dev.frescore is not None:
                 scores, ids = _resort(
@@ -584,6 +599,7 @@ class IVFIndex:
                     ),
                     ids,
                 )
+            scores, ids = scores[:, :k_eff], ids[:, :k_eff]
         scores = np.asarray(scores[:n_q]).astype(np.float32)
         ids = np.asarray(ids[:n_q]).astype(np.int64)
         bad = (ids < 0) | (scores <= _NEG_INF / 2)
@@ -613,7 +629,11 @@ class IVFIndex:
                 self.approx_recall_target,
             )
         rows_total = dev.data.shape[0] * dev.data.shape[1]
-        k = min(k, dev.data.shape[1] * np_probe, rows_total // self.n_shards)
+        fetch = max(4 * k, 64) if dev.frescore is not None else k
+        k_shard = min(
+            fetch, dev.data.shape[1] * np_probe, rows_total // self.n_shards
+        )
+        k_eff = min(k, k_shard * self.n_shards)
         scales = dev.scales if dev.scales is not None else dev.sqnorms
         scores, ids = _ivf_search(
             self.mesh,
@@ -623,11 +643,12 @@ class IVFIndex:
             scales,
             dev.centroids,
             q_dev,
-            k,
+            k_shard,
             np_probe,
             self.metric,
             self._pallas_mode(),
             self._dtype == jnp.int8,
+            min(fetch, k_shard * self.n_shards),
         )
         if dev.frescore is not None:
             scores, ids = _resort(
@@ -636,7 +657,7 @@ class IVFIndex:
                 ),
                 ids,
             )
-        return scores, ids
+        return scores[:, :k_eff], ids[:, :k_eff]
 
     # -- maintenance / persistence -------------------------------------------------
 
@@ -776,7 +797,10 @@ def _ivf_search(mesh, data, ids, sqnorms, scales, centroids, q, k, nprobe,
     n_shards*k candidate pool returns ``k_out`` (default k) columns."""
     if k_out is None:
         k_out = k
-    n_shards = int(np.prod(mesh.devices.shape))
+    axes = row_axes(mesh)
+    _sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    n_shards = int(np.prod([_sizes[a] for a in axes]))
+    k_out = min(k_out, k * n_shards)
     nlist = data.shape[0]
     nlist_s = nlist // n_shards
     cmax = data.shape[1]
@@ -796,7 +820,7 @@ def _ivf_search(mesh, data, ids, sqnorms, scales, centroids, q, k, nprobe,
     _, probes = jax.lax.top_k(probe_scores, nprobe)  # (Q, nprobe) int32
 
     def shard_fn(data_s, ids_s, sqn_s, scl_s, qq, probes_s):
-        me = jax.lax.axis_index(DATA_AXIS).astype(jnp.int32)
+        me = linear_rank(mesh, axes)
         base = me * nlist_s
         owned = (probes_s // nlist_s) == me  # (Q, nprobe)
         local = jnp.clip(probes_s - base, 0, nlist_s - 1)
@@ -805,7 +829,7 @@ def _ivf_search(mesh, data, ids, sqnorms, scales, centroids, q, k, nprobe,
         if pallas_mode != "off" and k <= 64:
             from ..ops.kernels import ivf_scan_shard
 
-            return ivf_scan_shard(
+            s_loc, i_loc = ivf_scan_shard(
                 data_s,
                 ids_s,
                 qq,
@@ -813,9 +837,10 @@ def _ivf_search(mesh, data, ids, sqnorms, scales, centroids, q, k, nprobe,
                 owned.astype(jnp.int32),
                 k=k,
                 interpret=(pallas_mode == "interpret"),
-                vma=frozenset({DATA_AXIS}),
+                vma=frozenset(axes),
                 scales_s=scl_s,
             )
+            return hierarchical_topk_merge(s_loc, i_loc, k_out, axes)
 
         if quantized:
             # exact-int scoring, matching the pallas kernel and scan.py:
@@ -861,36 +886,36 @@ def _ivf_search(mesh, data, ids, sqnorms, scales, centroids, q, k, nprobe,
         init = (
             jax.lax.pcast(
                 jnp.full((n_q, k), _NEG_INF, dtype=jnp.float32),
-                (DATA_AXIS,),
+                tuple(axes),
                 to="varying",
             ),
             jax.lax.pcast(
-                jnp.full((n_q, k), -1, dtype=jnp.int32), (DATA_AXIS,), to="varying"
+                jnp.full((n_q, k), -1, dtype=jnp.int32), tuple(axes), to="varying"
             ),
         )
         (best_s, best_i), _ = jax.lax.scan(
             step, init, (local.T, owned.T)
         )
-        return best_s, best_i
+        # ICI-first merge; only (Q, k_out) crosses the outer (DCN) axis
+        return hierarchical_topk_merge(best_s, best_i, k_out, axes)
 
-    s, ids_out = jax.shard_map(
+    top_s, top_ids = jax.shard_map(
         shard_fn,
         mesh=mesh,
         in_specs=(
-            P(DATA_AXIS, None, None),
-            P(DATA_AXIS, None),
-            P(DATA_AXIS, None),
-            P(DATA_AXIS, None),
+            P(axes, None, None),
+            P(axes, None),
+            P(axes, None),
+            P(axes, None),
             P(None, None),
             P(None, None),
         ),
-        out_specs=(P(None, DATA_AXIS), P(None, DATA_AXIS)),
-        # the pallas interpreter's vma propagation trips over mixed
-        # varying/unvarying dynamic_slice operands; checks stay on for XLA
-        check_vma=(pallas_mode == "off"),
+        out_specs=(P(None, None), P(None, None)),
+        # the hierarchical all_gather+top_k merge returns replicated values
+        # the static vma checker can't infer (and the pallas interpreter's
+        # vma propagation trips over mixed varying/unvarying operands)
+        check_vma=False,
     )(data, ids, sqnorms, scales, q, probes)
-    top_s, top_pos = jax.lax.top_k(s, k_out)
-    top_ids = jnp.take_along_axis(ids_out, top_pos, axis=1)
     if metric == "l2":
         qnorm = jnp.sum(q.astype(jnp.float32) ** 2, axis=1, keepdims=True)
         top_s = top_s - qnorm

@@ -42,7 +42,11 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import PartitionSpec as P
 
-from ..parallel.mesh import DATA_AXIS
+from ..parallel.mesh import (
+    hierarchical_topk_merge,
+    linear_rank,
+    row_axes,
+)
 
 _NEG_INF = np.float32(-3.0e38)
 
@@ -111,10 +115,13 @@ def exact_scan(
     """
     if k_out is None:
         k_out = k
-    n_shards = int(np.prod(mesh.devices.shape))
+    axes = row_axes(mesh)
+    n_shards = int(np.prod([dict(zip(mesh.axis_names, mesh.devices.shape))[a]
+                            for a in axes]))
     shard_rows = vecs.shape[0] // n_shards
     fetch = min(fetch, shard_rows)
     k = min(k, fetch)
+    k_out = min(k_out, k * n_shards)
     f16 = score_dtype == "float16"
     neg = _NEG_F16 if f16 else _NEG_INF
 
@@ -124,7 +131,7 @@ def exact_scan(
         qq, q_scales = q, None
 
     def shard_fn(v, nrm, vld, scl, resc, qq_s, q_f32):
-        base = jax.lax.axis_index(DATA_AXIS).astype(jnp.int32) * shard_rows
+        base = linear_rank(mesh, axes) * shard_rows
         scores = _score_block(qq_s, v, scl, storage, q_scales)
         if metric == "l2":
             scores = 2.0 * scores - nrm[None, :]
@@ -151,14 +158,16 @@ def exact_scan(
         if k < fetch:
             s, sel = jax.lax.top_k(s, k)
             pos = jnp.take_along_axis(pos, sel, axis=1)
-        return s, pos + base
+        # hierarchical merge: innermost (ICI) axis first, so only (Q, k_out)
+        # crosses the slower outer fabric (DCN on a ("dcn","data") mesh)
+        return hierarchical_topk_merge(s, pos + base, k_out, axes)
 
     in_specs = [
-        P(DATA_AXIS, None),
-        P(DATA_AXIS),
-        P(DATA_AXIS),
-        P(DATA_AXIS),
-        P(DATA_AXIS, None) if rescore is not None else P(),
+        P(axes, None),
+        P(axes),
+        P(axes),
+        P(axes),
+        P(axes, None) if rescore is not None else P(),
         P(None, None),
         P(None, None),
     ]
@@ -168,21 +177,23 @@ def exact_scan(
         def wrapper(v, nrm, vld, scl, qq_s, q_f32):
             return shard_fn(v, nrm, vld, scl, None, qq_s, q_f32)
 
-        s, ids = jax.shard_map(
+        top_s, top_ids = jax.shard_map(
             wrapper,
             mesh=mesh,
             in_specs=tuple(in_specs[:4] + in_specs[5:]),
-            out_specs=(P(None, DATA_AXIS), P(None, DATA_AXIS)),
+            out_specs=(P(None, None), P(None, None)),
+            # the hierarchical all_gather+top_k merge returns values that ARE
+            # replicated, but the static vma checker can't infer it
+            check_vma=False,
         )(vecs, norms, valid, scales, qq, q)
     else:
-        s, ids = jax.shard_map(
+        top_s, top_ids = jax.shard_map(
             shard_fn,
             mesh=mesh,
             in_specs=tuple(in_specs),
-            out_specs=(P(None, DATA_AXIS), P(None, DATA_AXIS)),
+            out_specs=(P(None, None), P(None, None)),
+            check_vma=False,  # see above
         )(*operands)
-    top_s, top_i = jax.lax.top_k(s, k_out)
-    top_ids = jnp.take_along_axis(ids, top_i, axis=1)
     if metric == "l2":
         qnorm = jnp.sum(q.astype(jnp.float32) ** 2, axis=1, keepdims=True)
         top_s = top_s - qnorm  # score = -||q - x||^2 (higher = closer)
@@ -202,11 +213,13 @@ def rescore_global(mesh, frescore, fnorms, q, ids, metric):
     Returns f32 scores aligned with ``ids`` (NOT re-sorted; -inf where
     ids < 0). For l2, scores follow the -||q-x||^2 convention.
     """
-    n_shards = int(np.prod(mesh.devices.shape))
+    axes = row_axes(mesh)
+    n_shards = int(np.prod([dict(zip(mesh.axis_names, mesh.devices.shape))[a]
+                            for a in axes]))
     shard_rows = frescore.shape[0] // n_shards
 
     def shard_fn(resc, nrm, qq, ids_rep):
-        base = jax.lax.axis_index(DATA_AXIS).astype(jnp.int32) * shard_rows
+        base = linear_rank(mesh, axes) * shard_rows
         local = ids_rep.astype(jnp.int32) - base
         mine = (ids_rep >= 0) & (local >= 0) & (local < shard_rows)
         li = jnp.clip(local, 0, shard_rows - 1)
@@ -217,14 +230,14 @@ def rescore_global(mesh, frescore, fnorms, q, ids, metric):
         if metric == "l2":
             exact = 2.0 * exact - nrm[li]
         part = jnp.where(mine, exact, 0.0)
-        return jax.lax.psum(part, DATA_AXIS)
+        return jax.lax.psum(part, axes)
 
     exact = jax.shard_map(
         shard_fn,
         mesh=mesh,
         in_specs=(
-            P(DATA_AXIS, None),
-            P(DATA_AXIS),
+            P(axes, None),
+            P(axes),
             P(None, None),
             P(None, None),
         ),

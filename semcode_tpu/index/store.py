@@ -123,10 +123,22 @@ class VectorStore:
         if self._connected:
             return
         if self._mesh is None:
-            self._mesh = get_mesh(
-                self.config.mesh_shape,
-                tuple(self.config.mesh_axis_names.split(",")),
+            from ..parallel.distributed import (
+                maybe_init_distributed,
+                multihost_mesh_shape,
             )
+
+            maybe_init_distributed(self.config)
+            multi = multihost_mesh_shape(self.config)
+            if multi is not None and not self.config.mesh_shape:
+                from ..parallel.mesh import make_mesh
+
+                self._mesh = make_mesh(*multi)
+            else:
+                self._mesh = get_mesh(
+                    self.config.mesh_shape,
+                    tuple(self.config.mesh_axis_names.split(",")),
+                )
         snap = self.snapshot_dir()
         if snap is not None and (snap / "store.json").exists():
             self.load(snap)

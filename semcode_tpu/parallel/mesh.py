@@ -103,3 +103,48 @@ def pad_bucket(n: int, floor: int = 8) -> int:
     while b < n:
         b *= 2
     return b
+
+
+def row_axes(mesh: Mesh) -> Tuple[str, ...]:
+    """Mesh axes the corpus rows shard over.
+
+    Single host: the 1-D ``("data",)`` mesh. Multi-host: every axis whose
+    name is a row-sharding axis — convention is ``("dcn", "data")``, hosts
+    outermost, so per-shard top-k results merge over ICI ("data") FIRST and
+    only the tiny reduced candidate sets cross DCN. Axes named "model" are
+    reserved for tensor parallelism (training) and never shard corpus rows.
+    """
+    return tuple(ax for ax in mesh.axis_names if ax != MODEL_AXIS)
+
+
+def linear_rank(mesh: Mesh, axes: Tuple[str, ...]):
+    """Global shard rank inside shard_map: row-major over ``axes``.
+
+    Static strides come from the mesh shape, so this traces to a couple of
+    scalar ops.
+    """
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    rank = 0
+    for ax in axes:
+        rank = rank * sizes[ax] + jax.lax.axis_index(ax)
+    return rank.astype("int32") if hasattr(rank, "astype") else rank
+
+
+def hierarchical_topk_merge(scores, ids, k: int, axes: Tuple[str, ...]):
+    """Merge per-shard (Q, k') top-k candidates across the mesh, innermost
+    axis first.
+
+    With a 2-level ``("dcn", "data")`` mesh this is the ICI-then-DCN merge:
+    all-gather + reduce over the fast intra-host axis first, so each host
+    sends only (Q, k) — not (Q, k * chips_per_host) — across the slow
+    inter-host fabric. Runs inside shard_map; returns replicated arrays.
+    """
+    import jax.numpy as jnp
+
+    for ax in reversed(axes):
+        scores = jax.lax.all_gather(scores, ax, axis=1, tiled=True)
+        ids = jax.lax.all_gather(ids, ax, axis=1, tiled=True)
+        kk = min(k, scores.shape[1])
+        scores, pos = jax.lax.top_k(scores, kk)
+        ids = jnp.take_along_axis(ids, pos, axis=1)
+    return scores, ids

@@ -99,6 +99,13 @@ class AppSettings(BaseModel):
     # -- mesh / parallelism ----------------------------------------------------
     mesh_shape: str = ""  # e.g. "8" or "4x2"; empty = all local devices, 1-D
     mesh_axis_names: str = "data"
+    # multi-host (one process per host): jax.distributed coordinator; with
+    # num_processes > 1 and no coordinator, TPU-pod auto-discovery is used.
+    # The engine then runs a 2-level ("dcn", "data") mesh with ICI-first
+    # hierarchical top-k merges (see parallel/distributed.py).
+    mesh_coordinator: Optional[str] = None
+    mesh_num_processes: int = 1
+    mesh_process_id: int = 0
 
     # -- RAG ------------------------------------------------------------------
     rag_provider: str = "fallback"  # fallback | openai | openai-compatible
@@ -207,7 +214,13 @@ _SECTION_FIELDS: Dict[str, Dict[str, str]] = {
         "approx_recall_target": "index_approx_recall_target",
         "device_rescore": "index_device_rescore",
     },
-    "mesh": {"shape": "mesh_shape", "axis_names": "mesh_axis_names"},
+    "mesh": {
+        "shape": "mesh_shape",
+        "axis_names": "mesh_axis_names",
+        "coordinator": "mesh_coordinator",
+        "num_processes": "mesh_num_processes",
+        "process_id": "mesh_process_id",
+    },
     "rag": {
         "provider": "rag_provider",
         "model": "rag_model",
