@@ -18,13 +18,6 @@ from dataclasses import dataclass
 from typing import List, Optional, Sequence
 
 _PY_DEF = re.compile(r"^(\s*)(?:async\s+)?(def|class)\s+([A-Za-z_][A-Za-z0-9_]*)")
-_C_DEF = re.compile(
-    r"^\s*(?:template\s*<[^>]*>\s*)?"
-    r"(?:(class|struct|enum|namespace|union)\s+([A-Za-z_][A-Za-z0-9_:<>]*)"
-    r"|(?:[A-Za-z_][A-Za-z0-9_:<>,\s\*&]*?\s+)?([A-Za-z_][A-Za-z0-9_:~]*)\s*\([^;]*$"
-    r"|(?:[A-Za-z_][A-Za-z0-9_:<>,\s\*&]*?\s+)?([A-Za-z_][A-Za-z0-9_:~]*)\s*\([^;]*\)\s*"
-    r"(?:const|noexcept|override|final)?\s*\{)"
-)
 _JS_DEF = re.compile(
     r"^\s*(?:export\s+)?(?:default\s+)?"
     r"(?:(function|class)\s+([A-Za-z_$][A-Za-z0-9_$]*)"
@@ -59,18 +52,13 @@ def scan_symbols(lines: Sequence[str], language: str) -> List[SymbolDef]:
                     kind = "method"
                 out.append(SymbolDef(m.group(3), kind, i, indent))
     elif language in ("cpp", "c"):
-        for i, line in enumerate(lines):
-            if line.lstrip().startswith(("//", "*", "/*", "#")):
-                continue
-            m = _C_DEF.match(line)
-            if m:
-                name = m.group(2) or m.group(3) or m.group(4)
-                if not name or name in ("if", "for", "while", "switch", "return",
-                                        "sizeof", "catch"):
-                    continue
-                kind = _KIND_MAP.get(m.group(1) or "", "function")
-                indent = len(line) - len(line.lstrip())
-                out.append(SymbolDef(name, kind, i, indent))
+        # structural tokenizer+brace scanner (cparse.py): handles multi-line
+        # signatures, out-of-line Klass::method definitions, operators,
+        # constructors/destructors, and emits namespace-qualified names —
+        # the round-1 line regex missed all of those
+        from .cparse import scan_c_symbols
+
+        out.extend(scan_c_symbols("\n".join(lines)))
     elif language in ("javascript", "typescript"):
         for i, line in enumerate(lines):
             m = _JS_DEF.match(line)

@@ -86,7 +86,8 @@ def test_char_budget_split(tmp_path):
 def test_cpp_symbols():
     syms = scan_symbols(CPP_SRC.splitlines(), "cpp")
     names = {s.name for s in syms}
-    assert "Buffer" in names and "add" in names and "util" in names
+    # the structural scanner emits namespace-qualified names
+    assert "util::Buffer" in names and "util::add" in names and "util" in names
 
 
 def test_every_chunk_gets_symbol(tmp_path):
