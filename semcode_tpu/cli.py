@@ -343,10 +343,14 @@ def cmd_train(args) -> int:
 
     manager = RepositoryIngestionManager()
     repos = {r.name: r for r in manager.list_ingested()}
-    if args.repo not in repos:
+    if args.repo != "all" and args.repo not in repos:
         print(f"[ERROR] repository '{args.repo}' not in workspace", file=sys.stderr)
         return 2
-    chunks = manager.chunk_repository(repos[args.repo])
+    chunks = []
+    for name, repo in sorted(repos.items()):
+        if args.repo not in ("all", name):
+            continue
+        chunks.extend(manager.chunk_repository(repo))
     texts = [c.content for c in chunks]
     print(f"training on {len(texts)} chunks from '{args.repo}'")
 
@@ -359,7 +363,12 @@ def cmd_train(args) -> int:
     trainer = ContrastiveTrainer(cfg, mesh, learning_rate=args.lr)
     params, opt_state = trainer.init_state(jax.random.PRNGKey(0), seq_len=args.seq_len)
     batcher = PairBatcher(
-        texts, tokenizer, seq_len=args.seq_len, batch_size=args.batch_size
+        texts,
+        tokenizer,
+        seq_len=args.seq_len,
+        batch_size=args.batch_size,
+        symbols=[c.symbol for c in chunks],
+        languages=[c.language for c in chunks],
     )
     for step, batch in enumerate(batcher.batches(args.steps), 1):
         params, opt_state, metrics = trainer.train_step(params, opt_state, batch)
@@ -441,7 +450,7 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser(
         "train", help="Contrastive-train the encoder on an ingested repo"
     )
-    p.add_argument("--repo", required=True)
+    p.add_argument("--repo", required=True, help="Repo name, or 'all'")
     p.add_argument("--steps", type=int, default=200)
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--seq-len", type=int, default=128)

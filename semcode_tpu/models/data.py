@@ -1,15 +1,24 @@
 """Training-pair construction for contrastive encoder training.
 
-Unsupervised pairs from the indexed corpus itself (no labels needed):
-anchor/positive are two random crops of the same code chunk — the standard
-cropping objective for retrieval encoders — so the encoder learns that pieces
-of the same unit of code embed together. Batches are fixed-shape numpy arrays
-ready for ``ContrastiveTrainer.train_step``.
+Unsupervised pairs from the indexed corpus itself (no labels needed), mixing
+three pair types that match the retrieval tasks the product actually serves
+(the same distribution the quality harness measures, eval/quality.py):
+
+- ``crop``: two random crops of the same chunk — layout/context invariance;
+- ``doc``: the chunk's docstring/leading comment vs its code body —
+  natural-language -> code retrieval (the RAG query path);
+- ``symbol``: an identifier-lookup phrasing ("where is X defined", or the
+  identifier split into words) vs the chunk — symbol/paraphrase lookup.
+
+Round-1 used crops only; measured on the quality harness that leaves
+NL->code and symbol lookup to luck (the trained encoder lost to lexical
+hashing on those kinds). Batches are fixed-shape numpy arrays ready for
+``ContrastiveTrainer.train_step``.
 """
 
 from __future__ import annotations
 
-from typing import Dict, Iterator, List, Sequence
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -24,14 +33,44 @@ class PairBatcher:
         batch_size: int = 32,
         seed: int = 0,
         min_lines: int = 4,
+        symbols: Optional[Sequence[Optional[str]]] = None,
+        languages: Optional[Sequence[str]] = None,
+        mix: Tuple[float, float, float] = (0.5, 0.3, 0.2),  # crop, doc, symbol
     ):
-        self.texts = [t for t in texts if len(t.splitlines()) >= min_lines]
+        keep = [i for i, t in enumerate(texts) if len(t.splitlines()) >= min_lines]
+        self.texts = [texts[i] for i in keep]
         if not self.texts:
             raise ValueError("no texts long enough to build training pairs")
         self.tokenizer = tokenizer
         self.seq_len = int(seq_len)
         self.batch_size = int(batch_size)
         self.rng = np.random.default_rng(seed)
+        symbols = list(symbols) if symbols is not None else [None] * len(texts)
+        languages = (
+            list(languages) if languages is not None else ["text"] * len(texts)
+        )
+        self.symbols = [symbols[i] for i in keep]
+        self.languages = [languages[i] for i in keep]
+        # precompute task-pair anchors; fall back to crops when a chunk has
+        # no docstring/symbol
+        from ..eval.quality import _extract_docstring, _symbol_words
+
+        self._docs: List[Optional[str]] = [
+            _extract_docstring(t, lang)
+            for t, lang in zip(self.texts, self.languages)
+        ]
+        self._sym_queries: List[Optional[str]] = []
+        for sym in self.symbols:
+            if not sym:
+                self._sym_queries.append(None)
+                continue
+            words = _symbol_words(sym)
+            self._sym_queries.append(
+                f"where is {sym} defined"
+                if not words or len(words) < 2
+                else "code that implements " + " ".join(words)
+            )
+        self.mix = mix
 
     def _crop(self, text: str) -> str:
         lines = text.splitlines()
@@ -40,12 +79,33 @@ class PairBatcher:
         start = int(self.rng.integers(0, max(n - span, 0) + 1))
         return "\n".join(lines[start : start + span])
 
+    def _anchor_for(self, i: int) -> str:
+        """Pick an anchor view of chunk i according to the task mix."""
+        r = float(self.rng.uniform())
+        crop_w, doc_w, _ = self.mix
+        if r < crop_w or (self._docs[i] is None and self._sym_queries[i] is None):
+            return self._crop(self.texts[i])
+        if r < crop_w + doc_w and self._docs[i] is not None:
+            return self._docs[i]
+        if self._sym_queries[i] is not None:
+            # alternate phrasings so the encoder doesn't latch onto one template
+            sym = self.symbols[i]
+            variants = [
+                self._sym_queries[i],
+                f"where is {sym} defined",
+                f"definition of {sym}",
+            ]
+            return variants[int(self.rng.integers(0, len(variants)))]
+        if self._docs[i] is not None:
+            return self._docs[i]
+        return self._crop(self.texts[i])
+
     def batches(self, n_batches: int) -> Iterator[Dict[str, np.ndarray]]:
         for _ in range(n_batches):
             picks: List[int] = self.rng.choice(
                 len(self.texts), size=self.batch_size, replace=len(self.texts) < self.batch_size
             ).tolist()
-            anchors = [self._crop(self.texts[i]) for i in picks]
+            anchors = [self._anchor_for(i) for i in picks]
             positives = [self._crop(self.texts[i]) for i in picks]
             a_ids, a_mask = self.tokenizer.encode_batch(anchors, max_len=self.seq_len)
             p_ids, p_mask = self.tokenizer.encode_batch(positives, max_len=self.seq_len)
