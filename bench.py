@@ -42,7 +42,7 @@ NLIST = int(os.environ.get("BENCH_NLIST", 1024))
 NPROBE = int(os.environ.get("BENCH_NPROBE", 32))
 K = 10
 N_QUERIES = int(os.environ.get("BENCH_QUERIES", 512))
-BATCH = int(os.environ.get("BENCH_BATCH", 256))
+BATCH = min(int(os.environ.get("BENCH_BATCH", 256)), N_QUERIES)
 SERVE_BATCH = int(os.environ.get("BENCH_SERVE_BATCH", 8))
 TIMED_SECS = float(os.environ.get("BENCH_SECS", 20))
 DTYPE = os.environ.get("BENCH_DTYPE", "int8")  # int8 | bfloat16 | float32
@@ -225,9 +225,23 @@ def main() -> None:
         lat.append((time.perf_counter() - t0) * 1000)
     serve_p50 = float(np.percentile(lat, 50))
     serve_p99 = float(np.percentile(lat, 99))
+    serve_auto_mode = ivf._pick_mode(SERVE_BATCH, NPROBE, K)
     log(
-        f"[bench] serving path (batch={SERVE_BATCH}): per-request "
-        f"p50={serve_p50:.1f}ms p99={serve_p99:.1f}ms (incl. host transfer)"
+        f"[bench] serving path (batch={SERVE_BATCH}, auto mode="
+        f"{serve_auto_mode}): per-request p50={serve_p50:.1f}ms "
+        f"p99={serve_p99:.1f}ms (incl. host transfer)"
+    )
+
+    # ---- small-batch regime: probing vs exact at the serving batch size -----
+    small_secs = max(2.0, TIMED_SECS / 4)
+    small_qps = {}
+    for mode in ("exact", "ivf"):
+        small_qps[mode], _, _ = timed_qps(mode, serve_batches, secs=small_secs)
+    log(
+        f"[bench] small-batch (batch={SERVE_BATCH}) regime: "
+        f"exact={small_qps['exact']:.0f} QPS, probing={small_qps['ivf']:.0f} "
+        f"QPS -> {'probing' if small_qps['ivf'] > small_qps['exact'] else 'exact'}"
+        f" wins; auto picks {serve_auto_mode}"
     )
 
     # ---- queries during streaming ingest (lock-free serving) ----------------
@@ -294,6 +308,9 @@ def main() -> None:
             "serving_batch": SERVE_BATCH,
             "serving_p50_ms": round(serve_p50, 1),
             "serving_p99_ms": round(serve_p99, 1),
+            "small_batch_exact_qps": round(small_qps["exact"], 1),
+            "small_batch_probing_qps": round(small_qps["ivf"], 1),
+            "small_batch_auto_mode": serve_auto_mode,
             "under_ingest_p50_ms": round(under_p50, 1),
             "under_ingest_p99_ms": round(under_p99, 1),
             "build_s": round(build_s, 1),
