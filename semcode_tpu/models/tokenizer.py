@@ -63,6 +63,12 @@ class HFTokenizer:
         self.max_len = int(max_len)
         self.vocab_size = self._tok.get_vocab_size()
 
+    def encode(self, text: str) -> list:
+        return list(self._tok.encode(text).ids)
+
+    def decode(self, ids: Sequence[int]) -> str:
+        return self._tok.decode(list(ids))
+
     def encode_batch(
         self, texts: Sequence[str], max_len: Optional[int] = None
     ) -> Tuple[np.ndarray, np.ndarray]:
@@ -78,6 +84,34 @@ class HFTokenizer:
         return ids, mask
 
 
+class ByteTokenizer:
+    """Reversible zero-asset tokenizer for the causal LM.
+
+    The hashing tokenizer is one-way (generation needs id -> text), so the
+    decoder's no-checkpoint fallback tokenizes raw UTF-8 bytes:
+    id 0 = pad, id 1 = eos, byte b -> 2 + b.
+    """
+
+    PAD_ID = 0
+    EOS_ID = 1
+
+    def __init__(self, max_len: int = 1024):
+        self.max_len = int(max_len)
+        self.vocab_size = 258
+
+    def encode(self, text: str) -> list:
+        return [2 + b for b in text.encode("utf-8")]
+
+    def decode(self, ids: Sequence[int]) -> str:
+        out = bytearray()
+        for i in ids:
+            if i == self.EOS_ID:
+                break
+            if i >= 2:
+                out.append(i - 2)
+        return out.decode("utf-8", errors="replace")
+
+
 def load_tokenizer(
     weights_path: Optional[Path], vocab_size: int, max_len: int
 ):
@@ -86,3 +120,12 @@ def load_tokenizer(
         if tok_file.exists():
             return HFTokenizer(tok_file, max_len=max_len)
     return HashingTokenizer(vocab_size=vocab_size, max_len=max_len)
+
+
+def load_lm_tokenizer(weights_path: Optional[Path], max_len: int):
+    """Tokenizer for the causal LM: must be reversible (decode needed)."""
+    if weights_path is not None:
+        tok_file = Path(weights_path) / "tokenizer.json"
+        if tok_file.exists():
+            return HFTokenizer(tok_file, max_len=max_len)
+    return ByteTokenizer(max_len=max_len)

@@ -51,7 +51,50 @@ class OpenAICompatibleChat:
         return resp.json()["choices"][0]["message"]["content"]
 
 
-def create_llm(config) -> Optional[OpenAICompatibleChat]:
+class TPULocalChat:
+    """In-process answer synthesis on the TPU (no network, no native wheel).
+
+    Replaces the reference's llama.cpp chat path (reference
+    src/semcode/rag/pipeline.py:270-296) with the on-chip causal LM
+    (models/decoder.py). Weights come from a local HF GPT-2-family
+    checkpoint dir (``rag.weights_path``); without one the decoder warns and
+    produces noise — keep provider=fallback until a checkpoint is supplied.
+    """
+
+    STOPS = ("###", "\n\n\n")
+
+    def __init__(
+        self,
+        weights_path=None,
+        preset: str = "mini",
+        max_new_tokens: int = 192,
+        temperature: float = 0.0,
+        max_len: int = 1024,
+        seed: int = 0,
+    ):
+        from ..models.decoder import CodeDecoderLM
+
+        self.lm = CodeDecoderLM(
+            preset, weights_path=weights_path, max_len=max_len, seed=seed
+        )
+        self.max_new_tokens = int(max_new_tokens)
+        self.temperature = float(temperature)
+
+    def chat(self, system: str, user: str) -> str:
+        prompt = f"{system}\n\n### Question\n{user}\n\n### Answer\n"
+        text = self.lm.generate(
+            prompt,
+            max_new_tokens=self.max_new_tokens,
+            temperature=self.temperature,
+        )
+        for stop in self.STOPS:
+            cut = text.find(stop)
+            if cut != -1:
+                text = text[:cut]
+        return text.strip()
+
+
+def create_llm(config):
     """Build the configured chat provider, or None for pure-fallback mode."""
     provider = (config.rag_provider or "fallback").lower()
     if provider in ("fallback", "none", ""):
@@ -61,6 +104,13 @@ def create_llm(config) -> Optional[OpenAICompatibleChat]:
             model=config.rag_model,
             api_base=config.rag_api_base,
             api_key=config.rag_api_key,
+            temperature=config.rag_temperature,
+        )
+    if provider in ("tpu-lm", "tpu", "local"):
+        return TPULocalChat(
+            weights_path=config.rag_weights_path,
+            preset=config.rag_preset,
+            max_new_tokens=config.rag_max_new_tokens,
             temperature=config.rag_temperature,
         )
     raise NotImplementedError(f"RAG provider '{config.rag_provider}' not supported")

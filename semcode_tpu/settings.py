@@ -108,11 +108,15 @@ class AppSettings(BaseModel):
     mesh_process_id: int = 0
 
     # -- RAG ------------------------------------------------------------------
-    rag_provider: str = "fallback"  # fallback | openai | openai-compatible
+    rag_provider: str = "fallback"  # fallback | openai | openai-compatible | tpu-lm
     rag_model: str = "gpt-4o"
     rag_api_base: Optional[str] = None
     rag_api_key: Optional[str] = None
     rag_temperature: float = 0.0
+    # tpu-lm provider: on-chip causal LM (models/decoder.py)
+    rag_weights_path: Optional[Path] = None  # local HF GPT-2-family dir
+    rag_preset: str = "mini"  # used only when weights_path is unset
+    rag_max_new_tokens: int = 192
     rag_system_prompt: str = (
         "You are a senior software engineer helping teammates understand codebases. "
         "Use the provided context to answer succinctly and cite files that support "
@@ -227,6 +231,9 @@ _SECTION_FIELDS: Dict[str, Dict[str, str]] = {
         "api_base": "rag_api_base",
         "api_key": "rag_api_key",
         "temperature": "rag_temperature",
+        "weights_path": "rag_weights_path",
+        "preset": "rag_preset",
+        "max_new_tokens": "rag_max_new_tokens",
         "system_prompt": "rag_system_prompt",
         "prompt_template": "rag_prompt_template",
         "fallback_enabled": "rag_fallback_enabled",
