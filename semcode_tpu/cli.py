@@ -388,6 +388,56 @@ def cmd_train(args) -> int:
     return 0
 
 
+def cmd_train_lm(args) -> int:
+    """Next-token-train the tpu-lm answer decoder on ingested chunks."""
+    configure_logging()
+    import jax
+
+    from .ingestion import RepositoryIngestionManager
+    from .models.decoder import DecoderConfig
+    from .models.tokenizer import ByteTokenizer
+    from .models.train_lm import LMTrainer, WindowBatcher, save_lm_params
+    from .parallel.mesh import get_mesh
+    from .settings import settings
+
+    manager = RepositoryIngestionManager()
+    repos = {r.name: r for r in manager.list_ingested()}
+    if args.repo != "all" and args.repo not in repos:
+        print(f"[ERROR] repository '{args.repo}' not in workspace", file=sys.stderr)
+        return 2
+    chunks = []
+    for name, repo in sorted(repos.items()):
+        if args.repo in ("all", name):
+            chunks.extend(manager.chunk_repository(repo))
+    texts = [c.content for c in chunks]
+    print(f"training LM on {len(texts)} chunks from '{args.repo}'")
+
+    tokenizer = ByteTokenizer(max_len=args.seq_len)
+    cfg = DecoderConfig.preset(
+        args.preset, vocab_size=tokenizer.vocab_size, max_len=max(args.seq_len, 1024)
+    )
+    n_dev = len(jax.devices())
+    mesh = get_mesh(settings.mesh_shape or str(n_dev), ("data",))
+    trainer = LMTrainer(cfg, mesh, learning_rate=args.lr)
+    params, opt_state = trainer.init_state(seed=0)
+    batcher = WindowBatcher(
+        texts, tokenizer, seq_len=args.seq_len, batch_size=args.batch_size
+    )
+    for step, batch in enumerate(batcher.batches(args.steps), 1):
+        params, opt_state, metrics = trainer.train_step(params, opt_state, batch)
+        if step % max(1, args.steps // 20) == 0 or step == args.steps:
+            print(
+                f"step {step}/{args.steps} "
+                f"loss={float(metrics['loss']):.4f} "
+                f"acc={float(metrics['accuracy']):.3f}"
+            )
+    out = Path(args.out or Path(settings.workspace_root) / "lm")
+    save_lm_params(params, cfg, out)
+    print(f"saved LM checkpoint to {out}")
+    print(f"use it with: [rag] provider='tpu-lm', weights_path='{out}'")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(
         prog="semcode-tpu",
@@ -458,6 +508,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--out", default=None)
     p.set_defaults(func=cmd_train)
+
+    p = sub.add_parser(
+        "train-lm", help="Train the tpu-lm answer decoder on an ingested repo"
+    )
+    p.add_argument("--repo", required=True, help="Repo name, or 'all'")
+    p.add_argument("--steps", type=int, default=400)
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--seq-len", type=int, default=256)
+    p.add_argument("--preset", default="mini")
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--out", default=None)
+    p.set_defaults(func=cmd_train_lm)
 
     p = sub.add_parser("version", help="Show version")
     p.set_defaults(func=cmd_version)

@@ -404,9 +404,16 @@ class CodeDecoderLM:
         self.tokenizer = load_lm_tokenizer(weights_path, max_len)
         self.random_init = False
         if weights_path is not None and Path(weights_path).exists():
-            self.params, self.cfg = load_hf_decoder_params(
-                Path(weights_path), dtype=jdtype
-            )
+            wp = Path(weights_path)
+            if (wp / "semcode_lm.msgpack").exists():
+                from .train_lm import load_lm_params
+
+                # trained checkpoints (semcode-tpu train-lm) use the byte
+                # tokenizer, which load_lm_tokenizer already selected
+                self.params, self.cfg = load_lm_params(wp, dtype=jdtype)
+                log.info("decoder_checkpoint_loaded", path=str(wp))
+            else:
+                self.params, self.cfg = load_hf_decoder_params(wp, dtype=jdtype)
         else:
             self.cfg = DecoderConfig.preset(
                 preset,

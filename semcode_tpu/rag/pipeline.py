@@ -166,6 +166,9 @@ class SemanticSearchPipeline:
             prompt = self._render_prompt(question, documents)
             with timer.stage("llm"):
                 answer = llm.chat(self.config.rag_system_prompt, prompt)
+            if not answer.strip():
+                # an empty completion is a failure, not an answer
+                raise ValueError("llm returned an empty answer")
             return {
                 "answer": answer,
                 "sources": sources,
@@ -248,6 +251,8 @@ class SemanticSearchPipeline:
         try:
             prompt = self._render_prompt(question, documents)
             answer = llm.chat(self.config.rag_system_prompt, prompt)
+            if not answer.strip():
+                raise ValueError("llm returned an empty answer")
             return {
                 "answer": answer,
                 "sources": sources,

@@ -109,6 +109,22 @@ def test_llm_failure_falls_back(monkeypatch):
     assert result["sources"]
 
 
+def test_llm_empty_answer_falls_back(monkeypatch):
+    class SilentLLM:
+        def chat(self, system, user):
+            return "   \n"
+
+    cfg = AppSettings(rag_provider="openai")
+    p = SemanticSearchPipeline(
+        config=cfg, vector_store=StubStore(_hits(2)), embeddings=StubEmbeddings()
+    )
+    monkeypatch.setattr("semcode_tpu.rag.pipeline.create_llm", lambda c: SilentLLM())
+    result = p.query("q")
+    assert result["meta"]["fallback_used"] is True
+    assert "empty" in result["meta"]["reason"]
+    assert result["answer"].strip()
+
+
 def test_snippet_truncation():
     hits = [
         SearchHit(
