@@ -1,17 +1,31 @@
-"""Repository ingestion orchestration.
+"""Repository ingestion: plan/execute mirror sync into the workspace.
 
 Capability parity with the reference manager
-(/root/reference/src/semcode/ingestion/manager.py:24-231): copy include
-directories into ``workspace/<name>`` under default+user fnmatch ignore
-patterns with a per-file copy callback, detect languages by extension, iterate
-chunkable sources, and drive the chunker. Differences: the chunkable-language
-set is wider (JS/TS/C/markdown in addition to Python/C++) and chunk budgets
-come from settings instead of a llama.cpp context window.
+(/root/reference/src/semcode/ingestion/manager.py:24-231) — sources land in
+``workspace/<name>`` under default+user ignore patterns with a per-file
+callback, languages are detected, and the chunker is driven — but the design
+is different. Instead of ``shutil.copytree`` with an ignore hook, ingestion
+is split into two phases:
+
+1. **plan**: walk the sources once and compile an :class:`IngestPlan` — the
+   exact (src, dst, size, mtime) manifest of files that belong in the
+   workspace copy. Ignore patterns are compiled to a single regex and applied
+   at every directory level during the walk.
+2. **sync**: execute the plan as a *mirror sync*. Unchanged files (same size
+   and mtime) are reused instead of re-copied, so re-ingesting a large repo
+   after touching one file copies one file; files that vanished from the
+   sources are pruned from the workspace copy. ``force=True`` discards the
+   existing copy for a full refresh. The reference re-copies everything on
+   every ingest and can only refresh via rmtree.
+
+The upfront manifest also gives callers an exact total for progress bars and
+makes language detection a byproduct of planning (no second rglob pass).
 """
 
 from __future__ import annotations
 
 import fnmatch
+import os
 import re
 import shutil
 from dataclasses import dataclass, field
@@ -76,6 +90,45 @@ def validate_repo_name(name: str) -> str:
     return name
 
 
+def compile_ignore(patterns: Iterable[str]) -> Callable[[str], bool]:
+    """Compile fnmatch patterns into one alternation regex, matched per name."""
+    pats = [str(p).strip() for p in patterns if str(p).strip()]
+    if not pats:
+        return lambda name: False
+    rx = re.compile("|".join(fnmatch.translate(p) for p in dict.fromkeys(pats)))
+    return lambda name: rx.match(name) is not None
+
+
+@dataclass(frozen=True)
+class CopyItem:
+    """One file the workspace mirror must contain."""
+
+    src: Path
+    dst: Path
+    size: int
+    mtime_ns: int
+
+
+@dataclass(frozen=True)
+class IngestPlan:
+    """Manifest of an ingest: every file that belongs in workspace/<name>."""
+
+    items: Tuple[CopyItem, ...]
+    ignored: int  # entries dropped by ignore patterns during the walk
+
+    @property
+    def total_bytes(self) -> int:
+        return sum(it.size for it in self.items)
+
+    def languages(self) -> List[str]:
+        found = set()
+        for it in self.items:
+            lang = LANGUAGE_BY_SUFFIX.get(it.dst.suffix.lower())
+            if lang and lang not in ("text", "markdown"):
+                found.add(lang)
+        return sorted(found)
+
+
 @dataclass
 class RepositoryMetadata:
     """Descriptor for an ingested repository (reference manager.py:47-54)."""
@@ -86,8 +139,15 @@ class RepositoryMetadata:
     description: Optional[str] = None
 
 
+@dataclass
+class SyncStats:
+    copied: int = 0
+    reused: int = 0
+    pruned: int = 0
+
+
 class RepositoryIngestionManager:
-    """Copies sources into the workspace and produces chunks."""
+    """Plans and mirrors source trees into the workspace, produces chunks."""
 
     def __init__(
         self,
@@ -104,7 +164,90 @@ class RepositoryIngestionManager:
         )
         log.info("workspace_initialized", workspace=str(self.workspace))
 
-    # -- copy --------------------------------------------------------------------
+    # -- plan --------------------------------------------------------------------
+
+    def plan(
+        self,
+        sources: Sequence[Path],
+        repo_name: str,
+        ignore_dirs: Optional[Iterable[str]] = None,
+    ) -> IngestPlan:
+        """Walk the sources and compile the mirror manifest (no filesystem
+        mutation). Directory symlinks are skipped (cycle-safe); file symlinks
+        are materialized as their content."""
+        if not sources:
+            raise ValueError("At least one source path must be provided.")
+        repo_name = validate_repo_name(repo_name)
+        target = self.workspace / repo_name
+        ignored_fn = compile_ignore(
+            (*DEFAULT_IGNORE_PATTERNS, *(ignore_dirs or ()))
+        )
+
+        items: List[CopyItem] = []
+        n_ignored = 0
+
+        def walk(root: Path, dst_root: Path) -> None:
+            nonlocal n_ignored
+            stack: List[Tuple[Path, Path]] = [(root, dst_root)]
+            while stack:
+                src_dir, dst_dir = stack.pop()
+                try:
+                    entries = sorted(os.scandir(src_dir), key=lambda e: e.name)
+                except OSError as exc:
+                    log.warning("walk_error", path=str(src_dir), error=str(exc))
+                    continue
+                for entry in entries:
+                    if ignored_fn(entry.name):
+                        n_ignored += 1
+                        continue
+                    if entry.is_dir(follow_symlinks=False):
+                        stack.append((Path(entry.path), dst_dir / entry.name))
+                    elif entry.is_file():  # follows file symlinks
+                        st = entry.stat()
+                        items.append(
+                            CopyItem(
+                                Path(entry.path),
+                                dst_dir / entry.name,
+                                st.st_size,
+                                st.st_mtime_ns,
+                            )
+                        )
+                    elif entry.is_symlink():
+                        log.info("skip_symlink_dir", path=entry.path)
+
+        for src in sources:
+            src = Path(src)
+            if not src.exists():
+                raise FileNotFoundError(f"Source path not found: {src}")
+            src = src.resolve()
+            if ignored_fn(src.name):
+                n_ignored += 1
+                log.info("skip_ignored_source", source=str(src))
+                continue
+            if src.is_dir():
+                walk(src, target / src.name)
+            else:
+                st = src.stat()
+                items.append(
+                    CopyItem(src, target / src.name, st.st_size, st.st_mtime_ns)
+                )
+        # deterministic order; later sources win dst collisions (dict keyed
+        # by destination keeps exactly one entry per mirror path)
+        by_dst = {it.dst: it for it in items}
+        plan = IngestPlan(
+            items=tuple(sorted(by_dst.values(), key=lambda it: str(it.dst))),
+            ignored=n_ignored,
+        )
+        log.info(
+            "ingest_planned",
+            repo=repo_name,
+            files=len(plan.items),
+            bytes=plan.total_bytes,
+            ignored=plan.ignored,
+        )
+        return plan
+
+    # -- sync --------------------------------------------------------------------
 
     def ingest_sources(
         self,
@@ -114,79 +257,83 @@ class RepositoryIngestionManager:
         ignore_dirs: Optional[Iterable[str]] = None,
         copy_callback: Optional[Callable[[Path], None]] = None,
     ) -> RepositoryMetadata:
-        """Copy source dirs/files into workspace/<repo_name>."""
-        if not sources:
-            raise ValueError("At least one source path must be provided.")
-        resolved: List[Path] = []
-        for src in sources:
-            src = Path(src)
-            if not src.exists():
-                raise FileNotFoundError(f"Source path not found: {src}")
-            resolved.append(src.resolve())
+        """Mirror the sources into workspace/<repo_name>.
 
+        Incremental by default: a file already present with the same size and
+        mtime is reused, and workspace files absent from the plan are pruned.
+        ``force=True`` discards the existing copy first (full refresh).
+        """
         repo_name = validate_repo_name(repo_name)
+        plan = self.plan(sources, repo_name, ignore_dirs=ignore_dirs)
         target = self.workspace / repo_name
         # belt and braces on top of the name validation: never rmtree outside
         # the workspace even if a future caller builds the path differently
         if target.resolve().parent != self.workspace.resolve():
             raise ValueError(f"repo target escapes the workspace: {target}")
-        user_ignores = tuple(
-            str(p).strip() for p in (ignore_dirs or []) if str(p).strip()
-        )
-        patterns: Tuple[str, ...] = tuple(
-            dict.fromkeys((*DEFAULT_IGNORE_PATTERNS, *user_ignores))
-        )
 
         if target.exists() and force:
             shutil.rmtree(target)
             log.warning("workspace_copy_removed", target=str(target))
         target.mkdir(parents=True, exist_ok=True)
 
-        def _ignored(name: str) -> bool:
-            return any(fnmatch.fnmatch(name, pat) for pat in patterns)
-
-        def ignore_func(_src: str, names: Iterable[str]) -> List[str]:
-            return [n for n in names if _ignored(n)]
-
-        def copy_fn(src_path: str, dst_path: str, *, follow_symlinks: bool = True):
-            shutil.copy2(src_path, dst_path, follow_symlinks=follow_symlinks)
-            if copy_callback:
-                copy_callback(Path(dst_path))
-            return dst_path
-
-        for src in resolved:
-            if _ignored(src.name):
-                log.info("skip_ignored_source", source=str(src))
-                continue
-            destination = target / src.name
-            if destination.exists():
-                if destination.is_dir():
-                    shutil.rmtree(destination)
-                else:
-                    destination.unlink()
-            if src.is_dir():
-                shutil.copytree(
-                    src,
-                    destination,
-                    ignore=ignore_func,
-                    copy_function=copy_fn if copy_callback else shutil.copy2,
-                )
-            else:
-                destination.parent.mkdir(parents=True, exist_ok=True)
-                shutil.copy2(src, destination)
-                if copy_callback:
-                    copy_callback(destination)
+        stats = self._sync(plan, target)
+        if copy_callback:
+            for it in plan.items:
+                copy_callback(it.dst)
 
         meta = RepositoryMetadata(
-            name=repo_name, path=target, languages=self._detect_languages(target)
+            name=repo_name, path=target, languages=plan.languages()
         )
         log.info(
             "repository_ingested",
             repo=repo_name,
-            sources=[str(s) for s in resolved],
+            sources=[str(Path(s).resolve()) for s in sources],
             languages=meta.languages,
+            copied=stats.copied,
+            reused=stats.reused,
+            pruned=stats.pruned,
         )
         return meta
+
+    def _sync(self, plan: IngestPlan, target: Path) -> SyncStats:
+        """Make ``target`` contain exactly the plan's files."""
+        stats = SyncStats()
+        wanted = set()
+        made_dirs = set()
+        for it in plan.items:
+            wanted.add(it.dst)
+            try:
+                st = it.dst.stat()
+                fresh = (
+                    st.st_size == it.size and st.st_mtime_ns == it.mtime_ns
+                )
+            except OSError:
+                fresh = False
+            if fresh:
+                stats.reused += 1
+                continue
+            parent = it.dst.parent
+            if parent not in made_dirs:
+                parent.mkdir(parents=True, exist_ok=True)
+                made_dirs.add(parent)
+            shutil.copy2(it.src, it.dst)
+            stats.copied += 1
+        # prune anything the mirror no longer wants (bottom-up so emptied
+        # directories can be removed too)
+        for root, dirs, files in os.walk(target, topdown=False):
+            root_p = Path(root)
+            for f in files:
+                p = root_p / f
+                if p not in wanted:
+                    p.unlink(missing_ok=True)
+                    stats.pruned += 1
+            for d in dirs:
+                p = root_p / d
+                try:
+                    p.rmdir()  # only succeeds when empty
+                except OSError:
+                    pass
+        return stats
 
     # -- enumeration -----------------------------------------------------------------
 
