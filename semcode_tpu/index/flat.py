@@ -67,9 +67,12 @@ class FlatIndex:
         device_rescore: Optional[bool] = None,  # None = auto by HBM budget
         approx_topk: bool = True,
         approx_recall_target: float = 0.95,
+        score_dtype: str = "auto",  # auto | float32 | float16
     ):
         if metric not in ("ip", "cosine", "l2"):
             raise ValueError(f"unknown metric: {metric}")
+        if score_dtype not in ("auto", "float32", "float16"):
+            raise ValueError(f"unknown score_dtype: {score_dtype}")
         self.dim = int(dim)
         self.metric = metric
         self.mesh = mesh if mesh is not None else get_mesh()
@@ -80,6 +83,7 @@ class FlatIndex:
         self._device_rescore = device_rescore
         self.approx_topk = bool(approx_topk)
         self.approx_recall_target = float(approx_recall_target)
+        self.score_dtype = score_dtype
         # rows must split evenly across shards AND stay lane-aligned
         import math
 
@@ -102,6 +106,13 @@ class FlatIndex:
 
     def _norm_sharding(self) -> NamedSharding:
         return NamedSharding(self.mesh, P(self._row_axes))
+
+    def _score_dtype(self, rescore) -> str:
+        """fp16 score matrix halves the dominant HBM round trip; safe only
+        when the fused f32 rescore re-orders the fetched candidates."""
+        if self.score_dtype != "auto":
+            return self.score_dtype
+        return "float16" if rescore is not None else "float32"
 
     def _rescore_enabled(self) -> bool:
         """Fused f32 device rescore: on for lossy storage when the mirror
@@ -306,6 +317,7 @@ class FlatIndex:
             self._approx(),
             self.approx_recall_target,
             k_eff,
+            self._score_dtype(rescore),
         )
         scores = np.asarray(scores[:n_q]).astype(np.float32)
         ids = np.asarray(ids[:n_q]).astype(np.int64)
@@ -342,6 +354,8 @@ class FlatIndex:
             self._storage_name(),
             self._approx(),
             self.approx_recall_target,
+            None,
+            self._score_dtype(rescore),
         )
 
     # -- persistence ---------------------------------------------------------------

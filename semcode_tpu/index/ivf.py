@@ -100,9 +100,12 @@ class IVFIndex:
         approx_topk: bool = True,  # lax.approx_max_k in full scans (TPU-fast)
         approx_recall_target: float = 0.95,  # per-shard approx_max_k target
         device_rescore: Optional[bool] = None,  # None = auto by HBM budget
+        score_dtype: str = "auto",  # auto | float32 | float16 (exact path)
     ):
         if metric not in ("ip", "cosine", "l2"):
             raise ValueError(f"unknown metric: {metric}")
+        if score_dtype not in ("auto", "float32", "float16"):
+            raise ValueError(f"unknown score_dtype: {score_dtype}")
         self.dim = int(dim)
         self.metric = metric
         self.mesh = mesh if mesh is not None else get_mesh()
@@ -119,6 +122,7 @@ class IVFIndex:
         self.approx_recall_target = float(approx_recall_target)
         self._dtype = _storage_dtype(dtype)
         self.device_rescore = device_rescore
+        self.score_dtype = score_dtype
         import math
 
         self._row_multiple = math.lcm(self.n_shards * 8, 128)
@@ -495,6 +499,13 @@ class IVFIndex:
             return min(k, shard_rows)
         return min(max(4 * k, 128), shard_rows)
 
+    def _score_dtype(self, rescore) -> str:
+        """fp16 (Q, rows) score matrix iff the fused f32 rescore is active
+        to re-order the fetched candidates (see scan.exact_scan)."""
+        if self.score_dtype != "auto":
+            return self.score_dtype
+        return "float16" if rescore is not None else "float32"
+
     def _pallas_mode(self) -> str:
         """'off' | 'compiled' | 'interpret' (interpret covers CPU test meshes)."""
         if not self._pallas_eligible() or self.cmax % 128 != 0:
@@ -563,6 +574,7 @@ class IVFIndex:
                 self._fetch_width(k, shard_rows, dev.frescore),
                 self.metric, self._storage_name(), self._approx(),
                 self.approx_recall_target, k_eff,
+                self._score_dtype(dev.frescore),
             )
         else:
             rows_total = dev.data.shape[0] * dev.data.shape[1]
@@ -626,7 +638,8 @@ class IVFIndex:
                 dev.frescore, q_dev, k,
                 self._fetch_width(k, shard_rows, dev.frescore),
                 self.metric, self._storage_name(), self._approx(),
-                self.approx_recall_target,
+                self.approx_recall_target, None,
+                self._score_dtype(dev.frescore),
             )
         rows_total = dev.data.shape[0] * dev.data.shape[1]
         fetch = max(4 * k, 64) if dev.frescore is not None else k

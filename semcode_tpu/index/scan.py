@@ -136,8 +136,10 @@ def exact_scan(
         if metric == "l2":
             scores = 2.0 * scores - nrm[None, :]
         if f16:
-            # fused into the matmul epilogue: the big matrix hits HBM as fp16
-            scores = scores.astype(jnp.float16)
+            # fused into the matmul epilogue: the big matrix hits HBM as fp16.
+            # clip first so un-normalized corpora can't overflow to inf (the
+            # clipped extremes tie, and the f32 rescore re-orders the fetch)
+            scores = jnp.clip(scores, -6.0e4, 6.0e4).astype(jnp.float16)
         scores = jnp.where(vld[None, :], scores, neg)
         if approx:
             s, pos = jax.lax.approx_max_k(scores, fetch, recall_target=recall_target)

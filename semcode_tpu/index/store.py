@@ -173,6 +173,7 @@ class VectorStore:
                     capacity=self.config.index_capacity,
                     device_rescore=self.config.index_device_rescore,
                     approx_recall_target=self.config.index_approx_recall_target,
+                    score_dtype=self.config.index_score_dtype,
                 )
             self._view = (index, row_to_id, row_meta)
         return index
@@ -188,6 +189,7 @@ class VectorStore:
             kmeans_iters=self.config.index_kmeans_iters,
             approx_recall_target=self.config.index_approx_recall_target,
             device_rescore=self.config.index_device_rescore,
+            score_dtype=self.config.index_score_dtype,
         )
 
     def _maybe_promote(self) -> None:

@@ -95,6 +95,9 @@ class AppSettings(BaseModel):
     # fused f32 device rescore: None = auto (on while the f32 mirror fits
     # the HBM budget), True/False to force
     index_device_rescore: Optional[bool] = None
+    # exact-path (Q, rows) score-matrix dtype: auto = fp16 when the fused
+    # f32 rescore is active (halves the dominant HBM round trip)
+    index_score_dtype: str = "auto"  # auto | float32 | float16
 
     # -- mesh / parallelism ----------------------------------------------------
     mesh_shape: str = ""  # e.g. "8" or "4x2"; empty = all local devices, 1-D
@@ -217,6 +220,7 @@ _SECTION_FIELDS: Dict[str, Dict[str, str]] = {
         "top_k_max": "search_top_k_max",
         "approx_recall_target": "index_approx_recall_target",
         "device_rescore": "index_device_rescore",
+        "score_dtype": "index_score_dtype",
     },
     "mesh": {
         "shape": "mesh_shape",

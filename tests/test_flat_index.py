@@ -120,3 +120,30 @@ def test_flat_int8_recall(mesh8, rng):
         [len(set(a) & set(b)) / k for a, b in zip(ids.tolist(), ref_ids.tolist())]
     )
     assert recall >= 0.85, f"int8 recall too low: {recall}"
+
+
+def test_flat_f16_scores_with_rescore_match_oracle(mesh8, rng):
+    """auto score_dtype picks fp16 when the f32 mirror is active; the fused
+    rescore must keep final ordering exact vs the numpy oracle."""
+    n, d, k = 2000, 128, 10
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    q = x[:16] + 0.05 * rng.standard_normal((16, d)).astype(np.float32)
+    idx = FlatIndex(d, metric="ip", dtype="int8", mesh=mesh8,
+                    device_rescore=True)
+    idx.add(x)
+    vecs, norms, valid, scales, rescore = idx._ensure_device()
+    assert rescore is not None
+    assert idx._score_dtype(rescore) == "float16"
+    _, ids = idx.search(q, k=k)
+    ref_ids = np.argsort(-(q @ x.T), axis=1)[:, :k]
+    recall = np.mean(
+        [len(set(a) & set(b)) / k for a, b in zip(ids.tolist(), ref_ids.tolist())]
+    )
+    assert recall >= 0.95, f"f16-score recall too low: {recall}"
+    # forcing f32 scores must also work and agree on the top hit
+    idx32 = FlatIndex(d, metric="ip", dtype="int8", mesh=mesh8,
+                      device_rescore=True, score_dtype="float32")
+    idx32.add(x)
+    _, ids32 = idx32.search(q, k=k)
+    np.testing.assert_array_equal(ids[:, 0], ids32[:, 0])

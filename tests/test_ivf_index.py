@@ -209,3 +209,29 @@ def test_ivf_int8_pallas_matches_xla(mesh8, rng):
     sb, ib = b.search(q, k=k, mode="ivf")
     np.testing.assert_array_equal(ia, ib)
     np.testing.assert_allclose(sa, sb, rtol=1e-4)
+
+
+def test_ivf_f16_scores_with_rescore_match_f32(mesh8, rng):
+    """auto score_dtype drops the exact-path score matrix to fp16 when the
+    fused f32 rescore re-orders the fetch; final top-1 must agree with a
+    forced-f32 score matrix."""
+    n, d, k = 3000, 64, 10
+    x = _clustered(rng, n, d)
+    q = _clustered(rng, 16, d)
+    idx = IVFIndex(
+        d, nlist=32, nprobe=16, metric="ip", dtype="int8", mesh=mesh8,
+        device_rescore=True,
+    )
+    idx.add(x)
+    dev = idx._ensure_device()
+    assert dev.frescore is not None
+    assert idx._score_dtype(dev.frescore) == "float16"
+    _, ids = idx.search(q, k=k, mode="exact")
+    assert _recall(ids, _oracle_ids(x, q, k)) >= 0.9
+    idx32 = IVFIndex(
+        d, nlist=32, nprobe=16, metric="ip", dtype="int8", mesh=mesh8,
+        device_rescore=True, score_dtype="float32",
+    )
+    idx32.add(x)  # exact mode scans the flat mirror; coarse layout is moot
+    _, ids32 = idx32.search(q, k=k, mode="exact")
+    np.testing.assert_array_equal(ids[:, 0], ids32[:, 0])
