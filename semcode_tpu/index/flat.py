@@ -46,6 +46,21 @@ def quantize_rows(x: np.ndarray):
     return q, scale.astype(np.float32)
 
 
+def pad_allow(allow) -> np.ndarray:
+    """Pad an allowed-tag list to a power-of-two bucket with -1 sentinels
+    (tags are >= 0, so -1 never matches) — bounds jit recompiles to
+    log2(max allow size) variants."""
+    a = np.asarray(allow, dtype=np.int32).ravel()
+    if a.size == 0:
+        raise ValueError("allow_tags must be non-empty (empty = no results)")
+    n = 8
+    while n < a.size:
+        n *= 2
+    out = np.full((n,), -1, dtype=np.int32)
+    out[: a.size] = a
+    return out
+
+
 class FlatIndex:
     """Exact-scan index over a row-sharded HBM matrix.
 
@@ -93,9 +108,11 @@ class FlatIndex:
         self.n_live = 0  # rows alive
         self._host = np.zeros((self.capacity, self.dim), dtype=np.float32)
         self._alive = np.zeros((self.capacity,), dtype=bool)
+        # int32 row tags for device-side filtered search (0 = untagged)
+        self._tags = np.zeros((self.capacity,), dtype=np.int32)
         # device state: one atomically-swapped tuple
-        # (vecs, norms, valid, scales-or-None, f32-rescore-mirror-or-None)
-        # so lock-free readers always see a consistent set of arrays
+        # (vecs, norms, valid, scales-or-None, f32-rescore-mirror-or-None,
+        # tags) so lock-free readers always see a consistent set of arrays
         self._dev: Optional[tuple] = None
         self._dirty = True  # device arrays need (re)materialization
 
@@ -145,7 +162,8 @@ class FlatIndex:
             if self._rescore_enabled()
             else None
         )
-        dev = (vecs, norms, valid, scales_dev, rescore)
+        tags = jax.device_put(self._tags, self._norm_sharding())
+        dev = (vecs, norms, valid, scales_dev, rescore, tags)
         self._dev = dev  # single atomic swap
         self._dirty = False
         return dev
@@ -177,8 +195,11 @@ class FlatIndex:
         host[: self.size] = self._host[: self.size]
         alive = np.zeros((new_cap,), dtype=bool)
         alive[: self.size] = self._alive[: self.size]
+        tags = np.zeros((new_cap,), dtype=np.int32)
+        tags[: self.size] = self._tags[: self.size]
         self._host = host
         self._alive = alive
+        self._tags = tags
         self.capacity = new_cap
         self._dirty = True
 
@@ -191,32 +212,45 @@ class FlatIndex:
             x = x / np.maximum(norms, 1e-12)
         return x
 
-    def add(self, x: np.ndarray) -> np.ndarray:
-        """Append rows; returns assigned row ids."""
+    def _coerce_tags(self, tags, n: int) -> np.ndarray:
+        if tags is None:
+            return np.zeros((n,), dtype=np.int32)
+        tags = np.asarray(tags, dtype=np.int32).ravel()
+        if tags.shape[0] != n:
+            raise ValueError(f"expected {n} tags, got {tags.shape[0]}")
+        return tags
+
+    def add(self, x: np.ndarray, tags=None) -> np.ndarray:
+        """Append rows; returns assigned row ids. ``tags`` (optional int32
+        per row, >= 0) enable device-side filtered search; None = tag 0."""
         x = self._prepare(x)
         n = x.shape[0]
         if n == 0:
             return np.zeros((0,), dtype=np.int64)
+        tags = self._coerce_tags(tags, n)
         if self.size + n > self.capacity:
             self._grow(self.size + n)
         rows = np.arange(self.size, self.size + n, dtype=np.int64)
         self._host[rows] = x
         self._alive[rows] = True
+        self._tags[rows] = tags
         self.size += n
         self.n_live += n
-        self._write_device(rows, x)
+        self._write_device(rows, x, tags)
         if self._dirty:
             self._materialize()  # eager: readers never materialize dirty state
         return rows
 
-    def update_rows(self, rows: np.ndarray, x: np.ndarray) -> None:
+    def update_rows(self, rows: np.ndarray, x: np.ndarray, tags=None) -> None:
         """Overwrite existing rows in place (upsert path)."""
         x = self._prepare(x)
         rows = np.asarray(rows, dtype=np.int64)
+        tags = self._coerce_tags(tags, x.shape[0])
         self.n_live += int(np.sum(~self._alive[rows]))
         self._host[rows] = x
         self._alive[rows] = True
-        self._write_device(rows, x)
+        self._tags[rows] = tags
+        self._write_device(rows, x, tags)
 
     def remove(self, rows: np.ndarray) -> None:
         """Tombstone rows; they stop appearing in search results."""
@@ -229,9 +263,9 @@ class FlatIndex:
         dev = self._dev
         if not self._dirty and dev is not None:
             valid = _clear_valid(dev[2], jnp.asarray(rows, jnp.int32))
-            self._dev = (dev[0], dev[1], valid, dev[3], dev[4])
+            self._dev = (dev[0], dev[1], valid, dev[3], dev[4], dev[5])
 
-    def _write_device(self, rows: np.ndarray, x: np.ndarray) -> None:
+    def _write_device(self, rows: np.ndarray, x: np.ndarray, tags) -> None:
         """Incremental scatter into the device arrays (keeps HBM warm)."""
         dev = self._dev
         if self._dirty or dev is None:
@@ -240,6 +274,7 @@ class FlatIndex:
         rescore = dev[4]
         if rescore is not None:  # keep the f32 mirror in lockstep
             rescore = _scatter_mirror(rescore, rows_d, jnp.asarray(x))
+        tags_dev = _scatter_tags(dev[5], rows_d, jnp.asarray(tags))
         if self._dtype == jnp.int8:
             qx, scales = quantize_rows(x)
             vecs, norms, valid, scl = _scatter_rows_q(
@@ -252,12 +287,12 @@ class FlatIndex:
                 jnp.asarray(scales),
                 jnp.asarray(np.sum(x.astype(np.float32) ** 2, axis=1)),
             )
-            self._dev = (vecs, norms, valid, scl, rescore)
+            self._dev = (vecs, norms, valid, scl, rescore, tags_dev)
         else:
             vecs, norms, valid = _scatter_rows(
                 dev[0], dev[1], dev[2], rows_d, jnp.asarray(x)
             )
-            self._dev = (vecs, norms, valid, dev[3], rescore)
+            self._dev = (vecs, norms, valid, dev[3], rescore, tags_dev)
 
     # -- search -----------------------------------------------------------------
 
@@ -278,8 +313,13 @@ class FlatIndex:
             return min(k, shard_rows)
         return min(max(4 * k, 128), shard_rows)
 
-    def search(self, queries: np.ndarray, k: int = 10) -> Tuple[np.ndarray, np.ndarray]:
-        """Top-k search; returns (scores f32 (Q,k), ids int64 (Q,k), -1 = empty)."""
+    def search(
+        self, queries: np.ndarray, k: int = 10, allow_tags=None
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Top-k search; returns (scores f32 (Q,k), ids int64 (Q,k), -1 = empty).
+
+        ``allow_tags``: optional sequence of allowed row tags — rows tagged
+        otherwise are masked on device before selection (filtered search)."""
         q = np.ascontiguousarray(np.atleast_2d(queries), dtype=np.float32)
         if q.shape[1] != self.dim:
             raise ValueError(f"expected queries of dim {self.dim}, got {q.shape}")
@@ -292,7 +332,7 @@ class FlatIndex:
         if self.metric == "cosine":
             q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
         dev = self._ensure_device()
-        vecs, norms, valid, scales, rescore = dev
+        vecs, norms, valid, scales, rescore, tags = dev
         q_pad = pad_bucket(n_q)
         if q_pad != n_q:
             q = np.pad(q, ((0, q_pad - n_q), (0, 0)))
@@ -318,6 +358,8 @@ class FlatIndex:
             self.approx_recall_target,
             k_eff,
             self._score_dtype(rescore),
+            tags if allow_tags is not None else None,
+            jnp.asarray(pad_allow(allow_tags)) if allow_tags is not None else None,
         )
         scores = np.asarray(scores[:n_q]).astype(np.float32)
         ids = np.asarray(ids[:n_q]).astype(np.int64)
@@ -329,7 +371,7 @@ class FlatIndex:
             ids = np.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=-1)
         return scores, ids
 
-    def search_device(self, q_dev: jax.Array, k: int):
+    def search_device(self, q_dev: jax.Array, k: int, allow_tags=None):
         """Device-to-device search: no host transfers or syncs.
 
         ``q_dev`` must be a replicated device array of shape (Q, dim) with Q a
@@ -337,7 +379,7 @@ class FlatIndex:
         (scores, ids). Used for pipelined high-throughput serving/benchmarks
         where multiple batches are kept in flight.
         """
-        vecs, norms, valid, scales, rescore = self._ensure_device()
+        vecs, norms, valid, scales, rescore, tags = self._ensure_device()
         shard_rows = vecs.shape[0] // self.n_shards
         k = min(k, shard_rows)
         return exact_scan(
@@ -356,6 +398,8 @@ class FlatIndex:
             self.approx_recall_target,
             None,
             self._score_dtype(rescore),
+            tags if allow_tags is not None else None,
+            jnp.asarray(pad_allow(allow_tags)) if allow_tags is not None else None,
         )
 
     # -- persistence ---------------------------------------------------------------
@@ -368,6 +412,7 @@ class FlatIndex:
             "size": self.size,
             "vectors": self._host[: self.size].copy(),
             "alive": self._alive[: self.size].copy(),
+            "tags": self._tags[: self.size].copy(),
         }
 
     @classmethod
@@ -387,6 +432,9 @@ class FlatIndex:
                 else np.ones(n, dtype=bool)
             )
             idx._alive[:n] = alive
+            tags = state.get("tags")
+            if tags is not None:
+                idx._tags[:n] = np.asarray(tags, dtype=np.int32)
             idx.size = n
             idx.n_live = int(alive.sum())
             idx._dirty = True
@@ -419,3 +467,8 @@ def _clear_valid(valid, rows):
 @jax.jit
 def _scatter_mirror(rescore, rows, x):
     return rescore.at[rows].set(x)
+
+
+@jax.jit
+def _scatter_tags(tags, rows, t):
+    return tags.at[rows].set(t)

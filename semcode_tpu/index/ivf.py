@@ -41,7 +41,7 @@ from ..parallel.mesh import (
     round_up,
     row_axes,
 )
-from .flat import DEVICE_RESCORE_MAX_BYTES, quantize_rows
+from .flat import DEVICE_RESCORE_MAX_BYTES, pad_allow, quantize_rows
 from .scan import exact_scan, rescore_global
 
 log = get_logger("index.ivf")
@@ -67,6 +67,7 @@ class _Dev(NamedTuple):
     fnorms: object     # (R,) f32
     fscales: object    # (R,) f32 (int8) or placeholder
     frescore: object   # (R, d) f32 or None
+    ftags: object      # (R,) int32 row tags (device-side filtered search)
 
 _NEG_INF = np.float32(-3.0e38)
 
@@ -135,6 +136,8 @@ class IVFIndex:
         self._assign = np.zeros((0,), dtype=np.int32)
         self._loc = np.zeros((0, 2), dtype=np.int32)  # row -> (cluster, slot)
         self._alive = np.zeros((0,), dtype=bool)
+        # int32 row tags for device-side filtered search (0 = untagged)
+        self._tags = np.zeros((0,), dtype=np.int32)
         self.centroids: Optional[np.ndarray] = None  # (nlist, dim) f32
         self._counts = np.zeros((self.nlist,), dtype=np.int32)  # slots used
         self.cmax = 0
@@ -158,10 +161,11 @@ class IVFIndex:
             x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
         return x
 
-    def _append_host(self, x: np.ndarray) -> np.ndarray:
+    def _append_host(self, x: np.ndarray, tags: np.ndarray) -> np.ndarray:
         n = x.shape[0]
         rows = np.arange(self._n_rows, self._n_rows + n, dtype=np.int64)
         self._host = np.concatenate([self._host, x], axis=0)
+        self._tags = np.concatenate([self._tags, tags])
         self._assign = np.concatenate(
             [self._assign, np.full(n, -1, dtype=np.int32)]
         )
@@ -184,12 +188,22 @@ class IVFIndex:
             sample, self.nlist, iters=self.kmeans_iters, seed=self.seed
         )
 
-    def add(self, x: np.ndarray) -> np.ndarray:
-        """Append rows; trains the quantizer on first call. Returns row ids."""
+    def add(self, x: np.ndarray, tags=None) -> np.ndarray:
+        """Append rows; trains the quantizer on first call. Returns row ids.
+        ``tags`` (optional int32 per row, >= 0) enable device-side filtered
+        search on the exact path; None = tag 0."""
         x = self._prepare(x)
         if x.shape[0] == 0:
             return np.zeros((0,), dtype=np.int64)
-        rows = self._append_host(x)
+        if tags is None:
+            tags = np.zeros((x.shape[0],), dtype=np.int32)
+        else:
+            tags = np.asarray(tags, dtype=np.int32).ravel()
+            if tags.shape[0] != x.shape[0]:
+                raise ValueError(
+                    f"expected {x.shape[0]} tags, got {tags.shape[0]}"
+                )
+        rows = self._append_host(x, tags)
         if not self.is_trained:
             self.train()
             self._rebuild_layout()
@@ -272,6 +286,9 @@ class IVFIndex:
         x = self._host[rows]
         rows_d = jnp.asarray(rows, dtype=jnp.int32)
         norms_d = jnp.asarray(np.sum(x.astype(np.float32) ** 2, axis=1))
+        ftags = _scatter_mirror_tags(
+            dev.ftags, rows_d, jnp.asarray(self._tags[rows])
+        )
         frescore = dev.frescore
         if frescore is not None:
             frescore = _scatter_mirror_rows(frescore, rows_d, jnp.asarray(x))
@@ -296,7 +313,7 @@ class IVFIndex:
             self._dev = dev._replace(
                 data=data, ids=ids, sqnorms=sqnorms, scales=scl,
                 fvecs=fvecs, fvalid=fvalid, fnorms=fnorms, fscales=fscales,
-                frescore=frescore,
+                frescore=frescore, ftags=ftags,
             )
         else:
             data, ids, sqnorms = _scatter_slots(
@@ -315,6 +332,7 @@ class IVFIndex:
             self._dev = dev._replace(
                 data=data, ids=ids, sqnorms=sqnorms,
                 fvecs=fvecs, fvalid=fvalid, fnorms=fnorms, frescore=frescore,
+                ftags=ftags,
             )
 
     def _rebuild_layout(self) -> None:
@@ -421,6 +439,8 @@ class IVFIndex:
             if frescore is not None:
                 frescore[lo:hi] = vals
         fvalid[: self._n_rows] = self._alive
+        ftags = np.zeros((mcap,), dtype=np.int32)
+        ftags[: self._n_rows] = self._tags
         self._mirror_cap = mcap
 
         axes = self._row_axes
@@ -444,6 +464,7 @@ class IVFIndex:
             frescore=(
                 jax.device_put(frescore, rshard2) if frescore is not None else None
             ),
+            ftags=jax.device_put(ftags, rshard1),
         )
         self._dev = dev  # single atomic swap
         self._dirty = False
@@ -540,6 +561,7 @@ class IVFIndex:
         k: int = 10,
         nprobe: Optional[int] = None,
         mode: str = "auto",  # auto | ivf | exact
+        allow_tags=None,  # device-side filter: forces the exact path
     ) -> Tuple[np.ndarray, np.ndarray]:
         q = np.ascontiguousarray(np.atleast_2d(queries), dtype=np.float32)
         if q.shape[1] != self.dim:
@@ -561,6 +583,11 @@ class IVFIndex:
         # per-shard top_k bounds the SHARD selection width by shard rows, but
         # the merged pool holds n_shards * k_shard candidates
         q_dev = jax.device_put(q, NamedSharding(self.mesh, P(None, None)))
+        if allow_tags is not None:
+            # tag masking lives on the flat mirror; the probing layout is
+            # cluster-addressed and unfiltered, so filtered searches take the
+            # exact path (still the fastest path at serving batch sizes)
+            mode = "exact"
         if mode == "auto":
             mode = self._pick_mode(q.shape[0], np_probe, k)
         quantized = self._dtype == jnp.int8
@@ -575,6 +602,10 @@ class IVFIndex:
                 self.metric, self._storage_name(), self._approx(),
                 self.approx_recall_target, k_eff,
                 self._score_dtype(dev.frescore),
+                dev.ftags if allow_tags is not None else None,
+                jnp.asarray(pad_allow(allow_tags))
+                if allow_tags is not None
+                else None,
             )
         else:
             rows_total = dev.data.shape[0] * dev.data.shape[1]
@@ -623,11 +654,14 @@ class IVFIndex:
         return scores, ids
 
     def search_device(
-        self, q_dev, k: int, nprobe: Optional[int] = None, mode: str = "auto"
+        self, q_dev, k: int, nprobe: Optional[int] = None, mode: str = "auto",
+        allow_tags=None,
     ):
         """Device-to-device IVF search (see FlatIndex.search_device)."""
         dev = self._ensure_device()
         np_probe = min(nprobe or self.nprobe, dev.data.shape[0])
+        if allow_tags is not None:
+            mode = "exact"  # see search(): tag masking rides the flat mirror
         if mode == "auto":
             mode = self._pick_mode(q_dev.shape[0], np_probe, k)
         if mode == "exact":
@@ -640,6 +674,10 @@ class IVFIndex:
                 self.metric, self._storage_name(), self._approx(),
                 self.approx_recall_target, None,
                 self._score_dtype(dev.frescore),
+                dev.ftags if allow_tags is not None else None,
+                jnp.asarray(pad_allow(allow_tags))
+                if allow_tags is not None
+                else None,
             )
         rows_total = dev.data.shape[0] * dev.data.shape[1]
         fetch = max(4 * k, 64) if dev.frescore is not None else k
@@ -694,6 +732,7 @@ class IVFIndex:
         self._host = self._host[live].copy()
         self._assign = self._assign[live].copy()
         self._loc = self._loc[live].copy()
+        self._tags = self._tags[live].copy()
         self._alive = np.ones(live.size, dtype=bool)
         self._n_rows = int(live.size)
         self.size = int(live.size)
@@ -713,6 +752,7 @@ class IVFIndex:
             "vectors": self._host[live].copy(),
             "assignments": self._assign[live].copy(),
             "rows": live.copy(),
+            "tags": self._tags[live].copy(),
         }
 
     @classmethod
@@ -731,6 +771,12 @@ class IVFIndex:
             n = vecs.shape[0]
             idx._host = vecs.copy()
             idx._assign = np.asarray(state["assignments"], dtype=np.int32).copy()
+            tags = state.get("tags")
+            idx._tags = (
+                np.asarray(tags, dtype=np.int32).copy()
+                if tags is not None
+                else np.zeros((n,), dtype=np.int32)
+            )
             idx._loc = np.full((n, 2), -1, dtype=np.int32)
             idx._alive = np.ones(n, dtype=bool)
             idx._n_rows = n
@@ -777,6 +823,11 @@ def _resort(scores, ids):
 @jax.jit
 def _clear_mirror_valid(fvalid, rows):
     return fvalid.at[rows].set(False)
+
+
+@jax.jit
+def _scatter_mirror_tags(ftags, rows, t):
+    return ftags.at[rows].set(t)
 
 
 @jax.jit

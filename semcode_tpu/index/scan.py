@@ -102,6 +102,8 @@ def exact_scan(
     recall_target=0.99,
     k_out=None,  # final merged width (default k)
     score_dtype="float32",  # float32 | float16 for the (Q, R) score matrix
+    tags=None,   # (R,) int32 row tags for device-side filtering, or None
+    allow=None,  # (A,) int32 allowed tag values (pad with -1), with tags
 ):
     """Fused: scan + select + (rescore) per shard, all-gather, global merge.
 
@@ -112,6 +114,14 @@ def exact_scan(
     fused f32 rescore restores exact ordering of the fetched candidates.
     Scores must be O(1)-scaled before the cast (int8 raw integer dots are
     rescaled first, so they are).
+
+    ``tags``/``allow`` implement filtered search on device (the feature
+    Milvus exposes as boolean expressions, reference milvus_store.py:135-148):
+    rows whose tag is not in ``allow`` are masked out with the tombstones
+    BEFORE selection, so a selective filter still returns k true matches —
+    unlike host post-filtering, which can exhaust its over-fetched candidates
+    on a 1%-selectivity filter. Cost: one (R,) int32 read + an (R, A)
+    broadcast compare — negligible next to the (Q, R) matmul.
     """
     if k_out is None:
         k_out = k
@@ -124,13 +134,22 @@ def exact_scan(
     k_out = min(k_out, k * n_shards)
     f16 = score_dtype == "float16"
     neg = _NEG_F16 if f16 else _NEG_INF
+    has_resc = rescore is not None
+    has_tags = tags is not None
 
     if storage == "int8":
         qq, q_scales = quantize_queries_device(q)
     else:
         qq, q_scales = q, None
 
-    def shard_fn(v, nrm, vld, scl, resc, qq_s, q_f32):
+    def shard_fn(*ops):
+        it = iter(ops)
+        v, nrm, vld, scl = next(it), next(it), next(it), next(it)
+        resc = next(it) if has_resc else None
+        if has_tags:
+            t, alw = next(it), next(it)
+            vld = vld & (t[:, None] == alw[None, :]).any(axis=1)
+        qq_s, q_f32 = next(it), next(it)
         base = linear_rank(mesh, axes) * shard_rows
         scores = _score_block(qq_s, v, scl, storage, q_scales)
         if metric == "l2":
@@ -164,38 +183,25 @@ def exact_scan(
         # crosses the slower outer fabric (DCN on a ("dcn","data") mesh)
         return hierarchical_topk_merge(s, pos + base, k_out, axes)
 
-    in_specs = [
-        P(axes, None),
-        P(axes),
-        P(axes),
-        P(axes),
-        P(axes, None) if rescore is not None else P(),
-        P(None, None),
-        P(None, None),
-    ]
-    operands = [vecs, norms, valid, scales, rescore, qq, q]
-    if rescore is None:
-        # shard_map needs a real operand; pass a zero-dim placeholder
-        def wrapper(v, nrm, vld, scl, qq_s, q_f32):
-            return shard_fn(v, nrm, vld, scl, None, qq_s, q_f32)
-
-        top_s, top_ids = jax.shard_map(
-            wrapper,
-            mesh=mesh,
-            in_specs=tuple(in_specs[:4] + in_specs[5:]),
-            out_specs=(P(None, None), P(None, None)),
-            # the hierarchical all_gather+top_k merge returns values that ARE
-            # replicated, but the static vma checker can't infer it
-            check_vma=False,
-        )(vecs, norms, valid, scales, qq, q)
-    else:
-        top_s, top_ids = jax.shard_map(
-            shard_fn,
-            mesh=mesh,
-            in_specs=tuple(in_specs),
-            out_specs=(P(None, None), P(None, None)),
-            check_vma=False,  # see above
-        )(*operands)
+    in_specs = [P(axes, None), P(axes), P(axes), P(axes)]
+    operands = [vecs, norms, valid, scales]
+    if has_resc:
+        in_specs.append(P(axes, None))
+        operands.append(rescore)
+    if has_tags:
+        in_specs += [P(axes), P(None)]
+        operands += [tags, allow]
+    in_specs += [P(None, None), P(None, None)]
+    operands += [qq, q]
+    top_s, top_ids = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=tuple(in_specs),
+        out_specs=(P(None, None), P(None, None)),
+        # the hierarchical all_gather+top_k merge returns values that ARE
+        # replicated, but the static vma checker can't infer it
+        check_vma=False,
+    )(*operands)
     if metric == "l2":
         qnorm = jnp.sum(q.astype(jnp.float32) ** 2, axis=1, keepdims=True)
         top_s = top_s - qnorm  # score = -||q - x||^2 (higher = closer)

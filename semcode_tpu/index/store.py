@@ -100,6 +100,12 @@ class VectorStore:
         self._lock = threading.RLock()
         self._connected = False
         self.version = 0  # bumped on every mutation (cache invalidation)
+        # (repo, language) -> tag id for device-side filtered search.
+        # Ids start at 1 (0 = untagged) and are append-only, so a lock-free
+        # reader iterating a copy sees a consistent (possibly slightly stale)
+        # table; rows tagged under a brand-new pair become filterable as soon
+        # as the reader re-snapshots.
+        self._pair_ids: Dict[tuple, int] = {}
 
     # Convenience accessors into the current view (writers hold the lock, so
     # in-place dict mutation through these is safe; readers must instead
@@ -205,7 +211,7 @@ class VectorStore:
         live = np.flatnonzero(idx._alive[: idx.size])
         vectors = idx._host[live]
         ivf = self._new_ivf()
-        new_rows = ivf.add(vectors)
+        new_rows = ivf.add(vectors, idx._tags[live])
         remap = dict(zip(live.tolist(), new_rows.tolist()))
         # Promotion renumbers rows: build FRESH maps and install them together
         # with the new index in one view swap, so a concurrent lock-free
@@ -244,20 +250,28 @@ class VectorStore:
                 old_items = [p for p, m in zip(chunk, new_mask) if not m]
                 if new_items:
                     new_vecs = vecs[np.asarray(new_mask)]
-                    rows = index.add(new_vecs)
+                    new_tags = np.asarray(
+                        [self._tag_for(self._payload_meta(p)) for p in new_items],
+                        dtype=np.int32,
+                    )
+                    rows = index.add(new_vecs, new_tags)
                     for p, r in zip(new_items, rows):
                         self._id_to_row[p.id] = int(r)
                         self._row_to_id[int(r)] = p.id
                         self._row_meta[int(r)] = self._payload_meta(p)
                 if old_items:
                     old_vecs = vecs[~np.asarray(new_mask)]
+                    old_tags = np.asarray(
+                        [self._tag_for(self._payload_meta(p)) for p in old_items],
+                        dtype=np.int32,
+                    )
                     rows = np.asarray(
                         [self._id_to_row[p.id] for p in old_items], dtype=np.int64
                     )
                     if isinstance(index, IVFIndex):
                         # IVF slots are cluster-addressed: tombstone + re-add
                         index.remove(rows)
-                        new_rows = index.add(old_vecs)
+                        new_rows = index.add(old_vecs, old_tags)
                         for p, r in zip(old_items, new_rows):
                             old_row = self._id_to_row[p.id]
                             self._row_meta.pop(old_row, None)
@@ -266,7 +280,7 @@ class VectorStore:
                             self._row_to_id[int(r)] = p.id
                             self._row_meta[int(r)] = self._payload_meta(p)
                     else:
-                        index.update_rows(rows, old_vecs)
+                        index.update_rows(rows, old_vecs, old_tags)
                         for p in old_items:
                             self._row_meta[self._id_to_row[p.id]] = (
                                 self._payload_meta(p)
@@ -283,6 +297,48 @@ class VectorStore:
         meta = dict(p.metadata or {})
         meta.setdefault("text", p.text)
         return meta
+
+    def _tag_for(self, meta: Dict[str, Any]) -> int:
+        """Assign/look up the (repo, language) tag id for a row (writer-side,
+        under the store lock)."""
+        pair = (str(meta.get("repo") or ""), str(meta.get("language") or ""))
+        tag = self._pair_ids.get(pair)
+        if tag is None:
+            tag = len(self._pair_ids) + 1  # 0 = untagged
+            self._pair_ids[pair] = tag
+        return tag
+
+    # device-filterable keys: equality on repo/language rides the row tags
+    _DEVICE_FILTER_KEYS = ("repo", "language")
+
+    def _split_filters(self, filters):
+        """Split filters into (allow_tags, residual_filters, definitely_empty).
+
+        repo/language equality filters compile to an allowed-tag list that
+        the indexes mask ON DEVICE before top-k selection — a selective
+        filter still yields top_k true matches, where host post-filtering
+        could exhaust its over-fetched candidates. Other keys (and oversized
+        allow lists) stay host-side via the residual filters."""
+        if not filters:
+            return None, filters, False
+        dev = {
+            k: filters[k]
+            for k in self._DEVICE_FILTER_KEYS
+            if isinstance(filters.get(k), str)
+        }
+        if not dev:
+            return None, filters, False
+        allowed = [
+            tag
+            for (repo, lang), tag in list(self._pair_ids.items())
+            if dev.get("repo", repo) == repo and dev.get("language", lang) == lang
+        ]
+        if not allowed:
+            return None, filters, True  # no stored row can ever match
+        if len(allowed) > 64:
+            return None, filters, False  # host fallback for huge allow lists
+        residual = {k: v for k, v in filters.items() if k not in dev}
+        return np.asarray(sorted(allowed), dtype=np.int32), residual or None, False
 
     def delete(self, ids: Sequence[str]) -> int:
         """Delete payloads by id (capability Milvus had server-side)."""
@@ -345,13 +401,18 @@ class VectorStore:
         index = view[0]
         if index is None or self.count() == 0:
             return [[] for _ in range(q.shape[0])]
-        fetch_k = self._fetch_k(index, top_k, filters)
+        allow, residual, empty = self._split_filters(filters)
+        if empty:
+            return [[] for _ in range(q.shape[0])]
+        fetch_k = self._fetch_k(index, top_k, residual)
         if isinstance(index, IVFIndex):
-            scores, ids = index.search(q, k=fetch_k, nprobe=nprobe)
+            scores, ids = index.search(
+                q, k=fetch_k, nprobe=nprobe, allow_tags=allow
+            )
         else:
-            scores, ids = index.search(q, k=fetch_k)
+            scores, ids = index.search(q, k=fetch_k, allow_tags=allow)
         scores, ids = self._rescore_host(index, q, scores, ids)
-        return self._hits_from(view, scores, ids, top_k, filters)
+        return self._hits_from(view, scores, ids, top_k, residual)
 
     def search_batch_device(
         self,
@@ -371,14 +432,17 @@ class VectorStore:
         index = view[0]
         if index is None or self.count() == 0:
             return [[] for _ in range(n_q)]
-        fetch_k = self._fetch_k(index, top_k, filters)
-        scores, ids = index.search_device(q_dev, fetch_k)
+        allow, residual, empty = self._split_filters(filters)
+        if empty:
+            return [[] for _ in range(n_q)]
+        fetch_k = self._fetch_k(index, top_k, residual)
+        scores, ids = index.search_device(q_dev, fetch_k, allow_tags=allow)
         scores = np.asarray(scores)
         ids = np.asarray(ids)
         scores, ids = self._rescore_host(
             index, np.asarray(q_dev, dtype=np.float32), scores, ids
         )
-        return self._hits_from(view, scores, ids, top_k, filters)
+        return self._hits_from(view, scores, ids, top_k, residual)
 
     def _fetch_k(self, index, top_k: int, filters) -> int:
         """Candidate fetch depth: headroom for post-filtering, plus — only
@@ -493,6 +557,10 @@ class VectorStore:
                 "dim": self.dim,
                 "metric": self.metric,
                 "kind": state["kind"] if state else None,
+                "pair_ids": [
+                    [repo, lang, tag]
+                    for (repo, lang), tag in self._pair_ids.items()
+                ],
             }
             if state:
                 for key, val in state.items():
@@ -546,7 +614,25 @@ class VectorStore:
         else:  # snapshots from before the msgpack split
             id_to_row = {k: int(v) for k, v in meta["id_to_row"].items()}
             row_meta = {int(k): v for k, v in meta["row_meta"].items()}
+        if kind == "ivf" and "rows" in state:
+            # IVFIndex.from_state renumbers the saved LIVE rows densely
+            # (0..n-1 in saved order); remap the id/meta maps to match, else a
+            # snapshot taken after any delete dereferences the wrong vectors
+            remap = {
+                int(old): new
+                for new, old in enumerate(np.asarray(state["rows"]).tolist())
+            }
+            id_to_row = {
+                pid: remap[r] for pid, r in id_to_row.items() if r in remap
+            }
+            row_meta = {
+                remap[r]: m for r, m in row_meta.items() if r in remap
+            }
         self._id_to_row = id_to_row
+        self._pair_ids = {
+            (str(repo), str(lang)): int(tag)
+            for repo, lang, tag in meta.get("pair_ids", [])
+        }
         # single atomic view swap: loading renumbers rows wholesale
         self._view = (index, {r: i for i, r in id_to_row.items()}, row_meta)
         self.version += 1

@@ -132,7 +132,7 @@ def test_flat_f16_scores_with_rescore_match_oracle(mesh8, rng):
     idx = FlatIndex(d, metric="ip", dtype="int8", mesh=mesh8,
                     device_rescore=True)
     idx.add(x)
-    vecs, norms, valid, scales, rescore = idx._ensure_device()
+    vecs, norms, valid, scales, rescore, _tags = idx._ensure_device()
     assert rescore is not None
     assert idx._score_dtype(rescore) == "float16"
     _, ids = idx.search(q, k=k)
@@ -147,3 +147,21 @@ def test_flat_f16_scores_with_rescore_match_oracle(mesh8, rng):
     idx32.add(x)
     _, ids32 = idx32.search(q, k=k)
     np.testing.assert_array_equal(ids[:, 0], ids32[:, 0])
+
+
+def test_flat_allow_tags_masks_on_device(mesh8, rng):
+    n, d, k = 1000, 64, 5
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    tags = (np.arange(n) % 3).astype(np.int32)  # three tenants
+    idx = FlatIndex(d, metric="ip", dtype="float32", mesh=mesh8)
+    idx.add(x, tags=tags)
+    q = x[:8]
+    _, ids = idx.search(q, k=k, allow_tags=[1])
+    assert (ids >= 0).all()
+    assert (tags[ids.ravel()] == 1).all()  # only tenant-1 rows surface
+    # oracle: best tenant-1 row for each query
+    masked = np.where((tags == 1)[None, :], q @ x.T, -np.inf)
+    np.testing.assert_array_equal(ids[:, 0], np.argmax(masked, axis=1))
+    # unfiltered search unaffected
+    _, ids_all = idx.search(q, k=1)
+    np.testing.assert_array_equal(ids_all[:, 0], np.arange(8))

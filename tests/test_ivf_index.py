@@ -235,3 +235,22 @@ def test_ivf_f16_scores_with_rescore_match_f32(mesh8, rng):
     idx32.add(x)  # exact mode scans the flat mirror; coarse layout is moot
     _, ids32 = idx32.search(q, k=k, mode="exact")
     np.testing.assert_array_equal(ids[:, 0], ids32[:, 0])
+
+
+def test_ivf_allow_tags_filters_exact_path(mesh8, rng):
+    n, d, k = 3000, 64, 5
+    x = _clustered(rng, n, d)
+    tags = (np.arange(n) % 4).astype(np.int32)
+    idx = IVFIndex(
+        d, nlist=32, nprobe=8, metric="ip", dtype="int8", mesh=mesh8,
+        device_rescore=True,
+    )
+    idx.add(x, tags=tags)
+    q = _clustered(rng, 16, d)
+    # allow_tags forces the exact path regardless of requested mode
+    _, ids = idx.search(q, k=k, mode="ivf", allow_tags=[2])
+    assert (ids >= 0).all()
+    assert (tags[ids.ravel()] == 2).all()
+    masked = np.where((tags == 2)[None, :], q @ x.T, -np.inf)
+    top1 = np.argmax(masked, axis=1)
+    np.testing.assert_array_equal(ids[:, 0], top1)

@@ -174,3 +174,71 @@ def test_top_k_validation(tmp_path, mesh8, rng):
     # huge top_k is capped, not an error (and must not crash per-shard top_k)
     hits = store.search(vecs[0], top_k=10**9)
     assert len(hits) == 20
+
+
+def test_device_filter_selective_repo_returns_full_topk(tmp_path, mesh8, rng):
+    """A 3%-selectivity repo filter must still fill top_k — host post-filter
+    with bounded over-fetch cannot; the device tag mask can."""
+    store = VectorStore(_cfg(tmp_path), mesh=mesh8)
+    big, _ = _payloads(rng, 300, prefix="big", repo="haystack")
+    rare, rare_vecs = _payloads(rng, 10, prefix="rare", repo="needle")
+    store.upsert_embeddings(big + rare)
+    # query with a vector close to a *haystack* chunk: unfiltered top-k is
+    # all haystack, so any filtered hits must come from device masking
+    q = np.asarray(big[5].vector, dtype=np.float32)
+    hits = store.search(q, top_k=8, filters={"repo": "needle"})
+    assert len(hits) == 8
+    assert all(h.repo == "needle" for h in hits)
+    # impossible filter short-circuits to empty (no device dispatch)
+    assert store.search(q, top_k=5, filters={"repo": "nope"}) == []
+
+
+def test_device_filter_residual_keys_still_host_filtered(tmp_path, mesh8, rng):
+    store = VectorStore(_cfg(tmp_path), mesh=mesh8)
+    pays, vecs = _payloads(rng, 40, repo="r1")
+    store.upsert_embeddings(pays)
+    hits = store.search(
+        vecs[4], top_k=5, filters={"repo": "r1", "path": "f4.py"}
+    )
+    assert [h.id for h in hits] == ["c4"]  # path filtering stays host-side
+
+
+def test_device_filter_survives_promotion_and_snapshot(tmp_path, mesh8, rng):
+    cfg = _cfg(
+        tmp_path, index_kind="auto", index_ivf_min_size=64,
+        index_nlist=8, index_nprobe=8,
+    )
+    store = VectorStore(cfg, mesh=mesh8)
+    p1, v1 = _payloads(rng, 60, prefix="a", repo="alpha")
+    p2, _ = _payloads(rng, 60, prefix="b", repo="beta")
+    store.upsert_embeddings(p1 + p2)  # crosses the IVF promotion threshold
+    from semcode_tpu.index.ivf import IVFIndex
+
+    assert isinstance(store._index, IVFIndex)
+    hits = store.search(v1[0], top_k=6, filters={"repo": "beta"})
+    assert len(hits) == 6 and all(h.repo == "beta" for h in hits)
+    store.save()
+    store2 = VectorStore(cfg, mesh=mesh8)
+    store2.connect()
+    hits2 = store2.search(v1[0], top_k=6, filters={"repo": "beta"})
+    assert len(hits2) == 6 and all(h.repo == "beta" for h in hits2)
+
+
+def test_ivf_snapshot_after_delete_keeps_ids_aligned(tmp_path, mesh8, rng):
+    """Regression: IVFIndex.from_state renumbers live rows densely; load()
+    must remap id_to_row/row_meta or post-delete snapshots dereference the
+    wrong vectors."""
+    cfg = _cfg(
+        tmp_path, index_kind="ivf", index_nlist=8, index_nprobe=8,
+    )
+    store = VectorStore(cfg, mesh=mesh8)
+    pays, vecs = _payloads(rng, 64)
+    store.upsert_embeddings(pays)
+    store.delete([f"c{i}" for i in range(10)])
+    store.save()
+    store2 = VectorStore(cfg, mesh=mesh8)
+    store2.connect()
+    assert store2.count() == 54
+    hits = store2.search(vecs[33], top_k=1)
+    assert hits[0].id == "c33"
+    assert store2.search(vecs[3], top_k=5)[0].id != "c3"  # deleted stays gone
