@@ -140,7 +140,10 @@ def main() -> None:
         DIM, nlist=NLIST, nprobe=NPROBE, metric="ip", dtype=DTYPE,
         kmeans_iters=10,
     )
-    ivf.add(x)
+    # tag 1% of rows (simulating a small repo among many) so the filtered-
+    # search section below can measure device tag masking at low selectivity
+    row_tags = (np.arange(N) % 100 == 0).astype(np.int32)
+    ivf.add(x, tags=row_tags)
     build_s = time.perf_counter() - t0
     log(
         f"[bench] IVF build: {build_s:.1f}s (nlist={ivf.nlist}, cmax={ivf.cmax},"
@@ -244,6 +247,32 @@ def main() -> None:
         f" wins; auto picks {serve_auto_mode}"
     )
 
+    # ---- filtered search: 1%-selectivity repo filter, device tag mask -------
+    allow = np.asarray([1], dtype=np.int32)
+    _, f_ids = ivf.search_device(q_batches[0], K, allow_tags=allow)
+    f_ids = np.asarray(f_ids)
+    filt_ok = bool(
+        (f_ids >= 0).all() and (row_tags[f_ids.ravel()] == 1).all()
+    )
+    t_start = time.perf_counter()
+    n_done = 0
+    while time.perf_counter() - t_start < max(2.0, TIMED_SECS / 4):
+        outs = []
+        for i in range(32):
+            outs.append(
+                ivf.search_device(
+                    q_batches[i % len(q_batches)], K, allow_tags=allow
+                )
+            )
+            n_done += BATCH
+        np.asarray(outs[-1][0])
+    filt_qps = n_done / (time.perf_counter() - t_start)
+    log(
+        f"[bench] filtered search (1% selectivity, device tag mask): "
+        f"{filt_qps:.0f} QPS, all-hits-match={filt_ok} "
+        f"(host post-filter would return ~{K // 100} of {K} hits)"
+    )
+
     # ---- queries during streaming ingest (lock-free serving) ----------------
     stop = threading.Event()
     write_count = {"n": 0}
@@ -311,6 +340,8 @@ def main() -> None:
             "small_batch_exact_qps": round(small_qps["exact"], 1),
             "small_batch_probing_qps": round(small_qps["ivf"], 1),
             "small_batch_auto_mode": serve_auto_mode,
+            "filtered_qps_1pct": round(filt_qps, 1),
+            "filtered_hits_all_match": filt_ok,
             "under_ingest_p50_ms": round(under_p50, 1),
             "under_ingest_p99_ms": round(under_p99, 1),
             "build_s": round(build_s, 1),

@@ -50,7 +50,14 @@ class QueryBatcher:
 
     @staticmethod
     def _freeze(filters: Optional[Dict[str, Any]]) -> Tuple:
-        return tuple(sorted((filters or {}).items()))
+        # deep-freeze: multi-select filter values arrive as lists and the
+        # frozen form is used as a dict key when grouping compatible requests
+        return tuple(
+            sorted(
+                (k, tuple(v) if isinstance(v, list) else v)
+                for k, v in (filters or {}).items()
+            )
+        )
 
     async def _worker(self) -> None:
         loop = asyncio.get_event_loop()
@@ -69,35 +76,49 @@ class QueryBatcher:
                     )
                 except asyncio.TimeoutError:
                     break
-            # group by (top_k, filters) compatibility
-            groups: Dict[Tuple, List] = {}
-            for item in batch:
-                groups.setdefault((item[1], item[2]), []).append(item)
-            for (top_k, frozen), items in groups.items():
-                questions = [it[0] for it in items]
-                filters = dict(frozen) if frozen else None
-                try:
-                    if len(items) == 1:
-                        results = [
-                            await loop.run_in_executor(
-                                self.executor,
-                                lambda: self.pipeline.query(
-                                    questions[0], top_k=top_k, filters=filters
-                                ),
-                            )
-                        ]
-                    else:
-                        log.info("query_microbatch", size=len(items))
-                        results = await loop.run_in_executor(
-                            self.executor,
-                            lambda: self.pipeline.query_batch(
-                                questions, top_k=top_k, filters=filters
-                            ),
-                        )
-                    for item, result in zip(items, results):
-                        if not item[3].done():
-                            item[3].set_result(result)
-                except Exception as exc:
-                    for item in items:
-                        if not item[3].done():
-                            item[3].set_exception(exc)
+            try:
+                self._dispatch_groups(loop, batch)
+            except Exception as exc:  # pragma: no cover - defensive
+                # a worker-level failure must fail the waiters, not strand
+                # them: an escaped exception here would kill the worker task
+                # while callers await their futures forever
+                for item in batch:
+                    if not item[3].done():
+                        item[3].set_exception(exc)
+
+    def _dispatch_groups(self, loop, batch: List) -> None:
+        # group by (top_k, filters) compatibility
+        groups: Dict[Tuple, List] = {}
+        for item in batch:
+            groups.setdefault((item[1], item[2]), []).append(item)
+        for (top_k, frozen), items in groups.items():
+            loop.create_task(self._run_group(loop, top_k, frozen, items))
+
+    async def _run_group(self, loop, top_k, frozen, items: List) -> None:
+        questions = [it[0] for it in items]
+        filters = dict(frozen) if frozen else None
+        try:
+            if len(items) == 1:
+                results = [
+                    await loop.run_in_executor(
+                        self.executor,
+                        lambda: self.pipeline.query(
+                            questions[0], top_k=top_k, filters=filters
+                        ),
+                    )
+                ]
+            else:
+                log.info("query_microbatch", size=len(items))
+                results = await loop.run_in_executor(
+                    self.executor,
+                    lambda: self.pipeline.query_batch(
+                        questions, top_k=top_k, filters=filters
+                    ),
+                )
+            for item, result in zip(items, results):
+                if not item[3].done():
+                    item[3].set_result(result)
+        except Exception as exc:
+            for item in items:
+                if not item[3].done():
+                    item[3].set_exception(exc)

@@ -135,8 +135,17 @@ async function runQuery() {
   if (!q) return;
   $('result').innerHTML = '<p class="ctx">Searching…</p>';
   try {
+    // push repo/language filters into the query so retrieval searches the
+    // filtered subset on device (server-side tag mask), instead of merely
+    // hiding off-filter results client-side after retrieval
+    const body = {question: q};
+    const filters = {};
+    const repoSel = selected($('repoFilter')), langSel = selected($('langFilter'));
+    if (repoSel.length) filters.repo = repoSel;
+    if (langSel.length) filters.language = langSel;
+    if (Object.keys(filters).length) body.filters = filters;
     const r = await fetch(apiRoot() + '/query', {
-      method: 'POST', headers: headers(), body: JSON.stringify({question: q})});
+      method: 'POST', headers: headers(), body: JSON.stringify(body)});
     const data = await r.json();
     if (!r.ok) throw new Error(data.detail || r.status);
     pushHistory(q);

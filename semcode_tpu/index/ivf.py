@@ -521,11 +521,13 @@ class IVFIndex:
         return min(max(4 * k, 128), shard_rows)
 
     def _score_dtype(self, rescore) -> str:
-        """fp16 (Q, rows) score matrix iff the fused f32 rescore is active
-        to re-order the fetched candidates (see scan.exact_scan)."""
+        """Experimental knob (see FlatIndex._score_dtype: measured
+        QPS-neutral on chip, so auto stays float32)."""
+        if self.score_dtype == "float16" and rescore is None:
+            return "float32"  # nothing re-orders the quantized fp16 scores
         if self.score_dtype != "auto":
             return self.score_dtype
-        return "float16" if rescore is not None else "float32"
+        return "float32"
 
     def _pallas_mode(self) -> str:
         """'off' | 'compiled' | 'interpret' (interpret covers CPU test meshes)."""

@@ -107,13 +107,16 @@ def exact_scan(
 ):
     """Fused: scan + select + (rescore) per shard, all-gather, global merge.
 
-    ``score_dtype="float16"`` halves the HBM round trip of the (Q, rows)
-    score matrix — the measured bottleneck of the whole step at 1M rows
-    (the scan itself reads ~5x less than the f32 score materialization).
-    fp16's 11 mantissa bits keep ties ~8x finer than bf16 scoring, and the
-    fused f32 rescore restores exact ordering of the fetched candidates.
-    Scores must be O(1)-scaled before the cast (int8 raw integer dots are
-    rescaled first, so they are).
+    ``score_dtype="float16"`` is an experimental knob that emits the (Q, R)
+    score matrix as fp16. Measured on a v5e chip (1M x 384, int8 + fused
+    rescore) it is QPS-neutral: XLA fuses the selection into the matmul
+    epilogue without materializing the score matrix in HBM, so there is no
+    round trip to halve. Kept because the fusion is a compiler behavior, not
+    a contract — if a future XLA materializes the matrix, fp16 halves that
+    traffic, and correctness is already guaranteed (fp16's 11 mantissa bits
+    + the fused f32 rescore restoring exact order of the fetched
+    candidates). Scores must be O(1)-scaled before the cast (int8 raw
+    integer dots are rescaled first, so they are).
 
     ``tags``/``allow`` implement filtered search on device (the feature
     Milvus exposes as boolean expressions, reference milvus_store.py:135-148):

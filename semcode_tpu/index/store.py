@@ -321,17 +321,24 @@ class VectorStore:
         allow lists) stay host-side via the residual filters."""
         if not filters:
             return None, filters, False
-        dev = {
-            k: filters[k]
-            for k in self._DEVICE_FILTER_KEYS
-            if isinstance(filters.get(k), str)
-        }
+        dev = {}
+        for k in self._DEVICE_FILTER_KEYS:
+            v = filters.get(k)
+            if isinstance(v, str):
+                dev[k] = (v,)
+            elif (
+                isinstance(v, (list, tuple))
+                and v
+                and all(isinstance(i, str) for i in v)
+            ):
+                dev[k] = tuple(v)
         if not dev:
             return None, filters, False
         allowed = [
             tag
             for (repo, lang), tag in list(self._pair_ids.items())
-            if dev.get("repo", repo) == repo and dev.get("language", lang) == lang
+            if repo in dev.get("repo", (repo,))
+            and lang in dev.get("language", (lang,))
         ]
         if not allowed:
             return None, filters, True  # no stored row can ever match
@@ -514,7 +521,12 @@ class VectorStore:
                 if pid is None:
                     continue
                 meta = row_meta.get(int(r), {})
-                if filters and any(meta.get(k) != v for k, v in filters.items()):
+                if filters and any(
+                    meta.get(k) not in v
+                    if isinstance(v, (list, tuple))
+                    else meta.get(k) != v
+                    for k, v in filters.items()
+                ):
                     continue
                 hits.append(
                     SearchHit(

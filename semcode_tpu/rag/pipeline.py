@@ -92,7 +92,14 @@ class SemanticSearchPipeline:
             cache_key = (
                 question,
                 top_k,
-                tuple(sorted((filters or {}).items())),
+                # filter values may be lists (multi-select); canonicalize to
+                # hashable tuples
+                tuple(
+                    sorted(
+                        (k, tuple(v) if isinstance(v, list) else v)
+                        for k, v in (filters or {}).items()
+                    )
+                ),
                 getattr(self._vector_store, "version", None),
             )
             with self._cache_lock:

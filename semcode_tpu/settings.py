@@ -95,8 +95,9 @@ class AppSettings(BaseModel):
     # fused f32 device rescore: None = auto (on while the f32 mirror fits
     # the HBM budget), True/False to force
     index_device_rescore: Optional[bool] = None
-    # exact-path (Q, rows) score-matrix dtype: auto = fp16 when the fused
-    # f32 rescore is active (halves the dominant HBM round trip)
+    # exact-path (Q, rows) score-matrix dtype. Experimental: fp16 measured
+    # QPS-neutral on a v5e chip (XLA fuses selection into the matmul without
+    # materializing the score matrix), so auto resolves to float32
     index_score_dtype: str = "auto"  # auto | float32 | float16
 
     # -- mesh / parallelism ----------------------------------------------------

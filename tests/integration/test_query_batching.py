@@ -90,3 +90,34 @@ def test_real_pipeline_batch_consistency(tmp_path, mesh8, rng):
         assert [s["path"] for s in br["sources"]] == [
             s["path"] for s in single["sources"]
         ]
+
+
+def test_list_valued_filters_do_not_strand_requests(tmp_path):
+    """Regression: list filter values ({"repo": ["a","b"]}) made the frozen
+    filter key unhashable, which killed the batcher worker task outside its
+    try block — callers then awaited forever. The request must resolve."""
+    pipeline = BatchTrackingPipeline()
+    cfg = AppSettings(workspace_root=tmp_path)
+
+    async def go():
+        app = create_app(config=cfg, pipeline=pipeline)
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            r = await asyncio.wait_for(
+                client.post(
+                    "/query",
+                    json={
+                        "question": "q",
+                        "filters": {"repo": ["a", "b"], "language": "python"},
+                    },
+                ),
+                timeout=10,
+            )
+            assert r.status == 200
+            body = await r.json()
+            assert body["answer"] == "single:q"
+        finally:
+            await client.close()
+
+    asyncio.run(go())

@@ -123,18 +123,23 @@ def test_flat_int8_recall(mesh8, rng):
 
 
 def test_flat_f16_scores_with_rescore_match_oracle(mesh8, rng):
-    """auto score_dtype picks fp16 when the f32 mirror is active; the fused
-    rescore must keep final ordering exact vs the numpy oracle."""
+    """Forced fp16 score matrix (experimental knob; measured QPS-neutral on
+    chip, auto stays f32): the fused rescore must keep final ordering exact
+    vs the numpy oracle."""
     n, d, k = 2000, 128, 10
     x = rng.standard_normal((n, d)).astype(np.float32)
     x /= np.linalg.norm(x, axis=1, keepdims=True)
     q = x[:16] + 0.05 * rng.standard_normal((16, d)).astype(np.float32)
     idx = FlatIndex(d, metric="ip", dtype="int8", mesh=mesh8,
-                    device_rescore=True)
+                    device_rescore=True, score_dtype="float16")
     idx.add(x)
     vecs, norms, valid, scales, rescore, _tags = idx._ensure_device()
     assert rescore is not None
     assert idx._score_dtype(rescore) == "float16"
+    # auto (and fp16-without-rescore) resolve to f32
+    auto_idx = FlatIndex(d, metric="ip", dtype="int8", mesh=mesh8)
+    assert auto_idx._score_dtype(rescore) == "float32"
+    assert idx._score_dtype(None) == "float32"
     _, ids = idx.search(q, k=k)
     ref_ids = np.argsort(-(q @ x.T), axis=1)[:, :k]
     recall = np.mean(

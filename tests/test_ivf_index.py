@@ -212,15 +212,15 @@ def test_ivf_int8_pallas_matches_xla(mesh8, rng):
 
 
 def test_ivf_f16_scores_with_rescore_match_f32(mesh8, rng):
-    """auto score_dtype drops the exact-path score matrix to fp16 when the
-    fused f32 rescore re-orders the fetch; final top-1 must agree with a
-    forced-f32 score matrix."""
+    """Forced fp16 exact-path score matrix (experimental knob): final top-1
+    must agree with the default f32 score matrix (the fused f32 rescore
+    re-orders the fetch either way)."""
     n, d, k = 3000, 64, 10
     x = _clustered(rng, n, d)
     q = _clustered(rng, 16, d)
     idx = IVFIndex(
         d, nlist=32, nprobe=16, metric="ip", dtype="int8", mesh=mesh8,
-        device_rescore=True,
+        device_rescore=True, score_dtype="float16",
     )
     idx.add(x)
     dev = idx._ensure_device()

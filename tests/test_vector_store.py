@@ -242,3 +242,21 @@ def test_ivf_snapshot_after_delete_keeps_ids_aligned(tmp_path, mesh8, rng):
     hits = store2.search(vecs[33], top_k=1)
     assert hits[0].id == "c33"
     assert store2.search(vecs[3], top_k=5)[0].id != "c3"  # deleted stays gone
+
+
+def test_device_filter_list_values(tmp_path, mesh8, rng):
+    """Multi-select filters ({"repo": [a, b]}) compile to a multi-tag allow
+    list on device; host residual filtering also honors list membership."""
+    store = VectorStore(_cfg(tmp_path), mesh=mesh8)
+    pa, va = _payloads(rng, 30, prefix="a", repo="ra")
+    pb, _ = _payloads(rng, 30, prefix="b", repo="rb")
+    pc, _ = _payloads(rng, 30, prefix="c", repo="rc")
+    store.upsert_embeddings(pa + pb + pc)
+    hits = store.search(va[0], top_k=12, filters={"repo": ["ra", "rb"]})
+    assert len(hits) == 12
+    assert {h.repo for h in hits} <= {"ra", "rb"}
+    # host-side residual list filter (non-device key)
+    hits2 = store.search(
+        va[0], top_k=5, filters={"path": ["f0.py", "f1.py"]}
+    )
+    assert hits2 and all(h.path in ("f0.py", "f1.py") for h in hits2)
