@@ -13,6 +13,7 @@ when that wheel is available; the scanner here is the supported path.)
 
 from __future__ import annotations
 
+import ast as _pyast
 import re
 from dataclasses import dataclass
 from typing import List, Optional, Sequence
@@ -39,10 +40,50 @@ class SymbolDef:
     indent: int
 
 
+def _scan_python_ast(text: str) -> Optional[List[SymbolDef]]:
+    """Exact Python symbol scan via the stdlib compiler.
+
+    Compared to the line-regex fallback: immune to def/class keywords inside
+    strings and comments, reports decorator-aware start lines (a chunk split
+    lands above the decorators, not between them and the def), and emits
+    Class.method qualified names for nested definitions. Returns None on
+    syntax errors (broken/partial files fall back to the regex scan)."""
+    try:
+        tree = _pyast.parse(text)
+    except (SyntaxError, ValueError):
+        return None
+    out: List[SymbolDef] = []
+
+    def visit(node, qualprefix: str, in_class: bool) -> None:
+        for child in _pyast.iter_child_nodes(node):
+            if isinstance(
+                child,
+                (_pyast.FunctionDef, _pyast.AsyncFunctionDef, _pyast.ClassDef),
+            ):
+                deco = getattr(child, "decorator_list", [])
+                line = (deco[0].lineno if deco else child.lineno) - 1
+                is_class = isinstance(child, _pyast.ClassDef)
+                kind = (
+                    "class"
+                    if is_class
+                    else ("method" if in_class else "function")
+                )
+                name = qualprefix + child.name
+                out.append(SymbolDef(name, kind, line, child.col_offset))
+                visit(child, name + ".", is_class)
+
+    visit(tree, "", False)
+    out.sort(key=lambda s: s.line)
+    return out
+
+
 def scan_symbols(lines: Sequence[str], language: str) -> List[SymbolDef]:
     """Find definition lines; used for symbol tagging and split points."""
     out: List[SymbolDef] = []
     if language == "python":
+        exact = _scan_python_ast("\n".join(lines))
+        if exact is not None:
+            return exact
         for i, line in enumerate(lines):
             m = _PY_DEF.match(line)
             if m:

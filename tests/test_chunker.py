@@ -116,3 +116,46 @@ def test_guess_language():
     assert guess_language(Path("a.hpp")) == "cpp"
     assert guess_language(Path("a.ts")) == "typescript"
     assert guess_language(Path("a.bin")) is None
+
+
+def test_python_ast_scanner_exactness():
+    """The stdlib-ast scan skips defs in strings, reports decorator-aware
+    start lines, and qualifies nested names; broken files fall back to the
+    regex scan."""
+    from semcode_tpu.chunking.symbols import scan_symbols
+
+    src = '''\
+S = """
+def not_a_def():  # inside a string
+    pass
+"""
+
+
+@decorator
+def top(a, b):
+    return a
+
+
+class Widget:
+    @property
+    def size(self):
+        return 1
+
+    class Inner:
+        def leaf(self):
+            pass
+'''
+    syms = scan_symbols(src.splitlines(), "python")
+    by_name = {s.name: s for s in syms}
+    assert "not_a_def" not in by_name  # string content ignored
+    assert by_name["top"].kind == "function"
+    assert by_name["top"].line == 6  # the @decorator line, 0-based
+    assert by_name["Widget"].kind == "class"
+    assert by_name["Widget.size"].kind == "method"
+    assert by_name["Widget.Inner"].kind == "class"
+    assert by_name["Widget.Inner.leaf"].kind == "method"
+
+    # syntax-broken file: regex fallback still finds the def line
+    broken = ["def solo(:", "    pass"]
+    fb = scan_symbols(broken, "python")
+    assert fb and fb[0].name == "solo"
