@@ -234,6 +234,23 @@ def cmd_remove(args) -> int:
     return 1
 
 
+def cmd_compact(_args) -> int:
+    """Reclaim tombstoned rows and persist the compacted snapshot."""
+    configure_logging(enable_console=False)
+    from .index.store import VectorStore
+
+    store = VectorStore()
+    store.connect()
+    reclaimed = store.compact()
+    if reclaimed:
+        store.save()
+        print(f"Compacted: reclaimed {reclaimed} tombstoned rows "
+              f"({store.count()} live).")
+    else:
+        print("Nothing to compact.")
+    return 0
+
+
 def cmd_stats(_args) -> int:
     configure_logging(enable_console=False)
     from .embeddings import EmbeddingProviderFactory
@@ -481,6 +498,11 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser("stats", help="Print index/engine statistics")
     p.set_defaults(func=cmd_stats)
+
+    p = sub.add_parser(
+        "compact", help="Reclaim tombstoned index rows and persist"
+    )
+    p.set_defaults(func=cmd_compact)
 
     p = sub.add_parser("serve", help="Run the API server")
     p.set_defaults(func=cmd_serve)

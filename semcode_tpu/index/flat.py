@@ -407,6 +407,30 @@ class FlatIndex:
             jnp.asarray(pad_allow(allow_tags)) if allow_tags is not None else None,
         )
 
+    # -- maintenance ---------------------------------------------------------------
+
+    def compact(self) -> np.ndarray:
+        """Drop tombstoned rows and renumber densely.
+
+        Returns the remap array (old row -> new row, -1 for dropped rows) so
+        callers can renumber their row-keyed maps. Materializes eagerly so
+        lock-free readers never see stale row numbering."""
+        live = np.flatnonzero(self._alive[: self.size])
+        remap = np.full(self.size, -1, dtype=np.int64)
+        remap[live] = np.arange(live.size)
+        n = int(live.size)
+        self._host[:n] = self._host[live]
+        self._tags[:n] = self._tags[live]
+        self._host[n : self.size] = 0.0
+        self._tags[n : self.size] = 0
+        self._alive[: self.size] = False
+        self._alive[:n] = True
+        self.size = n
+        self.n_live = n
+        self._dirty = True
+        self._materialize()
+        return remap
+
     # -- persistence ---------------------------------------------------------------
 
     def state_dict(self) -> dict:

@@ -371,6 +371,48 @@ class VectorStore:
         ]
         return self.delete(ids)
 
+    def compact(self) -> int:
+        """Reclaim tombstoned rows (the maintenance Milvus ran server-side).
+
+        Renumbers live rows densely inside the index, remaps the id/meta
+        maps, and installs everything in one atomic view swap so lock-free
+        readers never map old row numbers through new dicts. Returns the
+        number of tombstones reclaimed."""
+        self.connect()
+        with self._lock:
+            idx = self._index
+            if idx is None:
+                return 0
+
+            def allocated(i) -> int:
+                # FlatIndex counts allocation in .size; IVFIndex in ._n_rows
+                return int(i._n_rows) if isinstance(i, IVFIndex) else int(i.size)
+
+            before = allocated(idx)
+            remap = idx.compact()
+            reclaimed = before - allocated(idx)
+            if reclaimed == 0:
+                return 0
+            old_meta = self._row_meta
+            id_to_row = {
+                pid: int(remap[r])
+                for pid, r in self._id_to_row.items()
+                if r < len(remap) and remap[r] >= 0
+            }
+            self._id_to_row = id_to_row
+            self._view = (
+                idx,
+                {r: p for p, r in id_to_row.items()},
+                {
+                    int(remap[r]): m
+                    for r, m in old_meta.items()
+                    if r < len(remap) and remap[r] >= 0
+                },
+            )
+            self.version += 1
+            log.info("store_compacted", reclaimed=reclaimed, rows=self.count())
+            return reclaimed
+
     # -- query ---------------------------------------------------------------------
 
     def search(
@@ -659,6 +701,15 @@ class VectorStore:
             "dim": self.dim,
             "metric": self.metric,
             "kind": idx.kind if idx else None,
+            # allocated minus live = reclaimable via compact(). FlatIndex
+            # counts allocation in .size/.n_live; IVFIndex in ._n_rows/.size
+            "tombstones": (
+                int(idx._n_rows) - int(idx.size)
+                if isinstance(idx, IVFIndex)
+                else int(idx.size) - int(idx.n_live)
+            )
+            if idx
+            else 0,
         }
         if isinstance(idx, IVFIndex):
             info.update(

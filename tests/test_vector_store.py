@@ -260,3 +260,28 @@ def test_device_filter_list_values(tmp_path, mesh8, rng):
         va[0], top_k=5, filters={"path": ["f0.py", "f1.py"]}
     )
     assert hits2 and all(h.path in ("f0.py", "f1.py") for h in hits2)
+
+
+def test_store_compact_flat_and_ivf(tmp_path, mesh8, rng):
+    """compact() reclaims tombstones on both index kinds, keeps ids aligned,
+    and filtered search still works afterward (tags move with the rows)."""
+    for kind, extra in (
+        ("flat", {}),
+        ("ivf", {"index_nlist": 8, "index_nprobe": 8}),
+    ):
+        store = VectorStore(
+            _cfg(tmp_path / kind, index_kind=kind, **extra), mesh=mesh8
+        )
+        p1, v1 = _payloads(rng, 40, prefix="a", repo="keep")
+        p2, _ = _payloads(rng, 24, prefix="b", repo="drop")
+        store.upsert_embeddings(p1 + p2)
+        assert store.delete_repo("drop") == 24
+        assert store.stats()["tombstones"] == 24
+        assert store.compact() == 24
+        assert store.stats()["tombstones"] == 0
+        assert store.count() == 40
+        hits = store.search(v1[7], top_k=3)
+        assert hits[0].id == "a7"
+        hits_f = store.search(v1[7], top_k=3, filters={"repo": "keep"})
+        assert hits_f[0].id == "a7" and all(h.repo == "keep" for h in hits_f)
+        assert store.compact() == 0  # idempotent
