@@ -319,6 +319,21 @@ def create_app(
             raise web.HTTPNotFound(reason="Repository not found")
         return web.json_response({"removed": name})
 
+    async def compact_index(_request: web.Request) -> web.Response:
+        """Reclaim tombstoned rows and persist (the maintenance Milvus ran
+        server-side; accumulates after deletes/re-ingests)."""
+        store = indexer.vector_store
+        if store is None:
+            raise web.HTTPServiceUnavailable(reason="engine unavailable")
+
+        def work() -> dict:
+            reclaimed = store.compact()
+            if reclaimed:
+                store.save()
+            return {"reclaimed": reclaimed, "rows": store.count()}
+
+        return web.json_response(await _run_blocking(work))
+
     async def list_jobs(_request: web.Request) -> web.Response:
         return web.json_response(
             [_job_response(j) for j in job_manager.list().values()]
@@ -410,6 +425,7 @@ def create_app(
     app.router.add_get("/jobs/{job_id}", get_job)
     app.router.add_get("/telemetry", telemetry_snapshot)
     app.router.add_post("/query", query)
+    app.router.add_post("/compact", compact_index)
     app.router.add_get("/", index_page)
     return app
 

@@ -54,8 +54,25 @@ def _fetch_repositories(api_root: str, api_key: Optional[str]) -> List[Dict]:
         return []
 
 
-def _run_query(api_root: str, api_key: Optional[str], question: str) -> Dict:
-    return _request("POST", api_root, "/query", api_key, {"question": question})
+def _run_query(
+    api_root: str,
+    api_key: Optional[str],
+    question: str,
+    repos: Optional[List[str]] = None,
+    languages: Optional[List[str]] = None,
+) -> Dict:
+    # push the sidebar filters into the query so retrieval searches the
+    # filtered subset on device (server-side tag mask); the client-side
+    # source filter below stays as a second line of defence
+    body: Dict = {"question": question}
+    filters: Dict = {}
+    if repos:
+        filters["repo"] = list(repos)
+    if languages:
+        filters["language"] = list(languages)
+    if filters:
+        body["filters"] = filters
+    return _request("POST", api_root, "/query", api_key, body)
 
 
 def _filter_sources(
@@ -115,7 +132,10 @@ def run() -> None:  # pragma: no cover - requires streamlit
     col1, col2 = st.columns([1, 1])
     if col1.button("Search") and question.strip():
         try:
-            result = _run_query(api_root, api_key or None, question.strip())
+            result = _run_query(
+                api_root, api_key or None, question.strip(),
+                repos=repo_sel, languages=lang_sel,
+            )
             st.session_state.active_result = result
             hist = [q for q in st.session_state.history if q != question]
             st.session_state.history = [question, *hist][:HISTORY_LIMIT]

@@ -32,19 +32,28 @@ def _search(
 ) -> Tuple[str, str, List[List[str]]]:
     if not question.strip():
         return "", "Enter a question first.", []
+    repos = {r.strip() for r in repo_filter.split(",") if r.strip()}
+    langs = {l.strip() for l in language_filter.split(",") if l.strip()}
+    body = {"question": question}
+    filters = {}
+    if repos:
+        filters["repo"] = sorted(repos)
+    if langs:
+        filters["language"] = sorted(langs)
+    if filters:
+        # server-side device tag mask: retrieval searches the filtered subset
+        body["filters"] = filters
     try:
         resp = requests.post(
             f"{api_root.rstrip('/')}/query",
             headers=_headers(api_key or None),
-            json={"question": question},
+            json=body,
             timeout=settings.frontend_request_timeout,
         )
         resp.raise_for_status()
         data = resp.json()
     except Exception as exc:
         return "", f"Query failed: {exc}", []
-    repos = {r.strip() for r in repo_filter.split(",") if r.strip()}
-    langs = {l.strip() for l in language_filter.split(",") if l.strip()}
     rows: List[List[str]] = []
     for s in data.get("sources", []):
         if repos and s.get("repo") not in repos:

@@ -283,3 +283,51 @@ def test_delete_repo(tmp_path):
 
     asyncio.run(go())
     assert indexer.removed == ["demo", "nope"]
+
+
+def test_compact_endpoint(tmp_path, monkeypatch):
+    """POST /compact reclaims tombstones through the live app."""
+    import asyncio
+
+    import numpy as np
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from semcode_tpu.api import main as api_main
+    from semcode_tpu.embeddings.providers import EmbeddingPayload
+    from semcode_tpu.index.store import VectorStore
+    from semcode_tpu.services.indexer import IndexerService
+    from semcode_tpu.settings import AppSettings
+
+    cfg = AppSettings(
+        workspace_root=tmp_path, embedding_dimension=16,
+        index_kind="flat", index_dtype="float32",
+    )
+    store = VectorStore(cfg)
+    rng = np.random.default_rng(0)
+    pays = [
+        EmbeddingPayload(
+            id=f"p{i}", text=f"t{i}",
+            vector=rng.standard_normal(16).astype(np.float32),
+            metadata={"repo": "r", "path": f"f{i}", "language": "python"},
+        )
+        for i in range(24)
+    ]
+    store.upsert_embeddings(pays)
+    store.delete([f"p{i}" for i in range(6)])
+    indexer = IndexerService(config=cfg, vector_store=store)
+
+    async def go():
+        app = api_main.create_app(config=cfg, indexer=indexer)
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            r = await client.post("/compact")
+            assert r.status == 200
+            body = await r.json()
+            assert body == {"reclaimed": 6, "rows": 18}
+            r2 = await client.post("/compact")
+            assert (await r2.json())["reclaimed"] == 0
+        finally:
+            await client.close()
+
+    asyncio.run(go())
