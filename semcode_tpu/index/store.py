@@ -290,6 +290,7 @@ class VectorStore:
                     progress(done, total)
             self._maybe_promote()
             self.version += 1
+            self._maybe_compact()  # IVF upserts tombstone + re-add
         return done
 
     @staticmethod
@@ -361,6 +362,7 @@ class VectorStore:
                     self._row_meta.pop(row, None)
                     self._row_to_id.pop(row, None)
             self.version += 1
+            self._maybe_compact()
             return len(rows)
 
     def delete_repo(self, repo: str) -> int:
@@ -370,6 +372,25 @@ class VectorStore:
             if self._row_meta.get(r, {}).get("repo") == repo
         ]
         return self.delete(ids)
+
+    def _maybe_compact(self) -> None:
+        """Auto-compaction policy (caller holds the write lock): re-pack
+        once tombstones exceed the configured fraction of live rows and the
+        absolute floor. Readers are lock-free and keep serving the previous
+        device snapshot while the re-pack runs."""
+        ratio = self.config.index_auto_compact_ratio
+        if ratio <= 0:
+            return
+        idx = self._index
+        if idx is None:
+            return
+        allocated = (
+            int(idx._n_rows) if isinstance(idx, IVFIndex) else int(idx.size)
+        )
+        live = self.count()
+        dead = allocated - live
+        if dead >= max(self.config.index_auto_compact_min, ratio * max(live, 1)):
+            self.compact()
 
     def compact(self) -> int:
         """Reclaim tombstoned rows (the maintenance Milvus ran server-side).

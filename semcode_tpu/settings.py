@@ -90,6 +90,12 @@ class AppSettings(BaseModel):
     # cap accepted by API/store search entry points (huge top_k would blow
     # per-shard top_k limits and compile fresh jit shapes)
     search_top_k_max: int = 1024
+    # auto-compaction: reclaim tombstones once they exceed this fraction of
+    # live rows AND the absolute floor (0 disables). Runs inline on the
+    # write path under the store lock; lock-free readers keep serving the
+    # previous snapshot during the re-pack (Milvus compacts server-side)
+    index_auto_compact_ratio: float = 0.3
+    index_auto_compact_min: int = 4096
     # per-shard lax.approx_max_k recall target in full scans (TPU only)
     index_approx_recall_target: float = 0.95
     # fused f32 device rescore: None = auto (on while the f32 mirror fits
@@ -222,6 +228,8 @@ _SECTION_FIELDS: Dict[str, Dict[str, str]] = {
         "approx_recall_target": "index_approx_recall_target",
         "device_rescore": "index_device_rescore",
         "score_dtype": "index_score_dtype",
+        "auto_compact_ratio": "index_auto_compact_ratio",
+        "auto_compact_min": "index_auto_compact_min",
     },
     "mesh": {
         "shape": "mesh_shape",

@@ -285,3 +285,62 @@ def test_store_compact_flat_and_ivf(tmp_path, mesh8, rng):
         hits_f = store.search(v1[7], top_k=3, filters={"repo": "keep"})
         assert hits_f[0].id == "a7" and all(h.repo == "keep" for h in hits_f)
         assert store.compact() == 0  # idempotent
+
+
+def test_auto_compaction_policy(tmp_path, mesh8, rng):
+    """Tombstones above (ratio x live, min) trigger an inline compact on the
+    write path; below the floor nothing happens."""
+    store = VectorStore(
+        _cfg(
+            tmp_path,
+            index_auto_compact_ratio=0.3,
+            index_auto_compact_min=10,
+        ),
+        mesh=mesh8,
+    )
+    pays, vecs = _payloads(rng, 60)
+    store.upsert_embeddings(pays)
+    store.delete([f"c{i}" for i in range(8)])  # below the absolute floor
+    assert store.stats()["tombstones"] == 8
+    store.delete([f"c{i}" for i in range(8, 20)])  # 20 > max(10, .3*40)
+    assert store.stats()["tombstones"] == 0  # auto-compacted
+    assert store.count() == 40
+    assert store.search(vecs[33], top_k=1)[0].id == "c33"
+
+
+def test_concurrent_readers_during_compaction(tmp_path, mesh8, rng):
+    """Lock-free readers racing an explicit compact must never crash or
+    return a hit whose id/metadata disagree (torn view)."""
+    import threading
+
+    store = VectorStore(_cfg(tmp_path), mesh=mesh8)
+    pays, vecs = _payloads(rng, 120)
+    store.upsert_embeddings(pays)
+    store.delete([f"c{i}" for i in range(40)])
+
+    errors = []
+    stop = threading.Event()
+
+    def reader():
+        while not stop.is_set():
+            try:
+                hits = store.search(vecs[77], top_k=5)
+                for h in hits:
+                    # id must agree with the metadata the view returned
+                    if h.path is not None and h.id != f"c{h.path[1:-3]}":
+                        errors.append(f"torn hit: {h.id} vs {h.path}")
+            except Exception as exc:  # noqa: BLE001
+                errors.append(repr(exc))
+
+    threads = [threading.Thread(target=reader) for _ in range(3)]
+    for t in threads:
+        t.start()
+    for _ in range(3):
+        store.compact()
+        store.upsert_embeddings(pays[:40])  # re-add, then re-delete
+        store.delete([f"c{i}" for i in range(40)])
+    stop.set()
+    for t in threads:
+        t.join(timeout=30)
+    assert not errors, errors[:3]
+    assert store.search(vecs[77], top_k=1)[0].id == "c77"
