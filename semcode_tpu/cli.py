@@ -189,9 +189,14 @@ def cmd_ingest(args) -> int:
         progress.update(t_copy, completed=len(copy_files))
         progress.update(t_chunk, completed=len(chunk_files))
 
+    extra = ""
+    if result.reused_count:
+        extra += f", {result.reused_count} reused (unchanged)"
+    if result.pruned_count:
+        extra += f", {result.pruned_count} stale pruned"
     print(
         f"Ingested '{args.name}': {result.chunk_count} chunks, "
-        f"{result.embedded_count} embedded, "
+        f"{result.embedded_count} embedded{extra}, "
         f"upserted={'yes' if result.upserted else 'NO (engine unavailable)'}, "
         f"languages={','.join(result.languages) or '-'}"
     )

@@ -610,6 +610,23 @@ class VectorStore:
     def count(self) -> int:
         return len(self._id_to_row)
 
+    def get_metadata(self, payload_id: str) -> Optional[Dict[str, Any]]:
+        """Metadata for one stored chunk id (None if absent). Lock-free."""
+        view = self._view
+        row = self._id_to_row.get(payload_id)
+        if row is None:
+            return None
+        return view[2].get(row)
+
+    def ids_for_repo(self, repo: str) -> List[str]:
+        """All stored payload ids belonging to a repo (snapshot-consistent)."""
+        _, row_to_id, row_meta = self._view
+        return [
+            pid
+            for row, pid in list(row_to_id.items())
+            if row_meta.get(row, {}).get("repo") == repo
+        ]
+
     def iter_payload_meta(self):
         """Yield (payload id, metadata dict) for every stored chunk.
 

@@ -50,6 +50,8 @@ class IndexingResult:
     embedded_count: int
     upserted: bool
     languages: List[str] = field(default_factory=list)
+    reused_count: int = 0  # chunks skipped: content hash unchanged
+    pruned_count: int = 0  # stale stored chunks removed for this repo
 
 
 class IndexerService:
@@ -118,10 +120,11 @@ class IndexerService:
         )
 
         stage("embedding")
-        payloads = self._build_payloads(repo, chunks, cb)
+        payloads, reused, current_ids = self._build_payloads(repo, chunks, cb)
 
         stage("upserting")
         upserted = False
+        pruned = 0
         if payloads:
             try:
                 self.vector_store.upsert_embeddings(
@@ -136,8 +139,14 @@ class IndexerService:
                     repo=name,
                     error=str(exc),
                 )
+        if reused and not payloads and self._store_available:
+            upserted = True  # fully reused: the store already holds the repo
+        if upserted and getattr(self.config, "incremental_reindex", True):
+            # prune stored chunks this repo no longer produces (deleted
+            # files, shifted spans) — the reference leaked them forever
+            pruned = self._prune_stale(name, current_ids)
         stage("persisting")
-        if upserted:
+        if upserted or pruned:
             try:
                 self.vector_store.save()
             except Exception as exc:
@@ -159,6 +168,8 @@ class IndexerService:
             repo=name,
             chunks=len(chunks),
             embedded=len(payloads),
+            reused=reused,
+            pruned=pruned,
             upserted=upserted,
         )
         return IndexingResult(
@@ -167,6 +178,8 @@ class IndexerService:
             embedded_count=len(payloads),
             upserted=upserted,
             languages=repo.languages,
+            reused_count=reused,
+            pruned_count=pruned,
         )
 
     def remove_repository(self, name: str) -> bool:
@@ -187,20 +200,19 @@ class IndexerService:
         repo: RepositoryMetadata,
         chunks: List[CodeChunk],
         cb: IndexingCallbacks,
-    ) -> List[EmbeddingPayload]:
+    ):
+        """-> (payloads to embed+upsert, reused count, all current ids).
+
+        Incremental re-index: a chunk whose id already exists in the store
+        with the same content hash keeps its stored vector — no re-embedding
+        and no upsert. Re-ingesting an unchanged repo embeds nothing."""
         if not chunks:
-            return []
-        texts = [c.content for c in chunks]
-        batch = max(1, self.config.embedding_batch_size)
-        vectors: List[List[float]] = []
-        total = len(texts)
-        for start in range(0, total, batch):
-            vectors.extend(self.embeddings.embed_documents(texts[start : start + batch]))
-            if cb.embed_progress:
-                cb.embed_progress(min(start + batch, total), total)
-        payloads: List[EmbeddingPayload] = []
+            return [], 0, []
+        incremental = getattr(self.config, "incremental_reindex", True)
+        meta_of = getattr(self.vector_store, "get_metadata", lambda _pid: None)
         span_seen: dict = {}
-        for chunk, vector in zip(chunks, vectors):
+        entries = []  # (chunk, rel_path, id, content_sha, fresh)
+        for chunk in chunks:
             rel_path = self._relative_path(chunk.path, repo.path)
             # id = md5 of repo:path:span (reference indexer.py:186-188) plus a
             # per-span ordinal so char-split pieces of one span stay distinct
@@ -210,6 +222,24 @@ class IndexerService:
             cid = hashlib.md5(
                 (span_key if ordinal == 0 else f"{span_key}:{ordinal}").encode()
             ).hexdigest()
+            sha = hashlib.sha1(chunk.content.encode()).hexdigest()[:16]
+            fresh = False
+            if incremental and self._store_available:
+                stored = meta_of(cid)
+                fresh = stored is not None and stored.get("content_sha") == sha
+            entries.append((chunk, rel_path, cid, sha, fresh))
+
+        stale = [e for e in entries if not e[4]]
+        texts = [e[0].content for e in stale]
+        batch = max(1, self.config.embedding_batch_size)
+        vectors: List[List[float]] = []
+        total = len(texts)
+        for start in range(0, total, batch):
+            vectors.extend(self.embeddings.embed_documents(texts[start : start + batch]))
+            if cb.embed_progress:
+                cb.embed_progress(min(start + batch, total), total)
+        payloads: List[EmbeddingPayload] = []
+        for (chunk, rel_path, cid, sha, _fresh), vector in zip(stale, vectors):
             payloads.append(
                 EmbeddingPayload(
                     id=cid,
@@ -222,10 +252,29 @@ class IndexerService:
                         "start_line": chunk.start_line,
                         "end_line": chunk.end_line,
                         "symbol": chunk.symbol,
+                        "content_sha": sha,
                     },
                 )
             )
-        return payloads
+        reused = len(entries) - len(stale)
+        return payloads, reused, [e[2] for e in entries]
+
+    def _prune_stale(self, repo_name: str, current_ids: List[str]) -> int:
+        """Delete stored chunks of this repo that the current ingest did not
+        produce (deleted files, moved spans)."""
+        try:
+            stored = getattr(self.vector_store, "ids_for_repo", None)
+            if stored is None:
+                return 0
+            stale = set(stored(repo_name)) - set(current_ids)
+            if not stale:
+                return 0
+            n = self.vector_store.delete(sorted(stale))
+            log.info("stale_chunks_pruned", repo=repo_name, pruned=n)
+            return n
+        except Exception as exc:
+            log.warning("stale_prune_failed", repo=repo_name, error=str(exc))
+            return 0
 
     @staticmethod
     def _detect_revision(paths: Sequence[Path]) -> Optional[str]:

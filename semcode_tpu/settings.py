@@ -142,6 +142,9 @@ class AppSettings(BaseModel):
     llm_endpoints: List[LLMProviderSettings] = []
 
     # -- chunking / ingestion ---------------------------------------------------
+    # incremental re-index: skip re-embedding chunks whose content hash is
+    # unchanged and prune stored chunks the repo no longer produces
+    incremental_reindex: bool = True
     chunk_max_lines: int = 200  # reference tree_sitter_chunker.py:64
     chunk_max_chars: int = 6000  # reference tree_sitter_chunker.py:65
     chunk_chars_per_token_estimate: float = 1.0
@@ -260,7 +263,10 @@ _SECTION_FIELDS: Dict[str, Dict[str, str]] = {
         "max_chars": "chunk_max_chars",
         "chars_per_token_estimate": "chunk_chars_per_token_estimate",
     },
-    "ingestion": {"chunk_chars_per_token_estimate": "chunk_chars_per_token_estimate"},
+    "ingestion": {
+        "chunk_chars_per_token_estimate": "chunk_chars_per_token_estimate",
+        "incremental_reindex": "incremental_reindex",
+    },
     "frontend": {
         "api_root": "frontend_api_root",
         "api_key": "frontend_api_key",
