@@ -98,15 +98,20 @@ def create_app(
     # -- helpers ---------------------------------------------------------------
 
     def _repo_response(
-        name: str, path: str, languages, chunk_count, revision=None
+        name: str, path: str, languages, chunk_count, revision=None, result=None
     ) -> Dict:
-        return {
+        out = {
             "name": name,
             "path": path,
             "revision": revision,
             "languages": languages,
             "chunk_count": chunk_count,
         }
+        if result is not None:  # ingest outcomes: incremental accounting
+            out["embedded_count"] = result.embedded_count
+            out["reused_count"] = result.reused_count
+            out["pruned_count"] = result.pruned_count
+        return out
 
     def _job_response(job: JobSnapshot) -> Dict[str, Any]:
         return {
@@ -219,6 +224,7 @@ def create_app(
                 str(result.repository.path),
                 result.repository.languages,
                 result.chunk_count,
+                result=result,
             )
         )
 
@@ -266,6 +272,7 @@ def create_app(
                 str(result.repository.path),
                 result.repository.languages,
                 result.chunk_count,
+                result=result,
             )
             job_manager.complete(job_id, repo_payload)
             _record_ingest(

@@ -1,15 +1,27 @@
-"""JSON repository registry.
+"""Versioned JSON repository catalogue.
 
-Parity with the reference registry (/root/reference/src/semcode/storage/
-registry.py:21-74): a catalogue at ``workspace_root/registry.json`` mapping
-repo name to its record, loaded on init, persisted on every mutation, and
-defensive against corrupt files.
+Capability parity with the reference registry (/root/reference/src/semcode/
+storage/registry.py:21-74) — a catalogue under the workspace mapping repo
+name to its record, loaded on init, persisted on every mutation, tolerant of
+corrupt files — with a different design:
+
+- records live in a **versioned envelope** ``{"version": 2, "repos": {...}}``
+  (bare version-1 mappings are still read), so future schema changes migrate
+  instead of breaking;
+- a corrupt file is **preserved** (renamed to ``registry.json.corrupt``) for
+  the operator rather than silently discarded;
+- unknown record keys are dropped on read (forward compatibility with newer
+  writers) and each record carries an ``updated_at`` stamp;
+- mutations are serialized by a lock (API ingest jobs race CLI invocations)
+  and persisted via an atomic tmp-file replace.
 """
 
 from __future__ import annotations
 
 import json
-from dataclasses import asdict, dataclass, field
+import threading
+import time
+from dataclasses import asdict, dataclass, field, fields
 from pathlib import Path
 from typing import Dict, List, Optional
 
@@ -17,6 +29,8 @@ from ..logger import get_logger
 from ..settings import AppSettings, settings as default_settings
 
 log = get_logger("storage.registry")
+
+SCHEMA_VERSION = 2
 
 
 @dataclass
@@ -27,6 +41,17 @@ class RepositoryRecord:
     language_summary: Optional[str] = None
     chunk_count: Optional[int] = None
     collection: Optional[str] = None  # index namespace (was milvus_collection)
+    updated_at: Optional[str] = None  # ISO-8601, stamped on register
+
+
+_RECORD_FIELDS = {f.name for f in fields(RepositoryRecord)}
+
+
+def _record_from(data: dict) -> RepositoryRecord:
+    """Build a record, dropping keys a newer writer may have added."""
+    return RepositoryRecord(
+        **{k: v for k, v in data.items() if k in _RECORD_FIELDS}
+    )
 
 
 class RepositoryRegistry:
@@ -40,38 +65,67 @@ class RepositoryRegistry:
         self.path = Path(
             registry_path or Path(config.workspace_root) / "registry.json"
         )
-        self._records: Dict[str, RepositoryRecord] = {}
-        self._load()
+        self._lock = threading.Lock()
+        self._records: Dict[str, RepositoryRecord] = self._read()
 
-    def _load(self) -> None:
-        if not self.path.exists():
-            return
+    # -- storage ------------------------------------------------------------
+
+    def _read(self) -> Dict[str, RepositoryRecord]:
         try:
-            raw = json.loads(self.path.read_text(encoding="utf-8"))
-            self._records = {
-                name: RepositoryRecord(**data) for name, data in raw.items()
-            }
-        except (json.JSONDecodeError, TypeError, ValueError) as exc:
-            log.warning("registry_corrupt", path=str(self.path), error=str(exc))
-            self._records = {}
+            text = self.path.read_text(encoding="utf-8")
+        except FileNotFoundError:
+            return {}
+        except OSError as exc:
+            log.warning("registry_unreadable", path=str(self.path), error=str(exc))
+            return {}
+        try:
+            raw = json.loads(text)
+            if isinstance(raw, dict) and "repos" in raw:
+                repos = raw["repos"]  # versioned envelope (v2+)
+            else:
+                repos = raw  # bare v1 mapping
+            return {name: _record_from(data) for name, data in repos.items()}
+        except (json.JSONDecodeError, TypeError, ValueError, AttributeError) as exc:
+            backup = self.path.with_suffix(".json.corrupt")
+            try:
+                self.path.replace(backup)
+                log.warning(
+                    "registry_corrupt_backed_up",
+                    path=str(self.path),
+                    backup=str(backup),
+                    error=str(exc),
+                )
+            except OSError:
+                log.warning(
+                    "registry_corrupt", path=str(self.path), error=str(exc)
+                )
+            return {}
 
-    def _persist(self) -> None:
+    def _write(self) -> None:
         self.path.parent.mkdir(parents=True, exist_ok=True)
-        payload = {name: asdict(rec) for name, rec in self._records.items()}
+        envelope = {
+            "version": SCHEMA_VERSION,
+            "repos": {name: asdict(rec) for name, rec in self._records.items()},
+        }
         tmp = self.path.with_suffix(".json.tmp")
-        tmp.write_text(json.dumps(payload, indent=2), encoding="utf-8")
+        tmp.write_text(json.dumps(envelope, indent=2), encoding="utf-8")
         tmp.replace(self.path)
 
+    # -- API ----------------------------------------------------------------
+
     def register(self, record: RepositoryRecord) -> None:
-        self._records[record.name] = record
-        self._persist()
+        record.updated_at = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        with self._lock:
+            self._records[record.name] = record
+            self._write()
 
     def remove(self, name: str) -> bool:
-        if name in self._records:
+        with self._lock:
+            if name not in self._records:
+                return False
             del self._records[name]
-            self._persist()
+            self._write()
             return True
-        return False
 
     def get(self, name: str) -> Optional[RepositoryRecord]:
         return self._records.get(name)

@@ -25,3 +25,43 @@ def test_corrupt_registry_tolerated(tmp_path):
     assert reg.list() == []
     reg.register(RepositoryRecord(name="ok"))
     assert RepositoryRegistry(path).get("ok") is not None
+
+
+def test_v1_bare_mapping_still_reads(tmp_path):
+    import json
+
+    path = tmp_path / "registry.json"
+    path.write_text(json.dumps({"legacy": {"name": "legacy", "chunk_count": 3}}))
+    reg = RepositoryRegistry(path)
+    assert reg.get("legacy").chunk_count == 3
+    reg.register(RepositoryRecord(name="new"))
+    # re-written as the versioned envelope
+    raw = json.loads(path.read_text())
+    assert raw["version"] == 2 and set(raw["repos"]) == {"legacy", "new"}
+
+
+def test_corrupt_file_backed_up_not_discarded(tmp_path):
+    path = tmp_path / "registry.json"
+    path.write_text("{not json!!")
+    reg = RepositoryRegistry(path)
+    assert reg.list() == []
+    backup = tmp_path / "registry.json.corrupt"
+    assert backup.exists() and backup.read_text() == "{not json!!"
+
+
+def test_unknown_record_keys_dropped(tmp_path):
+    import json
+
+    path = tmp_path / "registry.json"
+    path.write_text(json.dumps({
+        "version": 3,
+        "repos": {"r": {"name": "r", "future_field": True}},
+    }))
+    reg = RepositoryRegistry(path)
+    assert reg.get("r").name == "r"
+
+
+def test_register_stamps_updated_at(tmp_path):
+    reg = RepositoryRegistry(tmp_path / "registry.json")
+    reg.register(RepositoryRecord(name="r"))
+    assert reg.get("r").updated_at and reg.get("r").updated_at.endswith("Z")
