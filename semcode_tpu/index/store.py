@@ -506,7 +506,12 @@ class VectorStore:
         if empty:
             return [[] for _ in range(n_q)]
         fetch_k = self._fetch_k(index, top_k, residual)
-        scores, ids = index.search_device(q_dev, fetch_k, allow_tags=allow)
+        if isinstance(index, IVFIndex):
+            scores, ids = index.search_device(
+                q_dev, fetch_k, nprobe=nprobe, allow_tags=allow
+            )
+        else:
+            scores, ids = index.search_device(q_dev, fetch_k, allow_tags=allow)
         scores = np.asarray(scores)
         ids = np.asarray(ids)
         scores, ids = self._rescore_host(
