@@ -199,4 +199,56 @@ void semcode_featurize_batch(const char* buffer, const int64_t* offsets,
   }
 }
 
+// C/C++ comment/string/preprocessor stripping for the structural symbol
+// scanner (semcode_tpu/chunking/cparse.py strip_noise). Byte-parity with the
+// Python implementation is enforced by tests/test_cparse.py: the output is
+// EXACTLY n bytes — every stripped character becomes a space, newlines are
+// preserved so token line numbers survive. The Python char loop is the
+// chunking hot spot on large C++ files; this is the same state machine in C.
+void semcode_strip_noise(const char* s, long n, char* out) {
+  long i = 0, o = 0;
+  while (i < n) {
+    char ch = s[i];
+    char nxt = (i + 1 < n) ? s[i + 1] : '\0';
+    if (ch == '/' && nxt == '/') {
+      while (i < n && s[i] != '\n') { out[o++] = ' '; i++; }
+    } else if (ch == '/' && nxt == '*') {
+      out[o++] = ' '; out[o++] = ' '; i += 2;
+      while (i < n && !(s[i] == '*' && i + 1 < n && s[i + 1] == '/')) {
+        out[o++] = (s[i] == '\n') ? '\n' : ' ';
+        i++;
+      }
+      if (i < n) { out[o++] = ' '; out[o++] = ' '; i += 2; }
+    } else if (ch == '"' || ch == '\'') {
+      char quote = ch;
+      out[o++] = ' '; i++;
+      while (i < n && s[i] != quote) {
+        if (s[i] == '\\' && i + 1 < n) {
+          out[o++] = ' ';
+          out[o++] = (s[i + 1] == '\n') ? '\n' : ' ';
+          i += 2;
+          continue;
+        }
+        out[o++] = (s[i] == '\n') ? '\n' : ' ';
+        i++;
+      }
+      if (i < n) { out[o++] = ' '; i++; }
+    } else if (ch == '#' && (i == 0 || s[i - 1] == '\n')) {
+      bool cont = true;
+      while (i < n && cont) {
+        cont = false;
+        while (i < n && s[i] != '\n') {
+          if (s[i] == '\\' && i + 1 < n && s[i + 1] == '\n') cont = true;
+          out[o++] = ' ';
+          i++;
+        }
+        if (i < n) { out[o++] = '\n'; i++; }
+      }
+    } else {
+      out[o++] = ch;
+      i++;
+    }
+  }
+}
+
 }  // extern "C"

@@ -47,7 +47,17 @@ _TOKEN_RE = re.compile(
 def strip_noise(text: str) -> str:
     """Replace comments, string/char literals, and preprocessor directives
     with spaces, preserving every newline (token positions keep their
-    lines)."""
+    lines). The char loop is the scanner's hot spot on large C++ files; an
+    identical C state machine (native/featurizer.cpp semcode_strip_noise)
+    handles ASCII inputs when the native library is available."""
+    try:
+        from ..embeddings.native import strip_noise_native
+
+        native = strip_noise_native(text)
+        if native is not None:
+            return native
+    except Exception:  # never let the fast path break chunking
+        pass
     out = []
     i, n = 0, len(text)
     while i < n:
@@ -81,27 +91,15 @@ def strip_noise(text: str) -> str:
                 out.append(" ")
                 i += 1
         elif ch == "#" and (i == 0 or text[i - 1] == "\n"):
-            # preprocessor line (with continuations)
-            while i < n:
-                if text[i] == "\n":
-                    if out and out[-1] == "\\":
-                        out[-1] = " "
-                    out.append("\n")
-                    i += 1
-                    if i < n and out[-2:] == [" ", "\n"]:
-                        pass
-                    break
-                out.append("\\" if text[i] == "\\" else " ")
-                i += 1
-            # handle continuation: if the directive line ended with backslash
-            while (
-                i < n
-                and len(out) >= 2
-                and out[-2] == "\\"
-            ):
-                out[-2] = " "
+            # preprocessor directive, including backslash-continued lines
+            # (a '\' immediately before the newline continues the directive)
+            cont = True
+            while i < n and cont:
+                cont = False
                 while i < n and text[i] != "\n":
-                    out.append("\\" if text[i] == "\\" else " ")
+                    if text[i] == "\\" and i + 1 < n and text[i + 1] == "\n":
+                        cont = True
+                    out.append(" ")
                     i += 1
                 if i < n:
                     out.append("\n")

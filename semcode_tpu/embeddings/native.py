@@ -59,7 +59,12 @@ def get_native():
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not _LIB.exists() and not _build():
+    stale = (
+        _LIB.exists()
+        and _SRC.exists()
+        and _SRC.stat().st_mtime > _LIB.stat().st_mtime
+    )
+    if (not _LIB.exists() or stale) and not _build() and not _LIB.exists():
         return None
     try:
         lib = ctypes.CDLL(str(_LIB))
@@ -73,12 +78,34 @@ def get_native():
             np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
         ]
         lib.semcode_featurize_batch.restype = None
+        if hasattr(lib, "semcode_strip_noise"):
+            lib.semcode_strip_noise.argtypes = [
+                ctypes.c_char_p,
+                ctypes.c_long,
+                ctypes.c_char_p,
+            ]
+            lib.semcode_strip_noise.restype = None
         _lib = lib
         log.info("native_featurizer_loaded", path=str(_LIB))
     except OSError as exc:
         log.warning("native_load_failed", error=str(exc))
         _lib = None
     return _lib
+
+
+def strip_noise_native(text: str) -> Optional[str]:
+    """C implementation of cparse.strip_noise (byte-parity, ASCII only —
+    multibyte chars would shift char/byte offsets; unicode files use the
+    Python path). None when unavailable."""
+    if not text.isascii():
+        return None
+    lib = get_native()
+    if lib is None or not hasattr(lib, "semcode_strip_noise"):
+        return None
+    raw = text.encode("ascii")
+    out = ctypes.create_string_buffer(len(raw) + 1)
+    lib.semcode_strip_noise(raw, len(raw), out)
+    return out.raw[: len(raw)].decode("ascii")
 
 
 def featurize_batch(

@@ -84,3 +84,53 @@ def test_plain_c_functions():
     code = "static int add(int a, int b)\n{\n  return a + b;\n}\n"
     got = _names(code)
     assert ("function", "add") in got
+
+
+def test_native_strip_noise_byte_parity():
+    """The C strip_noise must be byte-for-byte identical to the Python state
+    machine on ASCII inputs (unicode routes to Python automatically)."""
+    import pytest
+
+    from semcode_tpu.embeddings.native import strip_noise_native
+
+    samples = [
+        'int a = 1; // trailing comment\nchar* s = "str with // fake";\n',
+        "/* multi\nline\ncomment */ struct S { int x; };\n",
+        "#define BIG(x) \\\n    part_one(x) \\\n    part_two(x)\nint f() {}\n",
+        "char c = '\\''; char d = '\\\\';\nstd::string e = \"esc\\\"quote\";\n",
+        "#include <vector>\nnamespace ns { class K { K(); ~K(); }; }\n",
+        'auto s = "unterminated string...',
+        "/* unterminated comment...",
+        "",
+        "#\n##\n# \\\n\n",
+    ]
+    native_seen = False
+    for src in samples:
+        got = strip_noise_native(src)
+        if got is None:
+            continue  # toolchain unavailable in this environment
+        native_seen = True
+        # Python reference path (bypass the native shortcut)
+        import semcode_tpu.chunking.cparse as cp
+
+        ref_out = []
+        # call the pure-python body by stubbing the native hook
+        import unittest.mock as mock
+
+        with mock.patch(
+            "semcode_tpu.embeddings.native.strip_noise_native",
+            return_value=None,
+        ):
+            ref = cp.strip_noise(src)
+        assert got == ref, f"parity break on {src!r}:\n{got!r}\n{ref!r}"
+        assert len(got) == len(src)
+    if not native_seen:
+        pytest.skip("native library unavailable")
+
+
+def test_native_strip_noise_unicode_falls_back():
+    from semcode_tpu.chunking.cparse import scan_c_symbols
+
+    src = "// коммент\nint fn_with_unicode_comment() {\n  return 1;\n}\n"
+    syms = scan_c_symbols(src)
+    assert [s.name for s in syms] == ["fn_with_unicode_comment"]
