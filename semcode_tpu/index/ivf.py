@@ -24,7 +24,8 @@ Tombstones (``ids == -1``) support upsert-by-id from the store layer.
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Optional, Tuple
+import collections
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -47,27 +48,36 @@ from .scan import exact_scan, rescore_global
 log = get_logger("index.ivf")
 
 
-class _Dev(NamedTuple):
-    """One atomically-swapped device snapshot (lock-free readers).
-
-    The padded cluster layout (data/ids/sqnorms/scales/centroids) serves the
-    probing path; the flat row-major mirror (fvecs/fvalid/fnorms/fscales,
-    position == global row id) serves the exact path — it reads 1/fill times
-    fewer bytes than scanning the padded layout, and frescore (f32) feeds
-    the fused exact re-ranking in scan.exact_scan.
-    """
-
-    data: object       # (nlist, cmax, d) storage dtype
-    ids: object        # (nlist, cmax) int32 row ids, -1 = empty/tombstone
-    sqnorms: object    # (nlist, cmax) f32
-    scales: object     # (nlist, cmax) f32 or None (int8 only)
-    centroids: object  # (nlist, d) f32 replicated
-    fvecs: object      # (R, d) storage dtype flat mirror
-    fvalid: object     # (R,) bool
-    fnorms: object     # (R,) f32
-    fscales: object    # (R,) f32 (int8) or placeholder
-    frescore: object   # (R, d) f32 or None
-    ftags: object      # (R,) int32 row tags (device-side filtered search)
+# One atomically-swapped device snapshot (lock-free readers).
+#
+# The padded cluster layout (data/ids/sqnorms/scales/centroids) serves the
+# probing path; the flat row-major mirror (fvecs/fvalid/fnorms/fscales,
+# position == global row id) serves the exact path — it reads 1/fill times
+# fewer bytes than scanning the padded layout, and frescore (f32) feeds the
+# fused exact re-ranking in scan.exact_scan. Fields:
+#   data       (nlist, cmax, d) storage dtype
+#   ids        (nlist, cmax) int32 row ids, -1 = empty/tombstone
+#   sqnorms    (nlist, cmax) f32
+#   scales     (nlist, cmax) f32 or None (int8 only)
+#   centroids  (nlist, d) f32 replicated
+#   fvecs      (R, d) storage dtype flat mirror
+#   fvalid     (R,) bool
+#   fnorms     (R,) f32
+#   fscales    (R,) f32 (int8) or placeholder
+#   frescore   (R, d) f32 or None
+#   ftags      (R,) int32 row tags (device-side filtered search)
+#
+# A plain collections.namedtuple, NOT typing.NamedTuple: annotation-carrying
+# NamedTuples break under typeguard's instrumentation (the generated __new__
+# lives in the namedtuple factory namespace, where no annotation name —
+# not even builtins under thread races — can be resolved).
+_Dev = collections.namedtuple(
+    "_Dev",
+    [
+        "data", "ids", "sqnorms", "scales", "centroids",
+        "fvecs", "fvalid", "fnorms", "fscales", "frescore", "ftags",
+    ],
+)
 
 _NEG_INF = np.float32(-3.0e38)
 
