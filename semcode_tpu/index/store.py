@@ -730,6 +730,17 @@ class VectorStore:
             (str(repo), str(lang)): int(tag)
             for repo, lang, tag in meta.get("pair_ids", [])
         }
+        # Re-derive row tags from the (authoritative) row metadata. Snapshots
+        # written before the filtered-search feature carry no pair table and
+        # tag-0 rows; without this, device filters would silently exclude
+        # every legacy row forever (and new upserts would assign conflicting
+        # tag ids).
+        if index is not None and row_meta:
+            for row, m in row_meta.items():
+                tag = self._tag_for(m)
+                if 0 <= row < index._tags.shape[0]:
+                    index._tags[row] = tag
+            index._dirty = True  # device tags refresh on next materialize
         # single atomic view swap: loading renumbers rows wholesale
         self._view = (index, {r: i for i, r in id_to_row.items()}, row_meta)
         self.version += 1

@@ -344,3 +344,35 @@ def test_concurrent_readers_during_compaction(tmp_path, mesh8, rng):
         t.join(timeout=30)
     assert not errors, errors[:3]
     assert store.search(vecs[77], top_k=1)[0].id == "c77"
+
+
+def test_legacy_snapshot_without_tags_still_filters(tmp_path, mesh8, rng):
+    """Snapshots written before the filtered-search feature (no pair table,
+    no tags array) must re-derive tags from row metadata on load — device
+    filters must not silently exclude legacy rows."""
+    import json
+
+    store = VectorStore(_cfg(tmp_path), mesh=mesh8)
+    p1, v1 = _payloads(rng, 20, prefix="a", repo="old_a")
+    p2, _ = _payloads(rng, 20, prefix="b", repo="old_b")
+    store.upsert_embeddings(p1 + p2)
+    snap = store.save()
+
+    # strip the filter bookkeeping, as a pre-feature snapshot would lack it
+    meta = json.loads((snap / "store.json").read_text())
+    meta.pop("pair_ids", None)
+    (snap / "store.json").write_text(json.dumps(meta))
+    arrays = dict(np.load(snap / "index.npz"))
+    arrays.pop("tags", None)
+    np.savez_compressed(snap / "index.npz", **arrays)
+
+    store2 = VectorStore(_cfg(tmp_path), mesh=mesh8)
+    store2.connect()
+    hits = store2.search(v1[3], top_k=5, filters={"repo": "old_a"})
+    assert len(hits) == 5 and all(h.repo == "old_a" for h in hits)
+    assert hits[0].id == "a3"
+    # and new upserts assign consistent (non-colliding) tags
+    p3, v3 = _payloads(rng, 5, prefix="c", repo="new_c")
+    store2.upsert_embeddings(p3)
+    hits3 = store2.search(v3[0], top_k=3, filters={"repo": "new_c"})
+    assert hits3 and all(h.repo == "new_c" for h in hits3)
