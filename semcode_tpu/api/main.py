@@ -326,6 +326,59 @@ def create_app(
             raise web.HTTPNotFound(reason="Repository not found")
         return web.json_response({"removed": name})
 
+    async def list_chunks(request: web.Request) -> web.Response:
+        """Paginated chunk listing with metadata filters (the introspection
+        Milvus exposes as query(); the reference had no listing at all)."""
+        store = indexer.vector_store
+        if store is None:
+            raise web.HTTPServiceUnavailable(reason="engine unavailable")
+        q = request.rel_url.query
+        filters = {
+            k: q[k] for k in ("repo", "language", "path", "symbol") if k in q
+        }
+        try:
+            offset = max(0, int(q.get("offset", 0)))
+            limit = min(max(1, int(q.get("limit", 100))), 1000)
+        except ValueError:
+            raise web.HTTPBadRequest(reason="offset/limit must be integers")
+        include_text = q.get("include_text", "") in ("1", "true", "yes")
+
+        def work():
+            store.connect()
+            return store.list_chunks(
+                filters or None,
+                offset=offset,
+                limit=limit,
+                include_text=include_text,
+            )
+
+        return web.json_response(await _run_blocking(work))
+
+    async def delete_chunks(request: web.Request) -> web.Response:
+        """Delete-by-filter (Milvus delete-by-expression equivalent).
+        Body: {"filters": {...}} — refuses an empty filter set."""
+        store = indexer.vector_store
+        if store is None:
+            raise web.HTTPServiceUnavailable(reason="engine unavailable")
+        try:
+            body = await request.json()
+        except Exception:
+            raise web.HTTPBadRequest(reason="invalid JSON body")
+        filters = (body or {}).get("filters")
+        if not isinstance(filters, dict) or not filters:
+            raise web.HTTPBadRequest(
+                reason="'filters' must be a non-empty object"
+            )
+
+        def work():
+            store.connect()
+            n = store.delete_where(filters)
+            if n:
+                store.save()
+            return {"deleted": n, "rows": store.count()}
+
+        return web.json_response(await _run_blocking(work))
+
     async def compact_index(_request: web.Request) -> web.Response:
         """Reclaim tombstoned rows and persist (the maintenance Milvus ran
         server-side; accumulates after deletes/re-ingests)."""
@@ -433,6 +486,8 @@ def create_app(
     app.router.add_get("/telemetry", telemetry_snapshot)
     app.router.add_post("/query", query)
     app.router.add_post("/compact", compact_index)
+    app.router.add_get("/chunks", list_chunks)
+    app.router.add_post("/chunks/delete", delete_chunks)
     app.router.add_get("/", index_page)
     return app
 

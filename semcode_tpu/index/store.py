@@ -366,12 +366,71 @@ class VectorStore:
             return len(rows)
 
     def delete_repo(self, repo: str) -> int:
+        return self.delete_where({"repo": repo})
+
+    @staticmethod
+    def _meta_matches(meta: Dict[str, Any], filters: Dict[str, Any]) -> bool:
+        """Equality/membership filter semantics shared by search results,
+        listing, and delete-by-filter (value may be a scalar or a list)."""
+        for k, v in filters.items():
+            if isinstance(v, (list, tuple)):
+                if meta.get(k) not in v:
+                    return False
+            elif meta.get(k) != v:
+                return False
+        return True
+
+    def delete_where(self, filters: Dict[str, Any]) -> int:
+        """Delete every chunk whose metadata matches the filters (the
+        delete-by-expression capability Milvus exposes; the reference's
+        client had no delete at all)."""
+        if not filters:
+            raise ValueError("delete_where requires at least one filter")
         ids = [
-            i
-            for i, r in self._id_to_row.items()
-            if self._row_meta.get(r, {}).get("repo") == repo
+            pid
+            for pid, r in list(self._id_to_row.items())
+            if self._meta_matches(self._row_meta.get(r, {}), filters)
         ]
         return self.delete(ids)
+
+    def list_chunks(
+        self,
+        filters: Optional[Dict[str, Any]] = None,
+        *,
+        offset: int = 0,
+        limit: int = 100,
+        include_text: bool = False,
+    ) -> List[Dict[str, Any]]:
+        """Snapshot-consistent listing of stored chunks (Milvus query()
+        equivalent): deterministic order, offset/limit pagination."""
+        _, row_to_id, row_meta = self._view
+        rows = []
+        for row, pid in row_to_id.items():
+            meta = row_meta.get(row, {})
+            if filters and not self._meta_matches(meta, filters):
+                continue
+            rows.append((pid, meta))
+        rows.sort(key=lambda it: (
+            str(it[1].get("repo") or ""),
+            str(it[1].get("path") or ""),
+            int(it[1].get("start_line") or 0),
+            it[0],
+        ))
+        out = []
+        for pid, meta in rows[offset : offset + max(0, int(limit))]:
+            entry = {
+                "id": pid,
+                "repo": meta.get("repo"),
+                "path": meta.get("path"),
+                "language": meta.get("language"),
+                "start_line": meta.get("start_line"),
+                "end_line": meta.get("end_line"),
+                "symbol": meta.get("symbol"),
+            }
+            if include_text:
+                entry["text"] = meta.get("text")
+            out.append(entry)
+        return out
 
     def _maybe_compact(self) -> None:
         """Auto-compaction policy (caller holds the write lock): re-pack
@@ -589,12 +648,7 @@ class VectorStore:
                 if pid is None:
                     continue
                 meta = row_meta.get(int(r), {})
-                if filters and any(
-                    meta.get(k) not in v
-                    if isinstance(v, (list, tuple))
-                    else meta.get(k) != v
-                    for k, v in filters.items()
-                ):
+                if filters and not self._meta_matches(meta, filters):
                     continue
                 hits.append(
                     SearchHit(

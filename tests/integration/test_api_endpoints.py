@@ -331,3 +331,56 @@ def test_compact_endpoint(tmp_path, monkeypatch):
             await client.close()
 
     asyncio.run(go())
+
+
+def test_chunks_listing_and_delete_endpoints(tmp_path):
+    import asyncio
+
+    import numpy as np
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from semcode_tpu.api import main as api_main
+    from semcode_tpu.embeddings.providers import EmbeddingPayload
+    from semcode_tpu.index.store import VectorStore
+    from semcode_tpu.services.indexer import IndexerService
+    from semcode_tpu.settings import AppSettings
+
+    cfg = AppSettings(
+        workspace_root=tmp_path, embedding_dimension=16,
+        index_kind="flat", index_dtype="float32",
+    )
+    store = VectorStore(cfg)
+    rng = np.random.default_rng(0)
+    pays = [
+        EmbeddingPayload(
+            id=f"p{i}", text=f"t{i}",
+            vector=rng.standard_normal(16).astype(np.float32),
+            metadata={"repo": "ra" if i < 8 else "rb", "path": f"f{i}",
+                      "language": "python"},
+        )
+        for i in range(16)
+    ]
+    store.upsert_embeddings(pays)
+    indexer = IndexerService(config=cfg, vector_store=store)
+
+    async def go():
+        app = api_main.create_app(config=cfg, indexer=indexer)
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            r = await client.get("/chunks?repo=ra&limit=3&include_text=1")
+            body = await r.json()
+            assert r.status == 200 and len(body) == 3
+            assert all(e["repo"] == "ra" for e in body)
+            assert body[0]["text"].startswith("t")
+
+            r = await client.post("/chunks/delete", json={"filters": {"repo": "ra"}})
+            body = await r.json()
+            assert r.status == 200 and body["deleted"] == 8 and body["rows"] == 8
+
+            r = await client.post("/chunks/delete", json={"filters": {}})
+            assert r.status == 400
+        finally:
+            await client.close()
+
+    asyncio.run(go())

@@ -376,3 +376,28 @@ def test_legacy_snapshot_without_tags_still_filters(tmp_path, mesh8, rng):
     store2.upsert_embeddings(p3)
     hits3 = store2.search(v3[0], top_k=3, filters={"repo": "new_c"})
     assert hits3 and all(h.repo == "new_c" for h in hits3)
+
+
+def test_delete_where_and_list_chunks(tmp_path, mesh8, rng):
+    store = VectorStore(_cfg(tmp_path), mesh=mesh8)
+    pa, _ = _payloads(rng, 10, prefix="a", repo="ra")
+    pb, _ = _payloads(rng, 10, prefix="b", repo="rb")
+    store.upsert_embeddings(pa + pb)
+
+    listing = store.list_chunks({"repo": "ra"}, limit=5)
+    assert len(listing) == 5 and all(e["repo"] == "ra" for e in listing)
+    assert "text" not in listing[0]
+    page2 = store.list_chunks({"repo": "ra"}, offset=5, limit=10)
+    assert len(page2) == 5
+    assert {e["id"] for e in listing}.isdisjoint({e["id"] for e in page2})
+    with_text = store.list_chunks({"repo": "rb"}, limit=1, include_text=True)
+    assert with_text[0]["text"].startswith("text ")
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        store.delete_where({})
+    assert store.delete_where({"repo": "ra", "path": ["f1.py", "f2.py"]}) == 2
+    assert store.count() == 18
+    assert store.delete_where({"repo": "ra"}) == 8
+    assert store.count() == 10
