@@ -207,11 +207,15 @@ def cmd_query(args) -> int:
     configure_logging(enable_console=False)
     from .rag import SemanticSearchPipeline
 
+    def _multi(v):
+        # comma-separated = multi-select (compiles to a device allow list)
+        return [s.strip() for s in v.split(",") if s.strip()] if "," in v else v
+
     filters = {}
     if args.repo:
-        filters["repo"] = args.repo
+        filters["repo"] = _multi(args.repo)
     if args.language:
-        filters["language"] = args.language
+        filters["language"] = _multi(args.language)
     pipeline = SemanticSearchPipeline()
     result = pipeline.query(
         args.question, top_k=args.top_k, filters=filters or None
