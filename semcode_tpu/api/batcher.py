@@ -34,6 +34,9 @@ class QueryBatcher:
         self.window_s = float(window_ms) / 1000.0
         self._queue: asyncio.Queue = asyncio.Queue()
         self._worker_task: Optional[asyncio.Task] = None
+        # strong refs: an un-referenced asyncio Task may be garbage-collected
+        # mid-flight, which would strand its waiters
+        self._group_tasks: set = set()
 
     async def query(
         self,
@@ -92,7 +95,9 @@ class QueryBatcher:
         for item in batch:
             groups.setdefault((item[1], item[2]), []).append(item)
         for (top_k, frozen), items in groups.items():
-            loop.create_task(self._run_group(loop, top_k, frozen, items))
+            task = loop.create_task(self._run_group(loop, top_k, frozen, items))
+            self._group_tasks.add(task)
+            task.add_done_callback(self._group_tasks.discard)
 
     async def _run_group(self, loop, top_k, frozen, items: List) -> None:
         questions = [it[0] for it in items]
