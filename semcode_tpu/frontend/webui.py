@@ -75,10 +75,44 @@ INDEX_HTML = r"""<!DOCTYPE html>
     <button class="ghost" onclick="renderDiff()">Diff</button>
   </div>
   <pre id="diff" style="display:none"></pre>
+  <h2>Browse chunks</h2>
+  <div class="row">
+    <button class="ghost" onclick="browseChunks(0)">Browse selected repos</button>
+    <button class="ghost" id="browsePrev" style="display:none"
+            onclick="browseChunks(browseOffset - 50)">Prev</button>
+    <button class="ghost" id="browseNext" style="display:none"
+            onclick="browseChunks(browseOffset + 50)">Next</button>
+  </div>
+  <div id="browse"></div>
 </main>
 <script>
 const $ = id => document.getElementById(id);
 let lastSources = [];
+let browseOffset = 0;
+
+async function browseChunks(offset) {
+  browseOffset = Math.max(0, offset);
+  const repoSel = selected($('repoFilter'));
+  const params = new URLSearchParams({offset: browseOffset, limit: 50});
+  if (repoSel.length === 1) params.set('repo', repoSel[0]);
+  try {
+    const r = await fetch(apiRoot() + '/chunks?' + params, {headers: headers()});
+    const rows = await r.json();
+    if (!r.ok) throw new Error(rows.detail || r.status);
+    let html = '<table style="width:100%;font-size:13px;border-collapse:collapse">' +
+      '<tr class="ctx"><td>repo</td><td>path</td><td>lines</td><td>symbol</td></tr>';
+    rows.forEach(c => {
+      html += '<tr><td>' + escapeHtml(c.repo || '') + '</td><td>' +
+        escapeHtml(c.path || '') + '</td><td>' + (c.start_line || '') + '-' +
+        (c.end_line || '') + '</td><td>' + escapeHtml(c.symbol || '') + '</td></tr>';
+    });
+    html += '</table>';
+    $('browse').innerHTML = rows.length ? html :
+      '<p class="ctx">No chunks' + (browseOffset ? ' at this offset' : '') + '.</p>';
+    $('browsePrev').style.display = browseOffset > 0 ? '' : 'none';
+    $('browseNext').style.display = rows.length === 50 ? '' : 'none';
+  } catch (e) { $('browse').innerHTML = '<div class="warn">Browse failed: ' + e + '</div>'; }
+}
 
 function headers() {
   const h = {'Content-Type': 'application/json'};
