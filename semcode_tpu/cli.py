@@ -243,6 +243,38 @@ def cmd_remove(args) -> int:
     return 1
 
 
+def cmd_chunks(args) -> int:
+    """List stored chunks (introspection parity with GET /chunks)."""
+    configure_logging(enable_console=False)
+    from .index.store import VectorStore
+
+    store = VectorStore()
+    store.connect()
+    filters = {
+        k: v
+        for k, v in (
+            ("repo", args.repo),
+            ("language", args.language),
+            ("path", args.path),
+        )
+        if v
+    }
+    rows = store.list_chunks(
+        filters or None, offset=args.offset, limit=args.limit
+    )
+    if args.json:
+        print(json.dumps(rows, indent=2))
+        return 0
+    if not rows:
+        print("No chunks." if not args.offset else "No chunks at this offset.")
+        return 0
+    for c in rows:
+        span = f"{c['start_line']}-{c['end_line']}"
+        sym = f"  [{c['symbol']}]" if c.get("symbol") else ""
+        print(f"{c['repo']}/{c['path']}:{span}{sym}")
+    return 0
+
+
 def cmd_compact(_args) -> int:
     """Reclaim tombstoned rows and persist the compacted snapshot."""
     configure_logging(enable_console=False)
@@ -512,6 +544,15 @@ def build_parser() -> argparse.ArgumentParser:
         "compact", help="Reclaim tombstoned index rows and persist"
     )
     p.set_defaults(func=cmd_compact)
+
+    p = sub.add_parser("chunks", help="List stored chunks")
+    p.add_argument("--repo", default=None)
+    p.add_argument("--language", default=None)
+    p.add_argument("--path", default=None)
+    p.add_argument("--offset", type=int, default=0)
+    p.add_argument("--limit", type=int, default=50)
+    p.add_argument("--json", action="store_true")
+    p.set_defaults(func=cmd_chunks)
 
     p = sub.add_parser("serve", help="Run the API server")
     p.set_defaults(func=cmd_serve)
