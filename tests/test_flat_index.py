@@ -170,3 +170,40 @@ def test_flat_allow_tags_masks_on_device(mesh8, rng):
     # unfiltered search unaffected
     _, ids_all = idx.search(q, k=1)
     np.testing.assert_array_equal(ids_all[:, 0], np.arange(8))
+
+
+@pytest.mark.parametrize("metric", ["cosine", "l2"])
+def test_flat_allow_tags_other_metrics(mesh8, rng, metric):
+    """Tag masking composes with cosine/l2 scoring (the mask folds into the
+    liveness vector before the metric-specific score transform)."""
+    n, d, k = 600, 32, 5
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    tags = (np.arange(n) % 2).astype(np.int32)
+    idx = FlatIndex(d, metric=metric, dtype="float32", mesh=mesh8)
+    idx.add(x, tags=tags)
+    q = x[:4] * (1.7 if metric == "cosine" else 1.0)
+    _, ids = idx.search(q, k=k, allow_tags=[0])
+    assert (ids >= 0).all() and (tags[ids.ravel()] == 0).all()
+    if metric == "cosine":
+        xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+        qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        scores = qn @ xn.T
+    else:
+        scores = -np.sum((q[:, None, :] - x[None, :, :]) ** 2, axis=-1)
+    masked = np.where((tags == 0)[None, :], scores, -np.inf)
+    np.testing.assert_array_equal(ids[:, 0], np.argmax(masked, axis=1))
+
+
+def test_flat_update_rows_moves_tags(mesh8, rng):
+    """Upserting a row into a different tenant must move its tag."""
+    d = 16
+    idx = FlatIndex(d, metric="ip", dtype="float32", mesh=mesh8)
+    x = rng.standard_normal((50, d)).astype(np.float32)
+    idx.add(x, tags=np.zeros(50, dtype=np.int32))
+    _ = idx.search(x[:1], k=1)  # materialize; update goes via scatter
+    strong = (x[7] * 10).astype(np.float32)
+    idx.update_rows(np.array([7]), strong[None, :], tags=np.array([3]))
+    _, ids = idx.search(strong[None, :], k=1, allow_tags=[3])
+    assert ids[0, 0] == 7
+    _, ids0 = idx.search(strong[None, :], k=1, allow_tags=[0])
+    assert ids0[0, 0] != 7  # no longer visible under the old tenant
