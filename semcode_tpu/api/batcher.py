@@ -19,6 +19,10 @@ from ..logger import get_logger
 log = get_logger("api.batcher")
 
 
+class BatcherOverloaded(Exception):
+    """Raised when the pending-query bound is exceeded (backpressure)."""
+
+
 class QueryBatcher:
     def __init__(
         self,
@@ -27,12 +31,13 @@ class QueryBatcher:
         *,
         max_batch: int = 64,
         window_ms: float = 3.0,
+        queue_max: int = 0,  # 0 = unbounded
     ):
         self.pipeline = pipeline
         self.executor = executor
         self.max_batch = int(max_batch)
         self.window_s = float(window_ms) / 1000.0
-        self._queue: asyncio.Queue = asyncio.Queue()
+        self._queue: asyncio.Queue = asyncio.Queue(maxsize=max(0, int(queue_max)))
         self._worker_task: Optional[asyncio.Task] = None
         # strong refs: an un-referenced asyncio Task may be garbage-collected
         # mid-flight, which would strand its waiters
@@ -48,7 +53,14 @@ class QueryBatcher:
         if self._worker_task is None or self._worker_task.done():
             self._worker_task = loop.create_task(self._worker())
         future: asyncio.Future = loop.create_future()
-        await self._queue.put((question, top_k, self._freeze(filters), future))
+        try:
+            # non-blocking: a full queue means the service is saturated and
+            # callers should shed load NOW, not line up behind it
+            self._queue.put_nowait((question, top_k, self._freeze(filters), future))
+        except asyncio.QueueFull:
+            raise BatcherOverloaded(
+                f"query queue full ({self._queue.maxsize} pending)"
+            ) from None
         return await future
 
     @staticmethod

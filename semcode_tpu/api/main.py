@@ -38,6 +38,7 @@ from ..settings import AppSettings, settings as default_settings
 from .dependencies import API_KEY_HEADER, check_api_key, telemetry_enabled
 from .jobs import JobLedger, JobSnapshot
 from .telemetry import Telemetry
+from .batcher import BatcherOverloaded
 
 log = get_logger("api")
 
@@ -75,6 +76,7 @@ def create_app(
             executor,
             max_batch=config.api_batch_max,
             window_ms=config.api_batch_window_ms,
+            queue_max=config.api_queue_max,
         )
 
     @web.middleware
@@ -432,11 +434,24 @@ def create_app(
         start = time.time()
         try:
             if batcher is not None:
-                result = await batcher.query(question, top_k=top_k, filters=filters)
+                coro = batcher.query(question, top_k=top_k, filters=filters)
             else:
-                result = await _run_blocking(
+                coro = _run_blocking(
                     lambda: pipeline.query(question, top_k=top_k, filters=filters)
                 )
+            timeout = config.api_query_timeout_s
+            result = (
+                await asyncio.wait_for(coro, timeout) if timeout > 0 else await coro
+            )
+        except BatcherOverloaded as exc:
+            _record_query(start, ok=False, fallback=False)
+            return web.json_response({"detail": str(exc)}, status=503)
+        except asyncio.TimeoutError:
+            _record_query(start, ok=False, fallback=False)
+            return web.json_response(
+                {"detail": f"query timed out after {config.api_query_timeout_s}s"},
+                status=504,
+            )
         except Exception as exc:
             _record_query(start, ok=False, fallback=False)
             return web.json_response({"detail": str(exc)}, status=502)

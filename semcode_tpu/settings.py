@@ -49,6 +49,10 @@ class AppSettings(BaseModel):
     # dynamic micro-batching of concurrent /query requests (0 disables)
     api_batch_window_ms: float = 3.0
     api_batch_max: int = 64
+    # overload handling: pending-query bound (enqueue beyond it -> 503) and
+    # per-query wall-clock timeout (exceeded -> 504); 0 disables either
+    api_queue_max: int = 1024
+    api_query_timeout_s: float = 120.0
     # worker threads for blocking pipeline work behind the async handlers
     api_max_workers: int = 4
 
@@ -198,6 +202,8 @@ _SECTION_FIELDS: Dict[str, Dict[str, str]] = {
         "batch_window_ms": "api_batch_window_ms",
         "batch_max": "api_batch_max",
         "max_workers": "api_max_workers",
+        "queue_max": "api_queue_max",
+        "query_timeout_s": "api_query_timeout_s",
     },
     "embedding": {
         "provider": "embedding_provider",

@@ -121,3 +121,76 @@ def test_list_valued_filters_do_not_strand_requests(tmp_path):
             await client.close()
 
     asyncio.run(go())
+
+
+def test_overloaded_queue_sheds_load_with_503(tmp_path):
+    """Beyond api.queue_max pending queries the server answers 503
+    immediately instead of queueing unboundedly."""
+    import threading
+
+    block = threading.Event()
+
+    class SlowPipeline(BatchTrackingPipeline):
+        def query(self, question, top_k=None, filters=None):
+            block.wait(5)
+            return super().query(question, top_k=top_k, filters=filters)
+
+        def query_batch(self, questions, top_k=None, filters=None):
+            block.wait(5)
+            return super().query_batch(questions, top_k=top_k, filters=filters)
+
+    cfg = AppSettings(
+        workspace_root=tmp_path, api_queue_max=2, api_max_workers=1,
+        api_batch_window_ms=1.0, api_query_timeout_s=30.0,
+    )
+
+    async def go():
+        app = create_app(config=cfg, pipeline=SlowPipeline())
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            tasks = [
+                asyncio.create_task(
+                    client.post("/query", json={"question": f"q{i}"})
+                )
+                for i in range(12)
+            ]
+            await asyncio.sleep(0.5)  # let the queue fill while blocked
+            block.set()
+            statuses = sorted(r.status for r in await asyncio.gather(*tasks))
+            assert 503 in statuses, statuses
+            assert 200 in statuses, statuses
+        finally:
+            block.set()
+            await client.close()
+
+    asyncio.run(go())
+
+
+def test_query_timeout_returns_504(tmp_path):
+    import time as _time
+
+    class HangingPipeline(BatchTrackingPipeline):
+        def query(self, question, top_k=None, filters=None):
+            _time.sleep(3)
+            return super().query(question, top_k=top_k, filters=filters)
+
+        def query_batch(self, questions, top_k=None, filters=None):
+            _time.sleep(3)
+            return super().query_batch(questions, top_k=top_k, filters=filters)
+
+    cfg = AppSettings(
+        workspace_root=tmp_path, api_query_timeout_s=0.5,
+    )
+
+    async def go():
+        app = create_app(config=cfg, pipeline=HangingPipeline())
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            r = await client.post("/query", json={"question": "slow"})
+            assert r.status == 504, await r.text()
+        finally:
+            await client.close()
+
+    asyncio.run(go())
