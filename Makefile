@@ -2,7 +2,7 @@
 
 PYTHON ?= python
 
-.PHONY: test test-unit test-integration lint typecheck check bench serve ingest-self dryrun
+.PHONY: test test-unit test-integration lint typecheck check bench serve ingest-self dryrun smoke
 
 test:
 	$(PYTHON) -m pytest tests/ -q
@@ -37,6 +37,11 @@ serve:
 
 ingest-self:
 	$(PYTHON) -m semcode_tpu.cli ingest --name self --include semcode_tpu --root . --yes
+
+# full product flow on the 8-device CPU mesh (no TPU lock needed):
+# ingest -> incremental re-ingest -> filtered query -> chunks -> compact -> stats
+smoke:
+	$(PYTHON) tools/smoke.py
 
 dryrun:
 	XLA_FLAGS=--xla_force_host_platform_device_count=8 DRYRUN_DEVICES=8 \
