@@ -48,7 +48,26 @@ ivf = IVFIndex(64, nlist=16, nprobe=16, metric="ip", dtype="int8", mesh=mesh)
 ivf.add(x)
 _, iids = ivf.search(q, k=5)
 assert np.array_equal(iids[:, 0], oracle[:, 0]), "ivf top-1 mismatch"
-print("WORKER_OK", flush=True)
+
+# DP x TP contrastive training step with cross-process GSPMD collectives
+# (incl. the in-batch-negatives all-gather); loss must agree bit-for-bit
+from semcode_tpu.models.encoder import EncoderConfig
+from semcode_tpu.models.train import ContrastiveTrainer
+
+tmesh = make_mesh((4, 2), ("data", "model"))
+cfg = EncoderConfig.preset("mini", max_len=32)
+trainer = ContrastiveTrainer(cfg, tmesh)
+params, opt_state = trainer.init_state(jax.random.PRNGKey(0), seq_len=32)
+batch = {{
+    "anchor_ids": rng.integers(0, cfg.vocab_size, (8, 32)).astype(np.int32),
+    "anchor_mask": np.ones((8, 32), np.int32),
+    "pos_ids": rng.integers(0, cfg.vocab_size, (8, 32)).astype(np.int32),
+    "pos_mask": np.ones((8, 32), np.int32),
+}}
+params, opt_state, metrics = trainer.train_step(params, opt_state, batch)
+loss = float(metrics["loss"])
+assert np.isfinite(loss), loss
+print(f"WORKER_OK loss={{loss:.6f}}", flush=True)
 """
 
 
@@ -79,6 +98,11 @@ def test_engine_on_a_real_two_process_mesh(tmp_path):
     for p in procs:
         out, _ = p.communicate(timeout=560)
         outs.append(out)
+    losses = []
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out[-2500:]}"
-        assert "WORKER_OK" in out
+        ok_lines = [ln for ln in out.splitlines() if ln.startswith("WORKER_OK")]
+        assert ok_lines, out[-2500:]
+        losses.append(ok_lines[0])
+    # both controllers computed the identical training loss
+    assert losses[0] == losses[1], losses
