@@ -809,6 +809,10 @@ class VectorStore:
             "dim": self.dim,
             "metric": self.metric,
             "kind": idx.kind if idx else None,
+            # mutation generation (cache invalidation) and the number of
+            # (repo, language) pairs filterable on device
+            "version": self.version,
+            "filter_pairs": len(self._pair_ids),
             # allocated minus live = reclaimable via compact(). FlatIndex
             # counts allocation in .size/.n_live; IVFIndex in ._n_rows/.size
             "tombstones": (
