@@ -1,28 +1,44 @@
 """Headline benchmark: query throughput at matched recall on TPU.
 
-Builds a 1M x 384 clustered synthetic corpus (code embeddings cluster by
-repo/module, so a Gaussian mixture is the realistic shape), builds the IVF
-index on TPU (nlist=1024, int8 storage + fused f32 device rescore), measures
-recall@10 against an exact f32 oracle, then measures:
+Everything O(N*dim) happens ON DEVICE: the 1M x 384 clustered synthetic
+corpus (code embeddings cluster by repo/module, so a Gaussian mixture is the
+realistic shape) is generated with `jax.random` in HBM, the exact-f32 recall
+oracle is a chunked device matmul, and the IVF build consumes the device
+array directly (quantization, norms and the padded cluster layout are device
+passes — `semcode_tpu/index/ivf.py` round-3 device-authoritative storage).
+The benchmark host only ever touches O(N) metadata and (Q, k) results: build
+VMs for this benchmark are shared and can throttle host CPU/memcpy to
+~0.03 GB/s (observed), which made the round-2 host-staged build time out.
 
-- amortized batch throughput for the exact-scan and probing modes,
-- per-query serving latency (micro-batches of 8, pipelined dispatch),
-- reader latency while a writer streams inserts (lock-free serving).
+Measured sections (each re-emits the JSON line, so a timeout can never lose
+the already-measured numbers):
+
+1. IVF build time (nlist=1024, int8 storage + fused f32 device rescore).
+2. recall@10 vs the exact-f32 oracle + amortized exact-scan QPS (batch 256)
+   + single-call latency -> the FLAGSHIP line is emitted here.
+3. Probing-path QPS/recall, serving micro-batch (8) latency, small-batch
+   regime comparison (probing vs exact at nprobe 32 and 16).
+4. Filtered search at 1% selectivity (device tag mask).
+5. Reader latency while a writer streams inserts (lock-free serving).
+6. End-to-end API serving SLO: in-process aiohttp app + VectorStore driven
+   at fixed concurrency (tools/bench_api.py) -> e2e p50/p99/QPS.
 
 Baseline: the reference delegates ANN to Milvus IVF_FLAT on CPU
-(/root/reference/docker-compose.yml); Milvus itself cannot run in this image,
-so the CPU baseline is a numpy IVF-equivalent scan with the same
-nlist/nprobe (same FLOPs Milvus's IVF_FLAT performs per query, favourable to
-the baseline since it skips Milvus's RPC + scheduling overhead).
+(/root/reference/docker-compose.yml, src/semcode/storage/milvus_store.py:
+135-148); Milvus itself cannot run in this image, so the CPU baseline is a
+numpy IVF-equivalent scan with the same nlist/nprobe (same FLOPs Milvus's
+IVF_FLAT performs per query), timed on a fetched cluster sample and
+extrapolated — favourable to the baseline since it ignores Milvus's RPC +
+scheduling overhead and full-corpus cache pressure.
 
-Prints ONE JSON line:
+Prints the JSON line (one per completed section, LAST one is authoritative):
   {"metric": ..., "value": QPS, "unit": "qps", "vs_baseline": ratio,
-   "extras": {recall, probing qps, serving p50/p99, under-ingest p50/p99}}
+   "extras": {...}}
 
 NOTE on methodology: on this platform jax.block_until_ready() does NOT
 synchronize — only data fetches do. Throughput is measured by enqueueing a
-chunk of batches and fetching only the last result (the TPU executes
-in order); latency is dispatch + full result fetch.
+chunk of batches and fetching only the last result (the TPU executes in
+order); latency is dispatch + full result fetch.
 """
 
 from __future__ import annotations
@@ -35,7 +51,8 @@ import time
 
 import numpy as np
 
-# keep the benchmark reproducible and the corpus size overridable for smoke runs
+T_START = time.perf_counter()
+
 N = int(os.environ.get("BENCH_N", 1_000_000))
 DIM = int(os.environ.get("BENCH_DIM", 384))
 NLIST = int(os.environ.get("BENCH_NLIST", 1024))
@@ -44,37 +61,48 @@ K = 10
 N_QUERIES = int(os.environ.get("BENCH_QUERIES", 512))
 BATCH = min(int(os.environ.get("BENCH_BATCH", 256)), N_QUERIES)
 SERVE_BATCH = int(os.environ.get("BENCH_SERVE_BATCH", 8))
-TIMED_SECS = float(os.environ.get("BENCH_SECS", 20))
+TIMED_SECS = float(os.environ.get("BENCH_SECS", 15))
 DTYPE = os.environ.get("BENCH_DTYPE", "int8")  # int8 | bfloat16 | float32
+# wall-clock budget: optional sections are skipped once it runs out (the
+# driver kills the whole run at ~30 min; leave margin for slow hosts)
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 1350))
+RUN_API = os.environ.get("BENCH_API", "1") == "1"
 
 
 def log(msg: str) -> None:
-    print(msg, file=sys.stderr, flush=True)
+    print(f"[bench +{time.perf_counter()-T_START:.0f}s] {msg}",
+          file=sys.stderr, flush=True)
 
 
-def make_corpus(rng: np.random.Generator):
-    """Gaussian-mixture corpus: ~N/1000 clusters, unit-normalized."""
-    n_centers = max(64, N // 1000)
-    centers = rng.standard_normal((n_centers, DIM)).astype(np.float32)
-    out = np.empty((N, DIM), dtype=np.float32)
-    step = 100_000
-    for i in range(0, N, step):
-        m = min(step, N - i)
-        assign = rng.integers(0, n_centers, size=m)
-        out[i : i + m] = centers[assign] + 0.35 * rng.standard_normal(
-            (m, DIM)
-        ).astype(np.float32)
-    out /= np.maximum(np.linalg.norm(out, axis=1, keepdims=True), 1e-9)
-    return out, centers
+def elapsed() -> float:
+    return time.perf_counter() - T_START
 
 
-def host_oracle(x: np.ndarray, queries: np.ndarray, k: int) -> np.ndarray:
-    """Exact f32 top-k on the host (keeps HBM free for the index build)."""
-    out = np.zeros((queries.shape[0], k), dtype=np.int64)
-    for i in range(0, queries.shape[0], 64):
-        scores = queries[i : i + 64] @ x.T
-        out[i : i + 64] = np.argpartition(-scores, k, axis=1)[:, :k]
-    return out
+def remaining() -> float:
+    return BUDGET_S - elapsed()
+
+
+class Result:
+    """Progressively-updated flagship JSON line (re-emitted per section)."""
+
+    def __init__(self):
+        self.value = None
+        self.metric = "incomplete: no QPS measurement yet"
+        self.vs_baseline = None
+        self.extras = {}
+
+    def emit(self):
+        payload = {
+            "metric": self.metric,
+            "value": self.value,
+            "unit": "qps",
+            "vs_baseline": self.vs_baseline,
+            "extras": dict(self.extras),
+        }
+        print(json.dumps(payload), flush=True)
+
+
+RES = Result()
 
 
 def recall_of(got: np.ndarray, oracle: np.ndarray) -> float:
@@ -88,53 +116,68 @@ def recall_of(got: np.ndarray, oracle: np.ndarray) -> float:
     )
 
 
-def cpu_ivf_baseline_qps(x, queries, centroids, counts_order, rounds=3):
-    """numpy IVF-equivalent: probe NPROBE of NLIST clusters, exact scan inside.
-
-    Uses the same trained centroids and cluster layout as the TPU index so the
-    work per query matches Milvus IVF_FLAT (nlist/nprobe identical).
-    """
-    order, starts, packed = counts_order
-    q_small = queries[: min(32, len(queries))]
-    t0 = time.perf_counter()
-    reps = 0
-    while time.perf_counter() - t0 < 5.0 and reps < rounds * len(q_small):
-        for q in q_small:
-            cq = centroids @ q
-            probes = np.argpartition(-cq, NPROBE)[:NPROBE]
-            cand = np.concatenate(
-                [packed[starts[p] : starts[p + 1]] for p in probes]
-            )
-            scores = x[cand] @ q
-            k = min(K, len(scores))
-            np.argpartition(-scores, k - 1)[:k]
-            reps += 1
-        if reps >= 32:
-            break
-    dt = time.perf_counter() - t0
-    return reps / dt
-
-
 def main() -> None:
-    rng = np.random.default_rng(42)
-    log(f"[bench] corpus N={N} dim={DIM} nlist={NLIST} nprobe={NPROBE} {DTYPE}")
-    t0 = time.perf_counter()
-    x, _ = make_corpus(rng)
-    queries = x[rng.choice(N, N_QUERIES, replace=False)] + 0.05 * rng.standard_normal(
-        (N_QUERIES, DIM)
-    ).astype(np.float32)
-    queries /= np.maximum(np.linalg.norm(queries, axis=1, keepdims=True), 1e-9)
-    log(f"[bench] corpus built in {time.perf_counter()-t0:.1f}s")
-
-    t0 = time.perf_counter()
-    oracle_ids = host_oracle(x, queries, K)
-    log(f"[bench] exact f32 host oracle in {time.perf_counter()-t0:.1f}s")
-
+    log(f"corpus N={N} dim={DIM} nlist={NLIST} nprobe={NPROBE} {DTYPE} "
+        f"budget={BUDGET_S:.0f}s")
     import jax
+    import jax.numpy as jnp
+
+    # ---- corpus + queries, generated on device ------------------------------
+    n_centers = max(64, N // 1000)
+
+    @jax.jit
+    def gen_corpus(key):
+        kc, ka, kn = jax.random.split(key, 3)
+        centers = jax.random.normal(kc, (n_centers, DIM), dtype=jnp.float32)
+        assign = jax.random.randint(ka, (N,), 0, n_centers)
+        x = centers[assign] + 0.35 * jax.random.normal(
+            kn, (N, DIM), dtype=jnp.float32
+        )
+        return x / jnp.maximum(
+            jnp.linalg.norm(x, axis=1, keepdims=True), 1e-9
+        )
+
+    @jax.jit
+    def gen_queries(key, x):
+        ki, kn = jax.random.split(key)
+        idx = jax.random.choice(ki, N, (N_QUERIES,), replace=False)
+        q = x[idx] + 0.05 * jax.random.normal(
+            kn, (N_QUERIES, DIM), dtype=jnp.float32
+        )
+        return q / jnp.maximum(jnp.linalg.norm(q, axis=1, keepdims=True), 1e-9)
+
+    t0 = time.perf_counter()
+    x_dev = gen_corpus(jax.random.PRNGKey(42))
+    q_dev = gen_queries(jax.random.PRNGKey(7), x_dev)
+    queries = np.asarray(q_dev)  # (512, d): tiny fetch
+    log(f"device corpus+queries in {time.perf_counter()-t0:.1f}s")
+
+    # ---- exact f32 oracle on device (chunked matmul + per-chunk top-k) ------
+    @jax.jit
+    def oracle_chunk(xc, qd):
+        s = jax.lax.dot_general(
+            qd, xc, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return jax.lax.top_k(s, K)
+
+    t0 = time.perf_counter()
+    chunk = 131072
+    parts_s, parts_i = [], []
+    for lo in range(0, N, chunk):
+        hi = min(lo + chunk, N)
+        s, i = oracle_chunk(x_dev[lo:hi], q_dev)
+        parts_s.append(np.asarray(s))
+        parts_i.append(np.asarray(i) + lo)
+    all_s = np.concatenate(parts_s, axis=1)
+    all_i = np.concatenate(parts_i, axis=1)
+    sel = np.argsort(-all_s, axis=1)[:, :K]
+    oracle_ids = np.take_along_axis(all_i, sel, axis=1)
+    log(f"device exact-f32 oracle in {time.perf_counter()-t0:.1f}s")
 
     from semcode_tpu.index.ivf import IVFIndex
 
-    # ---- IVF build ----------------------------------------------------------
+    # ---- IVF build (device-resident corpus, no host staging) ----------------
     t0 = time.perf_counter()
     ivf = IVFIndex(
         DIM, nlist=NLIST, nprobe=NPROBE, metric="ip", dtype=DTYPE,
@@ -143,17 +186,15 @@ def main() -> None:
     # tag 1% of rows (simulating a small repo among many) so the filtered-
     # search section below can measure device tag masking at low selectivity
     row_tags = (np.arange(N) % 100 == 0).astype(np.int32)
-    ivf.add(x, tags=row_tags)
+    ivf.add(x_dev, tags=row_tags)
     build_s = time.perf_counter() - t0
-    log(
-        f"[bench] IVF build: {build_s:.1f}s (nlist={ivf.nlist}, cmax={ivf.cmax},"
-        f" device_rescore={ivf.device_rescore_active})"
-    )
+    RES.extras["build_s"] = round(build_s, 1)
+    log(f"IVF build: {build_s:.1f}s (nlist={ivf.nlist}, cmax={ivf.cmax},"
+        f" device_rescore={ivf.device_rescore_active})")
 
     # snapshot the built layout now: the streaming-ingest section below adds
-    # rows past N, which the baseline's corpus array doesn't contain
-    base_live = np.flatnonzero(ivf._alive).copy()
-    base_assign = ivf._assign[base_live].copy()
+    # rows past N, which the baseline's cluster layout shouldn't include
+    base_assign_live = ivf._assign[: N][ivf._alive[:N]].copy()
 
     q_batches = [
         jax.device_put(queries[i : i + BATCH])
@@ -161,7 +202,6 @@ def main() -> None:
         if queries[i : i + BATCH].shape[0] == BATCH
     ]
 
-    # ---- recall (both scan modes, production path: fused device rescore) ----
     def measure_recall(mode):
         got = np.zeros((N_QUERIES, K), dtype=np.int64)
         for bi, i in enumerate(range(0, N_QUERIES, BATCH)):
@@ -169,31 +209,24 @@ def main() -> None:
             got[i : i + BATCH] = np.asarray(ids)
         return recall_of(got, oracle_ids)
 
-    auto_mode = ivf._pick_mode(BATCH, NPROBE, K)
-    recall = measure_recall("exact")
-    recall_ivf = measure_recall("ivf")
-    log(
-        f"[bench] recall@10: exact={recall:.4f} probing(nprobe={NPROBE})="
-        f"{recall_ivf:.4f}; auto mode at batch {BATCH} = {auto_mode}"
-    )
-
-    # ---- timed QPS ------------------------------------------------------------
-    def timed_qps(mode, batches, secs=TIMED_SECS):
-        np.asarray(ivf.search_device(batches[0], K, mode=mode)[0])  # warm
+    def timed_qps(mode, batches, secs, nprobe=None):
+        np.asarray(ivf.search_device(batches[0], K, mode=mode,
+                                     nprobe=nprobe)[0])  # warm
         lat = []
         for _ in range(8):  # single-call sync latency (incl. host transfer)
             t0 = time.perf_counter()
-            np.asarray(ivf.search_device(batches[0], K, mode=mode)[0])
+            np.asarray(ivf.search_device(batches[0], K, mode=mode,
+                                         nprobe=nprobe)[0])
             lat.append(time.perf_counter() - t0)
         bsz = batches[0].shape[0]
-        chunk = 32
         t_start = time.perf_counter()
         n_done = 0
         while time.perf_counter() - t_start < secs:
             outs = []
-            for i in range(chunk):
+            for i in range(32):
                 outs.append(
-                    ivf.search_device(batches[i % len(batches)], K, mode=mode)
+                    ivf.search_device(batches[i % len(batches)], K,
+                                      mode=mode, nprobe=nprobe)
                 )
                 n_done += bsz
             np.asarray(outs[-1][0])
@@ -204,151 +237,224 @@ def main() -> None:
             float(np.percentile(lat, 99) * 1000),
         )
 
-    qps, p50, p99 = timed_qps("exact", q_batches)
-    log(
-        f"[bench] TPU exact scan: {qps:.0f} QPS amortized (batch={BATCH}),"
-        f" single-call latency p50={p50:.1f}ms p99={p99:.1f}ms per batch"
-    )
-    qps_ivf, p50_ivf, p99_ivf = timed_qps("ivf", q_batches, secs=TIMED_SECS / 2)
-    log(
-        f"[bench] TPU probing (pallas={ivf._pallas_mode()}): {qps_ivf:.0f} QPS,"
-        f" p50={p50_ivf:.1f}ms p99={p99_ivf:.1f}ms per batch"
-    )
+    # ---- flagship: exact-path recall + QPS ----------------------------------
+    t0 = time.perf_counter()
+    recall = measure_recall("exact")
+    log(f"exact recall@10={recall:.4f} (first batch incl. compile; "
+        f"section {time.perf_counter()-t0:.1f}s)")
+    RES.extras["recall_at_10_exact"] = round(recall, 4)
 
-    # ---- serving-path per-query latency (micro-batches, pipelined) ----------
+    qps, p50, p99 = timed_qps("exact", q_batches, min(TIMED_SECS, 20))
+    log(f"TPU exact scan: {qps:.0f} QPS amortized (batch={BATCH}),"
+        f" single-call p50={p50:.1f}ms p99={p99:.1f}ms per batch")
+    RES.extras.update(batch_p50_ms=round(p50, 1), batch_p99_ms=round(p99, 1))
+
+    # ---- CPU baseline (numpy IVF-equivalent, sampled + extrapolated) --------
+    base_qps = None
+    try:
+        counts = np.bincount(base_assign_live, minlength=ivf.nlist)
+        mean_rows = float(counts.mean())
+        cent = ivf.centroids
+        # fetch a few clusters' rows (bounded host traffic on throttled VMs)
+        probe_cl = np.argsort(-counts)[:4]
+        rows_idx = np.flatnonzero(np.isin(base_assign_live, probe_cl))[:8192]
+        sample = np.asarray(x_dev[jnp.asarray(rows_idx.astype(np.int32))])
+        qv = queries[0]
+        t0 = time.perf_counter()
+        reps = 0
+        while time.perf_counter() - t0 < 3.0:
+            s = sample @ qv
+            kk = min(K, len(s))
+            np.argpartition(-s, kk - 1)[:kk]
+            reps += 1
+        per_row = (time.perf_counter() - t0) / max(reps * len(sample), 1)
+        t0 = time.perf_counter()
+        creps = 0
+        while time.perf_counter() - t0 < 1.0:
+            cq = cent @ qv
+            np.argpartition(-cq, NPROBE)[:NPROBE]
+            creps += 1
+        centroid_s = (time.perf_counter() - t0) / max(creps, 1)
+        per_query = centroid_s + per_row * NPROBE * mean_rows
+        base_qps = 1.0 / per_query
+        log(f"CPU IVF-equivalent baseline: {base_qps:.1f} QPS "
+            f"({per_row*1e9:.1f} ns/row x {NPROBE}x{mean_rows:.0f} rows)")
+    except Exception as exc:  # noqa: BLE001 - baseline must never kill bench
+        log(f"CPU baseline failed: {exc!r}")
+
+    RES.value = round(qps, 1)
+    RES.metric = (
+        f"query throughput at recall@10={recall:.4f} "
+        f"(N={N}, dim={DIM}, {DTYPE} + fused f32 device rescore, exact "
+        f"scan mode, nlist={NLIST}, 1 chip; CPU baseline = numpy "
+        f"IVF-equivalent nprobe={NPROBE}, sampled+extrapolated)"
+    )
+    RES.extras["cpu_baseline_qps"] = (
+        round(base_qps, 1) if base_qps else None
+    )
+    RES.vs_baseline = round(qps / base_qps, 2) if base_qps else None
+    RES.emit()  # FLAGSHIP NUMBER IS NOW ON RECORD
+
+    # ---- optional sections: each guarded by budget, each re-emits -----------
+    def guard(name, min_secs, fn):
+        if remaining() < min_secs:
+            log(f"skip {name}: {remaining():.0f}s left < {min_secs}s")
+            return
+        try:
+            fn()
+        except Exception as exc:  # noqa: BLE001 - keep the flagship line alive
+            log(f"section {name} failed: {exc!r}")
+        RES.emit()
+
+    def sec_probing():
+        rec_ivf = measure_recall("ivf")
+        RES.extras["recall_at_10_probing"] = round(rec_ivf, 4)
+        qps_ivf, p50_i, p99_i = timed_qps(
+            "ivf", q_batches, min(TIMED_SECS / 2, max(5, remaining() / 10))
+        )
+        RES.extras.update(
+            probing_qps=round(qps_ivf, 1),
+            probing_p50_ms=round(p50_i, 1),
+            probing_p99_ms=round(p99_i, 1),
+        )
+        log(f"probing (pallas={ivf._pallas_mode()}): {qps_ivf:.0f} QPS, "
+            f"recall={rec_ivf:.4f}")
+
     serve_batches = [
         jax.device_put(queries[i : i + SERVE_BATCH])
         for i in range(0, min(N_QUERIES, 32 * SERVE_BATCH), SERVE_BATCH)
     ]
-    lat = []
-    np.asarray(ivf.search_device(serve_batches[0], K)[0])  # warm the shape
-    for i in range(64):
-        t0 = time.perf_counter()
-        np.asarray(ivf.search_device(serve_batches[i % len(serve_batches)], K)[0])
-        lat.append((time.perf_counter() - t0) * 1000)
-    serve_p50 = float(np.percentile(lat, 50))
-    serve_p99 = float(np.percentile(lat, 99))
-    serve_auto_mode = ivf._pick_mode(SERVE_BATCH, NPROBE, K)
-    log(
-        f"[bench] serving path (batch={SERVE_BATCH}, auto mode="
-        f"{serve_auto_mode}): per-request p50={serve_p50:.1f}ms "
-        f"p99={serve_p99:.1f}ms (incl. host transfer)"
-    )
 
-    # ---- small-batch regime: probing vs exact at the serving batch size -----
-    small_secs = max(2.0, TIMED_SECS / 4)
-    small_qps = {}
-    for mode in ("exact", "ivf"):
-        small_qps[mode], _, _ = timed_qps(mode, serve_batches, secs=small_secs)
-    log(
-        f"[bench] small-batch (batch={SERVE_BATCH}) regime: "
-        f"exact={small_qps['exact']:.0f} QPS, probing={small_qps['ivf']:.0f} "
-        f"QPS -> {'probing' if small_qps['ivf'] > small_qps['exact'] else 'exact'}"
-        f" wins; auto picks {serve_auto_mode}"
-    )
+    def sec_serving():
+        lat = []
+        np.asarray(ivf.search_device(serve_batches[0], K)[0])  # warm shape
+        for i in range(64):
+            t0 = time.perf_counter()
+            np.asarray(
+                ivf.search_device(serve_batches[i % len(serve_batches)], K)[0]
+            )
+            lat.append((time.perf_counter() - t0) * 1000)
+        RES.extras.update(
+            serving_batch=SERVE_BATCH,
+            serving_p50_ms=round(float(np.percentile(lat, 50)), 1),
+            serving_p99_ms=round(float(np.percentile(lat, 99)), 1),
+            serving_auto_mode=ivf._pick_mode(SERVE_BATCH, NPROBE, K),
+        )
+        log(f"serving micro-batch p50={RES.extras['serving_p50_ms']}ms "
+            f"p99={RES.extras['serving_p99_ms']}ms "
+            f"(auto={RES.extras['serving_auto_mode']})")
 
-    # ---- filtered search: 1%-selectivity repo filter, device tag mask -------
-    allow = np.asarray([1], dtype=np.int32)
-    _, f_ids = ivf.search_device(q_batches[0], K, allow_tags=allow)
-    f_ids = np.asarray(f_ids)
-    filt_ok = bool(
-        (f_ids >= 0).all() and (row_tags[f_ids.ravel()] == 1).all()
-    )
-    t_start = time.perf_counter()
-    n_done = 0
-    while time.perf_counter() - t_start < max(2.0, TIMED_SECS / 4):
-        outs = []
-        for i in range(32):
-            outs.append(
-                ivf.search_device(
-                    q_batches[i % len(q_batches)], K, allow_tags=allow
+    def sec_small_batch():
+        # probing-vs-exact regime at the serving batch size; probing also at
+        # nprobe=16 (the reference's Milvus default) where it reads 2x less
+        secs = max(3.0, min(TIMED_SECS / 4, remaining() / 12))
+        qe, _, _ = timed_qps("exact", serve_batches, secs)
+        qi32, _, _ = timed_qps("ivf", serve_batches, secs)
+        qi16, _, _ = timed_qps("ivf", serve_batches, secs, nprobe=16)
+        got = np.zeros((len(serve_batches) * SERVE_BATCH, K), dtype=np.int64)
+        for bi, b in enumerate(serve_batches):
+            _, ids = ivf.search_device(b, K, mode="ivf", nprobe=16)
+            got[bi * SERVE_BATCH : (bi + 1) * SERVE_BATCH] = np.asarray(ids)
+        rec16 = recall_of(got, oracle_ids[: got.shape[0]])
+        RES.extras.update(
+            small_batch_exact_qps=round(qe, 1),
+            small_batch_probing_qps=round(qi32, 1),
+            small_batch_probing16_qps=round(qi16, 1),
+            recall_at_10_probing16=round(rec16, 4),
+            small_batch_auto_mode=ivf._pick_mode(SERVE_BATCH, NPROBE, K),
+        )
+        log(f"small-batch(b={SERVE_BATCH}): exact={qe:.0f} "
+            f"probing32={qi32:.0f} probing16={qi16:.0f} QPS "
+            f"(recall@16probe={rec16:.4f})")
+
+    def sec_filtered():
+        allow = np.asarray([1], dtype=np.int32)
+        _, f_ids = ivf.search_device(q_batches[0], K, allow_tags=allow)
+        f_ids = np.asarray(f_ids)
+        ok = bool((f_ids >= 0).all() and (row_tags[f_ids.ravel()] == 1).all())
+        t_s = time.perf_counter()
+        n_done = 0
+        while time.perf_counter() - t_s < max(3.0, min(5.0, remaining() / 20)):
+            outs = []
+            for i in range(32):
+                outs.append(
+                    ivf.search_device(
+                        q_batches[i % len(q_batches)], K, allow_tags=allow
+                    )
                 )
-            )
-            n_done += BATCH
-        np.asarray(outs[-1][0])
-    filt_qps = n_done / (time.perf_counter() - t_start)
-    log(
-        f"[bench] filtered search (1% selectivity, device tag mask): "
-        f"{filt_qps:.0f} QPS, all-hits-match={filt_ok} "
-        f"(host post-filter would return ~{K // 100} of {K} hits)"
-    )
+                n_done += BATCH
+            np.asarray(outs[-1][0])
+        RES.extras.update(
+            filtered_qps_1pct=round(n_done / (time.perf_counter() - t_s), 1),
+            filtered_hits_all_match=ok,
+        )
+        log(f"filtered search 1%: {RES.extras['filtered_qps_1pct']} QPS, "
+            f"all-match={ok}")
 
-    # ---- queries during streaming ingest (lock-free serving) ----------------
-    stop = threading.Event()
-    write_count = {"n": 0}
+    def sec_under_ingest():
+        stop = threading.Event()
+        wrote = {"n": 0}
 
-    def writer():
-        # bounded: stays inside the layout/mirror headroom so the stream
-        # exercises the scatter path, not a (slow-compile) full rebuild
-        wrng = np.random.default_rng(7)
-        for _ in range(20):
-            if stop.is_set():
-                return
-            ivf.add(
-                (wrng.standard_normal((256, DIM)) * 0.3).astype(np.float32)
-            )
-            write_count["n"] += 256
+        def writer():
+            # bounded: stays inside the mirror headroom so the stream
+            # exercises the scatter path, not a (slow-compile) full rebuild
+            wrng = np.random.default_rng(7)
+            for _ in range(20):
+                if stop.is_set():
+                    return
+                ivf.add(
+                    (wrng.standard_normal((256, DIM)) * 0.3).astype(np.float32)
+                )
+                wrote["n"] += 256
 
-    ingest_lat = []
-    wt = threading.Thread(target=writer, daemon=True)
-    wt.start()
-    t_start = time.perf_counter()
-    while time.perf_counter() - t_start < min(TIMED_SECS, 15):
-        t0 = time.perf_counter()
-        np.asarray(ivf.search_device(serve_batches[0], K)[0])
-        ingest_lat.append((time.perf_counter() - t0) * 1000)
-    stop.set()
-    wt.join(timeout=30)
-    under_p50 = float(np.percentile(ingest_lat, 50))
-    under_p99 = float(np.percentile(ingest_lat, 99))
-    log(
-        f"[bench] under ingest ({write_count['n']} rows streamed): reader "
-        f"p50={under_p50:.1f}ms p99={under_p99:.1f}ms ({len(ingest_lat)} reads)"
-    )
+        lat = []
+        wt = threading.Thread(target=writer, daemon=True)
+        wt.start()
+        t_s = time.perf_counter()
+        while time.perf_counter() - t_s < min(10, max(5, remaining() / 10)):
+            t0 = time.perf_counter()
+            np.asarray(ivf.search_device(serve_batches[0], K)[0])
+            lat.append((time.perf_counter() - t0) * 1000)
+        stop.set()
+        wt.join(timeout=60)
+        RES.extras.update(
+            under_ingest_rows=wrote["n"],
+            under_ingest_p50_ms=round(float(np.percentile(lat, 50)), 1),
+            under_ingest_p99_ms=round(float(np.percentile(lat, 99)), 1),
+        )
+        log(f"under ingest ({wrote['n']} rows): reader "
+            f"p50={RES.extras['under_ingest_p50_ms']}ms "
+            f"p99={RES.extras['under_ingest_p99_ms']}ms")
 
-    # ---- CPU baseline ----------------------------------------------------------
-    live, assign = base_live, base_assign
-    order = np.argsort(assign, kind="stable")
-    packed = live[order]
-    counts = np.bincount(assign, minlength=ivf.nlist)
-    starts = np.zeros(ivf.nlist + 1, dtype=np.int64)
-    np.cumsum(counts, out=starts[1:])
-    base_qps = cpu_ivf_baseline_qps(
-        x, queries, ivf.centroids, (order, starts, packed)
-    )
-    log(f"[bench] CPU IVF-equivalent baseline: {base_qps:.1f} QPS")
+    def sec_api():
+        # end-to-end aiohttp /query SLO on a separate small store, IN PROCESS
+        # (one process owns the TPU); real product path: HTTP -> auth ->
+        # micro-batcher -> embedder -> VectorStore -> hits
+        from tools.bench_api import run_api_bench
 
-    result = {
-        "metric": (
-            f"query throughput at recall@10={recall:.4f} "
-            f"(N={N}, dim={DIM}, {DTYPE} + fused f32 device rescore, exact "
-            f"scan mode, nlist={NLIST}, 1 chip; CPU baseline = numpy "
-            f"IVF-equivalent nprobe={NPROBE})"
-        ),
-        "value": round(qps, 1),
-        "unit": "qps",
-        "vs_baseline": round(qps / base_qps, 2) if base_qps > 0 else None,
-        "extras": {
-            "recall_at_10_exact": round(recall, 4),
-            "recall_at_10_probing": round(recall_ivf, 4),
-            "probing_qps": round(qps_ivf, 1),
-            "batch_p50_ms": round(p50, 1),
-            "batch_p99_ms": round(p99, 1),
-            "serving_batch": SERVE_BATCH,
-            "serving_p50_ms": round(serve_p50, 1),
-            "serving_p99_ms": round(serve_p99, 1),
-            "small_batch_exact_qps": round(small_qps["exact"], 1),
-            "small_batch_probing_qps": round(small_qps["ivf"], 1),
-            "small_batch_auto_mode": serve_auto_mode,
-            "filtered_qps_1pct": round(filt_qps, 1),
-            "filtered_hits_all_match": filt_ok,
-            "under_ingest_p50_ms": round(under_p50, 1),
-            "under_ingest_p99_ms": round(under_p99, 1),
-            "build_s": round(build_s, 1),
-            "cpu_baseline_qps": round(base_qps, 1),
-        },
-    }
-    print(json.dumps(result))
+        stats = run_api_bench(
+            rows=20000, dim=DIM, concurrency=32,
+            secs=max(5.0, min(12.0, remaining() / 6)),
+        )
+        RES.extras.update(
+            api_qps=stats["qps"],
+            api_p50_ms=stats["p50_ms"],
+            api_p99_ms=stats["p99_ms"],
+            api_concurrency=stats["concurrency"],
+            api_rows=stats["rows"],
+        )
+        log(f"API e2e: {stats['qps']} QPS at c={stats['concurrency']}, "
+            f"p50={stats['p50_ms']}ms p99={stats['p99_ms']}ms")
+
+    guard("probing", 60, sec_probing)
+    guard("serving", 30, sec_serving)
+    guard("small_batch", 45, sec_small_batch)
+    guard("filtered", 30, sec_filtered)
+    guard("under_ingest", 30, sec_under_ingest)
+    if RUN_API:
+        guard("api", 120, sec_api)
+    log(f"done in {elapsed():.0f}s")
+    RES.emit()
 
 
 if __name__ == "__main__":

@@ -102,10 +102,19 @@ class QueryBatcher:
                         item[3].set_exception(exc)
 
     def _dispatch_groups(self, loop, batch: List) -> None:
-        # group by (top_k, filters) compatibility
+        # group by (top_k, filters) compatibility. Hashing the frozen filters
+        # can still fail for exotic values (e.g. dicts nested inside lists,
+        # which the API layer rejects but direct callers might pass) — fail
+        # only the offending request, never the whole batch window.
         groups: Dict[Tuple, List] = {}
         for item in batch:
-            groups.setdefault((item[1], item[2]), []).append(item)
+            try:
+                groups.setdefault((item[1], item[2]), []).append(item)
+            except TypeError as exc:
+                if not item[3].done():
+                    item[3].set_exception(
+                        ValueError(f"unhashable filter value: {exc}")
+                    )
         for (top_k, frozen), items in groups.items():
             task = loop.create_task(self._run_group(loop, top_k, frozen, items))
             self._group_tasks.add(task)

@@ -431,6 +431,23 @@ def create_app(
         filters = body.get("filters")
         if filters is not None and not isinstance(filters, dict):
             raise web.HTTPBadRequest(reason="'filters' must be an object")
+        if filters:
+            # values must be hashable scalars or lists of them: the batcher
+            # groups compatible requests by a frozen (key, value) tuple, and
+            # an unhashable value (e.g. a nested object) would otherwise fail
+            # EVERY request in the same batch window, not just this one
+            for fk, fv in filters.items():
+                ok = isinstance(fv, (str, int, float, bool)) or (
+                    isinstance(fv, list)
+                    and all(isinstance(i, (str, int, float, bool)) for i in fv)
+                )
+                if not ok:
+                    raise web.HTTPBadRequest(
+                        reason=(
+                            f"filter {fk!r} must be a string/number/bool or a "
+                            "list of them"
+                        )
+                    )
         start = time.time()
         try:
             if batcher is not None:

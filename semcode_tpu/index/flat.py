@@ -409,6 +409,33 @@ class FlatIndex:
 
     # -- maintenance ---------------------------------------------------------------
 
+    def compacted(self) -> Tuple["FlatIndex", np.ndarray]:
+        """Build a NEW index holding only the live rows, renumbered densely.
+
+        Returns (new_index, remap). The store installs the new index and
+        remapped row dicts in one view swap, so lock-free readers never mix
+        compacted row numbering with pre-compaction maps (see
+        VectorStore.compact)."""
+        live = np.flatnonzero(self._alive[: self.size])
+        remap = np.full(self.size, -1, dtype=np.int64)
+        remap[live] = np.arange(live.size)
+        new = FlatIndex(
+            self.dim,
+            metric=self.metric,
+            dtype=self._storage_name(),
+            mesh=self.mesh,
+            capacity=int(live.size),
+            device_rescore=self._device_rescore,
+            approx_topk=self.approx_topk,
+            approx_recall_target=self.approx_recall_target,
+            score_dtype=self.score_dtype,
+        )
+        if live.size:
+            # rows are already metric-normalized; add()'s re-normalization is
+            # a no-op for unit rows
+            new.add(self._host[live], tags=self._tags[live])
+        return new, remap
+
     def compact(self) -> np.ndarray:
         """Drop tombstoned rows and renumber densely.
 

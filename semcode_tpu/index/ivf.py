@@ -4,7 +4,16 @@ The reference delegates ANN entirely to an external Milvus server (IVF_FLAT,
 metric IP, nlist=128, nprobe=16 — reference src/semcode/storage/milvus_store.py
 :76-85,:141-147). Here the whole thing is in-process and TPU-resident:
 
-- **Build**: k-means coarse quantizer trained on device (`ops.kmeans_fit`),
+- **Device-authoritative storage** (round-3 redesign): the row-major flat
+  mirror in HBM — storage-dtype vectors + scales + norms (+ optional f32
+  rescore mirror) — IS the corpus. The host keeps only O(N) metadata
+  (liveness, cluster assignment, slot map, tags). Ingest uploads raw f32
+  chunks (host->device DMA) and quantizes/normalizes ON DEVICE; builds,
+  re-packs and compactions gather from the mirror on device. No step ever
+  runs an O(N*dim) pass on the host CPU — on shared/throttled build hosts
+  (observed: ~0.03 GB/s memcpy) host-side quantize/stage passes dominated
+  the round-2 1M-row build 5x over the device work.
+- **Build**: k-means coarse quantizer trained on device (`ops.kmeans`),
   then vectors are laid out in capacity-padded cluster blocks
   ``data[nlist, cmax, dim]`` so every shape is static for XLA.
 - **Sharding**: cluster lists are row-sharded over the mesh ``data`` axis;
@@ -23,7 +32,7 @@ Tombstones (``ids == -1``) support upsert-by-id from the store layer.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 import collections
 from typing import Optional, Tuple
 
@@ -33,7 +42,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..logger import get_logger
-from ..ops.kmeans import balanced_assign, kmeans_fit, topm_clusters
+from ..ops.kmeans import balanced_assign, kmeans_fit_dev
 from ..parallel.mesh import (
     get_mesh,
     hierarchical_topk_merge,
@@ -42,7 +51,7 @@ from ..parallel.mesh import (
     round_up,
     row_axes,
 )
-from .flat import DEVICE_RESCORE_MAX_BYTES, pad_allow, quantize_rows
+from .flat import DEVICE_RESCORE_MAX_BYTES, pad_allow
 from .scan import exact_scan, rescore_global
 
 log = get_logger("index.ivf")
@@ -54,7 +63,8 @@ log = get_logger("index.ivf")
 # probing path; the flat row-major mirror (fvecs/fvalid/fnorms/fscales,
 # position == global row id) serves the exact path — it reads 1/fill times
 # fewer bytes than scanning the padded layout, and frescore (f32) feeds the
-# fused exact re-ranking in scan.exact_scan. Fields:
+# fused exact re-ranking in scan.exact_scan. The MIRROR arrays are the
+# authoritative storage (see module docstring). Fields:
 #   data       (nlist, cmax, d) storage dtype
 #   ids        (nlist, cmax) int32 row ids, -1 = empty/tombstone
 #   sqnorms    (nlist, cmax) f32
@@ -79,7 +89,17 @@ _Dev = collections.namedtuple(
     ],
 )
 
+# The mirror half on its own (writer-side working state; _Dev references the
+# same immutable arrays, so swapping _Dev snapshots stays atomic for readers).
+_Mirror = collections.namedtuple(
+    "_Mirror", ["fvecs", "fvalid", "fnorms", "fscales", "frescore", "ftags"]
+)
+
 _NEG_INF = np.float32(-3.0e38)
+
+# rows per device chunk for ingest / pack / gather steps: bounds transient
+# HBM (chunk * dim * 4B) and keeps one jit shape for the common case
+_CHUNK_ROWS = 131072
 
 
 def _storage_dtype(name: str):
@@ -139,10 +159,10 @@ class IVFIndex:
         self._row_multiple = math.lcm(self.n_shards * 8, 128)
         self._mirror_cap = 0  # flat-mirror rows currently materialized
 
-        # host-authoritative storage
-        self._host = np.zeros((0, self.dim), dtype=np.float32)
+        # host metadata (O(N), amortized-growth buffers; NO vector payloads)
         self.size = 0  # live rows (excluding tombstones)
-        self._n_rows = 0  # total rows ever added (= len of host buffer used)
+        self._n_rows = 0  # total rows ever added
+        self._meta_cap = 0
         self._assign = np.zeros((0,), dtype=np.int32)
         self._loc = np.zeros((0, 2), dtype=np.int32)  # row -> (cluster, slot)
         self._alive = np.zeros((0,), dtype=bool)
@@ -152,10 +172,15 @@ class IVFIndex:
         self._counts = np.zeros((self.nlist,), dtype=np.int32)  # slots used
         self.cmax = 0
 
-        # device state: one atomically-swapped _Dev snapshot so lock-free
-        # readers always see a consistent set of arrays
+        # device state: the authoritative mirror + one atomically-swapped
+        # _Dev snapshot so lock-free readers always see consistent arrays
+        self._mir: Optional[_Mirror] = None
         self._dev: Optional[_Dev] = None
         self._dirty = True
+        # host f32 copy, maintained incrementally ONLY when the f32 device
+        # mirror is off (the store's host rescore then needs it); otherwise
+        # hydrated on demand for persistence
+        self._host_cache: Optional[np.ndarray] = None
 
     # -- helpers ---------------------------------------------------------------
 
@@ -163,57 +188,269 @@ class IVFIndex:
     def is_trained(self) -> bool:
         return self.centroids is not None
 
-    def _prepare(self, x: np.ndarray) -> np.ndarray:
+    @property
+    def _host(self) -> np.ndarray:
+        """Full-precision host copy of rows 0..n_rows (hydrated from device
+        when not incrementally maintained; persistence/diagnostics only)."""
+        if self._host_cache is not None:
+            return self._host_cache[: self._n_rows]
+        return self.hydrate_host()
+
+    def hydrate_host(self) -> np.ndarray:
+        """Fetch the f32 corpus (n_rows, dim) from the device mirror."""
+        n = self._n_rows
+        if n == 0 or self._mir is None:
+            return np.zeros((0, self.dim), dtype=np.float32)
+        if n * self.dim * 4 > 1 << 30:
+            log.warning("hydrate_host_large", rows=n, dim=self.dim)
+        mir = self._mir
+        out = np.empty((n, self.dim), dtype=np.float32)
+        for lo in range(0, n, _CHUNK_ROWS):
+            hi = min(lo + _CHUNK_ROWS, n)
+            idx = jnp.arange(lo, hi, dtype=jnp.int32)
+            if mir.frescore is not None:
+                chunk = _gather_f32(mir.frescore, idx)
+            elif self._dtype == jnp.int8:
+                chunk = _gather_dequant(mir.fvecs, mir.fscales, idx)
+            else:
+                chunk = _gather_f32(mir.fvecs, idx)
+            out[lo:hi] = np.asarray(chunk)
+        return out
+
+    def _check_vectors(self, x, *, device_ok: bool = True):
+        if isinstance(x, jax.Array):
+            if not device_ok:
+                x = np.asarray(x)
+            elif x.ndim != 2 or x.shape[1] != self.dim:
+                raise ValueError(
+                    f"expected (n, {self.dim}) vectors, got {x.shape}"
+                )
+            else:
+                return x
         x = np.ascontiguousarray(x, dtype=np.float32)
         if x.ndim != 2 or x.shape[1] != self.dim:
             raise ValueError(f"expected (n, {self.dim}) vectors, got {x.shape}")
-        if self.metric == "cosine":
-            x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
         return x
 
-    def _append_host(self, x: np.ndarray, tags: np.ndarray) -> np.ndarray:
-        n = x.shape[0]
-        rows = np.arange(self._n_rows, self._n_rows + n, dtype=np.int64)
-        self._host = np.concatenate([self._host, x], axis=0)
-        self._tags = np.concatenate([self._tags, tags])
-        self._assign = np.concatenate(
-            [self._assign, np.full(n, -1, dtype=np.int32)]
-        )
-        self._loc = np.concatenate(
-            [self._loc, np.full((n, 2), -1, dtype=np.int32)], axis=0
-        )
-        self._alive = np.concatenate([self._alive, np.ones(n, dtype=bool)])
-        self._n_rows += n
+    def _extend_meta(self, n: int, tags: np.ndarray) -> np.ndarray:
+        """Append n rows to the host metadata buffers; returns new row ids."""
+        need = self._n_rows + n
+        if need > self._meta_cap:
+            new_cap = max(need, max(1024, self._meta_cap * 2))
+            for name, fill in (
+                ("_assign", -1),
+                ("_alive", False),
+                ("_tags", 0),
+            ):
+                old = getattr(self, name)
+                buf = np.full((new_cap,), fill, dtype=old.dtype)
+                buf[: self._n_rows] = old[: self._n_rows]
+                setattr(self, name, buf)
+            loc = np.full((new_cap, 2), -1, dtype=np.int32)
+            loc[: self._n_rows] = self._loc[: self._n_rows]
+            self._loc = loc
+            if self._host_cache is not None:
+                host = np.zeros((new_cap, self.dim), dtype=np.float32)
+                host[: self._n_rows] = self._host_cache[: self._n_rows]
+                self._host_cache = host
+            self._meta_cap = new_cap
+        rows = np.arange(self._n_rows, need, dtype=np.int64)
+        self._alive[rows] = True
+        self._tags[rows] = tags
+        self._n_rows = need
         self.size += n
         return rows
+
+    # -- device mirror (authoritative storage) ---------------------------------
+
+    def _mirror_target_cap(self, n_rows: int) -> int:
+        return round_up(
+            n_rows + max(1024, n_rows // 8), self._row_multiple
+        )
+
+    def _shard2(self) -> NamedSharding:
+        return NamedSharding(self.mesh, P(self._row_axes, None))
+
+    def _shard1(self) -> NamedSharding:
+        return NamedSharding(self.mesh, P(self._row_axes))
+
+    def _zeros(self, shape, dtype, sharding):
+        return _zeros_fn(shape, dtype, sharding)()
+
+    def _rescore_enabled(self, mirror_rows: int) -> bool:
+        """Fused f32 device rescore: on for lossy storage when the mirror
+        fits the HBM budget (or forced via the constructor flag)."""
+        if self._dtype == jnp.float32:
+            return False  # storage is already exact
+        if self.device_rescore is not None:
+            return bool(self.device_rescore)
+        return mirror_rows * self.dim * 4 <= DEVICE_RESCORE_MAX_BYTES
+
+    def _ensure_mirror(self, need_rows: int) -> None:
+        """Create or grow the device mirror to hold ``need_rows`` rows."""
+        if self._mir is not None and need_rows <= self._mirror_cap:
+            return
+        mcap = self._mirror_target_cap(need_rows)
+        s2, s1 = self._shard2(), self._shard1()
+        if self._mir is None:
+            want_rescore = self._rescore_enabled(mcap)
+            self._mir = _Mirror(
+                fvecs=self._zeros((mcap, self.dim), self._dtype, s2),
+                fvalid=self._zeros((mcap,), jnp.bool_, s1),
+                fnorms=self._zeros((mcap,), jnp.float32, s1),
+                fscales=self._zeros((mcap,), jnp.float32, s1),
+                frescore=(
+                    self._zeros((mcap, self.dim), jnp.float32, s2)
+                    if want_rescore
+                    else None
+                ),
+                ftags=self._zeros((mcap,), jnp.int32, s1),
+            )
+            if not want_rescore and self._dtype != jnp.float32:
+                # the store's host rescore needs f32 somewhere: keep it on host
+                self._host_cache = np.zeros(
+                    (max(self._meta_cap, 1024), self.dim), dtype=np.float32
+                )
+            self._mirror_cap = mcap
+            return
+        mir = self._mir
+        keep_rescore = mir.frescore is not None and self._rescore_enabled(mcap)
+        if mir.frescore is not None and not keep_rescore:
+            # f32 mirror no longer fits the HBM budget: back-fill the host
+            # cache before dropping it so exactness survives the transition
+            log.warning("frescore_dropped_on_growth", rows=need_rows)
+            host = self.hydrate_host()
+            cache = np.zeros((self._meta_cap, self.dim), dtype=np.float32)
+            cache[: host.shape[0]] = host
+            self._host_cache = cache
+        grown = _Mirror(
+            fvecs=jax.device_put(_pad_rows(mir.fvecs, mcap), s2),
+            fvalid=jax.device_put(_pad_rows(mir.fvalid, mcap), s1),
+            fnorms=jax.device_put(_pad_rows(mir.fnorms, mcap), s1),
+            fscales=jax.device_put(_pad_rows(mir.fscales, mcap), s1),
+            frescore=(
+                jax.device_put(_pad_rows(mir.frescore, mcap), s2)
+                if keep_rescore
+                else None
+            ),
+            ftags=jax.device_put(_pad_rows(mir.ftags, mcap), s1),
+        )
+        self._mir = grown
+        self._mirror_cap = mcap
+        # the padded cluster layout is untouched by mirror growth; refresh
+        # the reader snapshot so searches see the grown mirror
+        if self._dev is not None and not self._dirty:
+            self._dev = self._dev._replace(**grown._asdict())
+
+    def _ingest_rows(self, x, rows: np.ndarray, tags: np.ndarray) -> None:
+        """Scatter new/updated rows into the device mirror (chunked).
+
+        ``x``: (n, dim) f32 numpy array or device array, NOT yet
+        metric-normalized. Quantization/normalization run on device.
+        """
+        mir = self._mir
+        n = rows.shape[0]
+        cache = self._host_cache
+        for lo in range(0, n, _CHUNK_ROWS):
+            hi = min(lo + _CHUNK_ROWS, n)
+            xc = x[lo:hi]
+            xd = xc if isinstance(xc, jax.Array) else jnp.asarray(xc)
+            if self.metric == "cosine":
+                xd = _normalize_rows(xd)
+            rows_d = jnp.asarray(rows[lo:hi].astype(np.int32))
+            tags_d = jnp.asarray(tags[lo:hi])
+            if self._dtype == jnp.int8:
+                qx, scl, nrm = _prep_rows_q(xd)
+                fvecs, fvalid, fnorms, fscales = _scatter_flat_q(
+                    mir.fvecs, mir.fvalid, mir.fnorms, mir.fscales,
+                    rows_d, qx, scl, nrm,
+                )
+            else:
+                nrm = _row_norms(xd)
+                fvecs, fvalid, fnorms = _scatter_flat(
+                    mir.fvecs, mir.fvalid, mir.fnorms, rows_d, xd, nrm
+                )
+                fscales = mir.fscales
+            frescore = mir.frescore
+            if frescore is not None:
+                frescore = _scatter_mirror_rows(frescore, rows_d, xd)
+            ftags = _scatter_mirror_tags(mir.ftags, rows_d, tags_d)
+            mir = _Mirror(fvecs, fvalid, fnorms, fscales, frescore, ftags)
+            if cache is not None:
+                if isinstance(xc, jax.Array) or self.metric == "cosine":
+                    cache[rows[lo:hi]] = np.asarray(xd, dtype=np.float32)
+                else:
+                    cache[rows[lo:hi]] = xc
+        self._mir = mir
+
+    def _f32_chunk(self, idx_dev):
+        """Gather f32 rows from the mirror by row id (on device)."""
+        mir = self._mir
+        if mir.frescore is not None:
+            return _gather_f32(mir.frescore, idx_dev)
+        if self._dtype == jnp.int8:
+            return _gather_dequant(mir.fvecs, mir.fscales, idx_dev)
+        return _gather_f32(mir.fvecs, idx_dev)
+
+    def _topm_rows(self, rows: np.ndarray, m: int) -> np.ndarray:
+        """Per-row m nearest clusters, computed on device from the mirror."""
+        cent = jnp.asarray(self.centroids, dtype=jnp.float32)
+        out = np.empty((rows.shape[0], m), dtype=np.int32)
+        for lo in range(0, rows.shape[0], _CHUNK_ROWS):
+            hi = min(lo + _CHUNK_ROWS, rows.shape[0])
+            idx = jnp.asarray(rows[lo:hi].astype(np.int32))
+            xd = self._f32_chunk(idx)
+            out[lo:hi] = np.asarray(_topm_dev(xd, cent, m))
+        return out
 
     # -- build -------------------------------------------------------------------
 
     def train(self, x: Optional[np.ndarray] = None) -> None:
         """Train the coarse quantizer (on provided sample or current rows)."""
-        sample = self._prepare(x) if x is not None else self._host[self._alive]
-        if sample.shape[0] == 0:
+        if x is not None:
+            x = self._check_vectors(x, device_ok=False)
+            if self.metric == "cosine":
+                x = x / np.maximum(
+                    np.linalg.norm(x, axis=1, keepdims=True), 1e-12
+                )
+            sample_dev = jnp.asarray(x)
+        else:
+            live = np.flatnonzero(self._alive[: self._n_rows])
+            if live.size == 0:
+                raise ValueError("cannot train IVF on an empty corpus")
+            from ..ops.kmeans import TRAIN_POINTS_PER_CENTROID
+
+            max_train = self.nlist * TRAIN_POINTS_PER_CENTROID
+            if live.size > max_train:
+                rng = np.random.default_rng(self.seed)
+                live = rng.choice(live, size=max_train, replace=False)
+            sample_dev = self._f32_chunk(jnp.asarray(live.astype(np.int32)))
+        if sample_dev.shape[0] == 0:
             raise ValueError("cannot train IVF on an empty corpus")
-        self.centroids, _ = kmeans_fit(
-            sample, self.nlist, iters=self.kmeans_iters, seed=self.seed
+        self.centroids = kmeans_fit_dev(
+            sample_dev, self.nlist, iters=self.kmeans_iters, seed=self.seed
         )
 
-    def add(self, x: np.ndarray, tags=None) -> np.ndarray:
+    def add(self, x, tags=None) -> np.ndarray:
         """Append rows; trains the quantizer on first call. Returns row ids.
+
+        ``x`` may be a numpy array or an already-on-device jax array (the
+        benchmark generates corpora on device; no host round trip).
         ``tags`` (optional int32 per row, >= 0) enable device-side filtered
         search on the exact path; None = tag 0."""
-        x = self._prepare(x)
+        x = self._check_vectors(x)
         if x.shape[0] == 0:
             return np.zeros((0,), dtype=np.int64)
+        n = x.shape[0]
         if tags is None:
-            tags = np.zeros((x.shape[0],), dtype=np.int32)
+            tags = np.zeros((n,), dtype=np.int32)
         else:
             tags = np.asarray(tags, dtype=np.int32).ravel()
-            if tags.shape[0] != x.shape[0]:
-                raise ValueError(
-                    f"expected {x.shape[0]} tags, got {tags.shape[0]}"
-                )
-        rows = self._append_host(x, tags)
+            if tags.shape[0] != n:
+                raise ValueError(f"expected {n} tags, got {tags.shape[0]}")
+        rows = self._extend_meta(n, tags)
+        self._ensure_mirror(self._n_rows)
+        self._ingest_rows(x, rows, tags)
         if not self.is_trained:
             self.train()
             self._rebuild_layout()
@@ -224,8 +461,8 @@ class IVFIndex:
             self._materialize()
             return rows
         # streaming placement: nearest candidate cluster with a free slot
-        cands = topm_clusters(x, self.centroids, m=4)
-        assign = np.empty(len(rows), dtype=np.int32)
+        cands = self._topm_rows(rows, m=min(4, self.nlist))
+        assign = np.empty(n, dtype=np.int32)
         counts = self._counts.copy()
         overflow = False
         for i, row_cands in enumerate(cands):
@@ -255,18 +492,18 @@ class IVFIndex:
         self.size -= int(rows.size)
         locs = self._loc[rows]
         placed = locs[:, 0] >= 0
+        rows_d = jnp.asarray(rows, jnp.int32)
+        if self._mir is not None:
+            self._mir = self._mir._replace(
+                fvalid=_clear_mirror_valid(self._mir.fvalid, rows_d)
+            )
         dev = self._dev
         if not self._dirty and dev is not None:
-            new = dev
+            new = dev._replace(fvalid=self._mir.fvalid)
             if placed.any():
                 c = jnp.asarray(locs[placed, 0])
                 s = jnp.asarray(locs[placed, 1])
                 new = new._replace(ids=_tombstone(new.ids, c, s))
-            new = new._replace(
-                fvalid=_clear_mirror_valid(
-                    new.fvalid, jnp.asarray(rows, jnp.int32)
-                )
-            )
             self._dev = new
 
     def _place_rows(self, rows: np.ndarray, assign: np.ndarray) -> None:
@@ -289,77 +526,44 @@ class IVFIndex:
         dev = self._dev
         if self._dirty or dev is None:
             return
-        if int(rows.max()) >= self._mirror_cap:
-            # flat mirror is out of headroom: fall back to a full rebuild
-            self._dirty = True
-            return
-        x = self._host[rows]
-        rows_d = jnp.asarray(rows, dtype=jnp.int32)
-        norms_d = jnp.asarray(np.sum(x.astype(np.float32) ** 2, axis=1))
-        ftags = _scatter_mirror_tags(
-            dev.ftags, rows_d, jnp.asarray(self._tags[rows])
-        )
-        frescore = dev.frescore
-        if frescore is not None:
-            frescore = _scatter_mirror_rows(frescore, rows_d, jnp.asarray(x))
+        mir = self._mir
+        rows_d = jnp.asarray(rows.astype(np.int32))
+        c_d = jnp.asarray(assign)
+        s_d = jnp.asarray(slots.astype(np.int32))
         if self._dtype == jnp.int8:
-            qx, scales = quantize_rows(x)
-            data, ids, sqnorms, scl = _scatter_slots_q(
-                dev.data,
-                dev.ids,
-                dev.sqnorms,
-                dev.scales,
-                jnp.asarray(assign),
-                jnp.asarray(slots),
-                jnp.asarray(qx),
-                jnp.asarray(scales),
-                norms_d,
-                rows_d,
-            )
-            fvecs, fvalid, fnorms, fscales = _scatter_flat_q(
-                dev.fvecs, dev.fvalid, dev.fnorms, dev.fscales,
-                rows_d, jnp.asarray(qx), jnp.asarray(scales), norms_d,
+            data, ids, sqnorms, scl = _pack_rows_q(
+                dev.data, dev.ids, dev.sqnorms, dev.scales,
+                mir.fvecs, mir.fnorms, mir.fscales, rows_d, c_d, s_d,
             )
             self._dev = dev._replace(
                 data=data, ids=ids, sqnorms=sqnorms, scales=scl,
-                fvecs=fvecs, fvalid=fvalid, fnorms=fnorms, fscales=fscales,
-                frescore=frescore, ftags=ftags,
+                **mir._asdict(),
             )
         else:
-            data, ids, sqnorms = _scatter_slots(
-                dev.data,
-                dev.ids,
-                dev.sqnorms,
-                jnp.asarray(assign),
-                jnp.asarray(slots),
-                jnp.asarray(x),
-                rows_d,
-            )
-            fvecs, fvalid, fnorms = _scatter_flat(
-                dev.fvecs, dev.fvalid, dev.fnorms, rows_d,
-                jnp.asarray(x), norms_d,
+            data, ids, sqnorms = _pack_rows(
+                dev.data, dev.ids, dev.sqnorms,
+                mir.fvecs, mir.fnorms, rows_d, c_d, s_d,
             )
             self._dev = dev._replace(
-                data=data, ids=ids, sqnorms=sqnorms,
-                fvecs=fvecs, fvalid=fvalid, fnorms=fnorms, frescore=frescore,
-                ftags=ftags,
+                data=data, ids=ids, sqnorms=sqnorms, **mir._asdict()
             )
 
     def _rebuild_layout(self) -> None:
-        """Re-pack live rows into capacity-padded cluster blocks (host side).
+        """Re-pack live rows into capacity-padded cluster blocks.
 
         Assignment is capacity-balanced: clusters are capped near the mean
         occupancy and excess points spill to their next-nearest cluster, so
         the padded layout stays dense (bounded cmax = bounded scan HBM
-        traffic) even on skewed corpora.
+        traffic) even on skewed corpora. Candidate clusters are scored on
+        device; only the (N, m) int32 candidate table and the O(N) greedy
+        assignment run on host.
         """
-        live = np.flatnonzero(self._alive)
-        x = self._host[live]
+        live = np.flatnonzero(self._alive[: self._n_rows])
         mean = max(1.0, live.size / self.nlist)
         cap = max(8, int(np.ceil(mean * self.balance_cap)))
         # m=8 spill candidates: enough fallthrough that the cap actually holds
         # on skewed corpora (fill stays high -> exact scans stay cheap)
-        cands = topm_clusters(x, self.centroids, m=min(8, self.nlist))
+        cands = self._topm_rows(live, m=min(8, self.nlist))
         assign = balanced_assign(cands, self.nlist, cap)
         self._assign[live] = assign
         counts = np.bincount(assign, minlength=self.nlist).astype(np.int32)
@@ -388,114 +592,79 @@ class IVFIndex:
         )
 
     def _materialize(self) -> tuple:
-        """Push the packed layout to sharded device arrays.
+        """(Re)build the padded cluster layout from the device mirror.
 
-        Fills the padded host staging buffer directly in the storage dtype,
-        streaming rows in batches — a full-f32 staging copy of the padded
-        layout would spike host RAM ~4x at 3072-d/1M scale.
-        """
-        live = np.flatnonzero(self._alive)
-        if self._dtype == jnp.int8:
-            np_dtype = np.int8
-        elif self._dtype == jnp.bfloat16:
-            import ml_dtypes
+        All vector bytes move HBM->HBM (device gathers + scatters); the host
+        contributes only the int32 location table and the liveness/tag
+        refresh (O(N) uploads, which ride DMA — fast even on throttled
+        hosts)."""
+        self._ensure_mirror(max(self._n_rows, 1))
+        mir = self._mir
+        # refresh liveness/tags from the host authority (covers external
+        # _tags writes, e.g. store.load re-deriving tags)
+        mcap = self._mirror_cap
+        fvalid_h = np.zeros((mcap,), dtype=bool)
+        fvalid_h[: self._n_rows] = self._alive[: self._n_rows]
+        ftags_h = np.zeros((mcap,), dtype=np.int32)
+        ftags_h[: self._n_rows] = self._tags[: self._n_rows]
+        mir = mir._replace(
+            fvalid=jax.device_put(fvalid_h, self._shard1()),
+            ftags=jax.device_put(ftags_h, self._shard1()),
+        )
+        self._mir = mir
 
-            np_dtype = ml_dtypes.bfloat16
-        else:
-            np_dtype = np.float32
-        data = np.zeros((self.nlist, self.cmax, self.dim), dtype=np_dtype)
-        ids = np.full((self.nlist, self.cmax), -1, dtype=np.int32)
-        sqnorms = np.zeros((self.nlist, self.cmax), dtype=np.float32)
+        live = np.flatnonzero(self._alive[: self._n_rows])
+        c_all = self._loc[live, 0]
+        s_all = self._loc[live, 1]
+        quant = self._dtype == jnp.int8
+        shard3 = NamedSharding(self.mesh, P(self._row_axes, None, None))
+        shard2c = NamedSharding(self.mesh, P(self._row_axes, None))
+        data = self._zeros((self.nlist, self.cmax, self.dim), self._dtype, shard3)
+        ids = _full_fn((self.nlist, self.cmax), -1, jnp.int32, shard2c)()
+        sqnorms = self._zeros((self.nlist, self.cmax), jnp.float32, shard2c)
         scales = (
-            np.zeros((self.nlist, self.cmax), dtype=np.float32)
-            if self._dtype == jnp.int8
+            self._zeros((self.nlist, self.cmax), jnp.float32, shard2c)
+            if quant
             else None
         )
-        step = 200_000
-        for lo in range(0, live.size, step):
-            rows = live[lo : lo + step]
-            vals = self._host[rows]
-            c, s = self._loc[rows, 0], self._loc[rows, 1]
-            ids[c, s] = rows.astype(np.int32)
-            sqnorms[c, s] = np.sum(vals.astype(np.float32) ** 2, axis=1)
-            if scales is not None:
-                qvals, qscales = quantize_rows(vals)
-                data[c, s] = qvals
-                scales[c, s] = qscales
+        # chunk so the transient (chunk, dim) gather stays bounded at high dim
+        chunk = max(8192, min(_CHUNK_ROWS, (256 << 20) // max(self.dim, 1)))
+        for lo in range(0, live.size, chunk):
+            hi = min(lo + chunk, live.size)
+            rows_d = jnp.asarray(live[lo:hi].astype(np.int32))
+            c_d = jnp.asarray(c_all[lo:hi])
+            s_d = jnp.asarray(s_all[lo:hi])
+            if quant:
+                data, ids, sqnorms, scales = _pack_rows_q(
+                    data, ids, sqnorms, scales,
+                    mir.fvecs, mir.fnorms, mir.fscales, rows_d, c_d, s_d,
+                )
             else:
-                data[c, s] = vals.astype(np_dtype)
-        # ---- flat row-major mirror (exact path; position == row id) --------
-        mcap = round_up(
-            self._n_rows + max(1024, self._n_rows // 8), self._row_multiple
-        )
-        fvecs = np.zeros((mcap, self.dim), dtype=np_dtype)
-        fvalid = np.zeros((mcap,), dtype=bool)
-        fnorms = np.zeros((mcap,), dtype=np.float32)
-        fscales = np.zeros((mcap,), dtype=np.float32)
-        want_rescore = self._rescore_enabled(mcap)
-        frescore = (
-            np.zeros((mcap, self.dim), dtype=np.float32) if want_rescore else None
-        )
-        for lo in range(0, self._n_rows, step):
-            hi = min(lo + step, self._n_rows)
-            vals = self._host[lo:hi]
-            fnorms[lo:hi] = np.sum(vals.astype(np.float32) ** 2, axis=1)
-            if self._dtype == jnp.int8:
-                qvals, qscales = quantize_rows(vals)
-                fvecs[lo:hi] = qvals
-                fscales[lo:hi] = qscales
-            else:
-                fvecs[lo:hi] = vals.astype(np_dtype)
-            if frescore is not None:
-                frescore[lo:hi] = vals
-        fvalid[: self._n_rows] = self._alive
-        ftags = np.zeros((mcap,), dtype=np.int32)
-        ftags[: self._n_rows] = self._tags
-        self._mirror_cap = mcap
-
-        axes = self._row_axes
-        shard3 = NamedSharding(self.mesh, P(axes, None, None))
-        shard2 = NamedSharding(self.mesh, P(axes, None))
-        rshard2 = NamedSharding(self.mesh, P(axes, None))
-        rshard1 = NamedSharding(self.mesh, P(axes))
+                data, ids, sqnorms = _pack_rows(
+                    data, ids, sqnorms, mir.fvecs, mir.fnorms, rows_d, c_d, s_d
+                )
         dev = _Dev(
-            data=jax.device_put(data, shard3),
-            ids=jax.device_put(ids, shard2),
-            sqnorms=jax.device_put(sqnorms, shard2),
-            scales=jax.device_put(scales, shard2) if scales is not None else None,
+            data=data,
+            ids=ids,
+            sqnorms=sqnorms,
+            scales=scales,
             centroids=jax.device_put(
                 np.ascontiguousarray(self.centroids, dtype=np.float32),
                 NamedSharding(self.mesh, P(None, None)),
             ),
-            fvecs=jax.device_put(fvecs, rshard2),
-            fvalid=jax.device_put(fvalid, rshard1),
-            fnorms=jax.device_put(fnorms, rshard1),
-            fscales=jax.device_put(fscales, rshard1),
-            frescore=(
-                jax.device_put(frescore, rshard2) if frescore is not None else None
-            ),
-            ftags=jax.device_put(ftags, rshard1),
+            **mir._asdict(),
         )
         self._dev = dev  # single atomic swap
         self._dirty = False
         return dev
 
-    def _rescore_enabled(self, mirror_rows: int) -> bool:
-        """Fused f32 device rescore: on for lossy storage when the mirror
-        fits the HBM budget (or forced via the constructor flag)."""
-        if self._dtype == jnp.float32:
-            return False  # storage is already exact
-        if self.device_rescore is not None:
-            return bool(self.device_rescore)
-        return mirror_rows * self.dim * 4 <= DEVICE_RESCORE_MAX_BYTES
-
     @property
     def device_rescore_active(self) -> bool:
         """True when exact-path searches already return f32-rescored results
         (the store then skips its host-side rescore)."""
-        dev = self._dev
-        if dev is not None:
-            return dev.frescore is not None
+        mir = self._mir
+        if mir is not None:
+            return mir.frescore is not None
         return self._rescore_enabled(max(self._n_rows, 1))
 
     def _ensure_device(self) -> tuple:
@@ -730,30 +899,104 @@ class IVFIndex:
         self._rebuild_layout()
         self._materialize()
 
-    def compact(self) -> np.ndarray:
-        """Drop tombstoned rows from host storage and re-pack.
+    def compacted(self) -> Tuple["IVFIndex", np.ndarray]:
+        """Build a NEW index holding only the live rows, renumbered densely.
 
-        Returns the remap array (old row -> new row, -1 for dropped rows) so
-        callers can renumber their own row-keyed maps. Materializes eagerly:
-        compaction renumbers rows, so serving the stale pre-compaction device
-        arrays would return ids that dereference the wrong vectors.
-        """
-        live = np.flatnonzero(self._alive)
+        Returns (new_index, remap) where remap maps old row -> new row (-1
+        for dropped rows). The caller (store.compact) installs the new index
+        and freshly-built row maps in ONE view swap, so lock-free readers
+        can never mix post-compaction device state with pre-compaction row
+        maps (the round-2 in-place compact had exactly that race)."""
+        live = np.flatnonzero(self._alive[: self._n_rows])
         remap = np.full(self._n_rows, -1, dtype=np.int64)
         remap[live] = np.arange(live.size)
-        self._host = self._host[live].copy()
-        self._assign = self._assign[live].copy()
-        self._loc = self._loc[live].copy()
-        self._tags = self._tags[live].copy()
-        self._alive = np.ones(live.size, dtype=bool)
-        self._n_rows = int(live.size)
-        self.size = int(live.size)
-        self._rebuild_layout()
-        self._materialize()
+        new = IVFIndex(
+            self.dim,
+            nlist=self.nlist,
+            nprobe=self.nprobe,
+            metric=self.metric,
+            dtype=self._storage_name(),
+            mesh=self.mesh,
+            kmeans_iters=self.kmeans_iters,
+            seed=self.seed,
+            use_pallas=self.use_pallas,
+            balance_cap=self.balance_cap,
+            approx_topk=self.approx_topk,
+            approx_recall_target=self.approx_recall_target,
+            device_rescore=self.device_rescore,
+            score_dtype=self.score_dtype,
+        )
+        new.centroids = (
+            None if self.centroids is None else self.centroids.copy()
+        )
+        n = int(live.size)
+        if n == 0:
+            return new, remap
+        new_rows = new._extend_meta(n, self._tags[live])
+        new._ensure_mirror(n)
+        # device-to-device renumbering gather: no host vector traffic
+        mir, new_mir = self._mir, new._mir
+        cache = new._host_cache
+        for lo in range(0, n, _CHUNK_ROWS):
+            hi = min(lo + _CHUNK_ROWS, n)
+            src = jnp.asarray(live[lo:hi].astype(np.int32))
+            dst = jnp.asarray(new_rows[lo:hi].astype(np.int32))
+            tags_d = jnp.asarray(self._tags[live[lo:hi]])
+            if self._dtype == jnp.int8:
+                fvecs, fvalid, fnorms, fscales = _scatter_flat_q(
+                    new_mir.fvecs, new_mir.fvalid, new_mir.fnorms,
+                    new_mir.fscales, dst, mir.fvecs[src],
+                    mir.fscales[src], mir.fnorms[src],
+                )
+            else:
+                fvecs, fvalid, fnorms = _scatter_flat(
+                    new_mir.fvecs, new_mir.fvalid, new_mir.fnorms,
+                    dst, mir.fvecs[src], mir.fnorms[src],
+                )
+                fscales = new_mir.fscales
+            frescore = new_mir.frescore
+            if frescore is not None and mir.frescore is not None:
+                frescore = _scatter_mirror_rows(
+                    frescore, dst, mir.frescore[src]
+                )
+            ftags = _scatter_mirror_tags(new_mir.ftags, dst, tags_d)
+            new_mir = _Mirror(fvecs, fvalid, fnorms, fscales, frescore, ftags)
+            if cache is not None:
+                if self._host_cache is not None:
+                    cache[lo:hi] = self._host_cache[live[lo:hi]]
+                else:
+                    cache[lo:hi] = np.asarray(
+                        self._f32_chunk(src), dtype=np.float32
+                    )
+        new._mir = new_mir
+        if not new.is_trained:
+            new.train()
+        new._rebuild_layout()
+        new._materialize()
+        return new, remap
+
+    def compact(self) -> np.ndarray:
+        """Drop tombstoned rows and re-pack IN PLACE (legacy surface).
+
+        Internally builds the compacted index as a new object and adopts its
+        state, so readers holding the previous ``_dev`` snapshot keep seeing
+        a consistent pre-compaction corpus; prefer ``compacted()`` +
+        a caller-side swap when row maps must change atomically too.
+        Returns the remap array (old row -> new row, -1 for dropped rows).
+        """
+        new, remap = self.compacted()
+        for name in (
+            "size", "_n_rows", "_meta_cap", "_assign", "_loc", "_alive",
+            "_tags", "centroids", "_counts", "cmax", "_mir", "_dirty",
+            "_host_cache", "_mirror_cap",
+        ):
+            setattr(self, name, getattr(new, name))
+        self._dev = new._dev  # last: readers swap to the new snapshot whole
         return remap
 
     def state_dict(self) -> dict:
-        live = np.flatnonzero(self._alive)
+        live = np.flatnonzero(self._alive[: self._n_rows])
+        host = self._host
         return {
             "kind": self.kind,
             "dim": self.dim,
@@ -761,7 +1004,7 @@ class IVFIndex:
             "nlist": self.nlist,
             "nprobe": self.nprobe,
             "centroids": None if self.centroids is None else self.centroids.copy(),
-            "vectors": self._host[live].copy(),
+            "vectors": host[live].copy(),
             "assignments": self._assign[live].copy(),
             "rows": live.copy(),
             "tags": self._tags[live].copy(),
@@ -780,43 +1023,104 @@ class IVFIndex:
         if state.get("centroids") is not None:
             idx.centroids = np.asarray(state["centroids"], dtype=np.float32)
         if vecs.size:
-            n = vecs.shape[0]
-            idx._host = vecs.copy()
-            idx._assign = np.asarray(state["assignments"], dtype=np.int32).copy()
             tags = state.get("tags")
-            idx._tags = (
-                np.asarray(tags, dtype=np.int32).copy()
+            tags = (
+                np.asarray(tags, dtype=np.int32)
                 if tags is not None
-                else np.zeros((n,), dtype=np.int32)
+                else np.zeros((vecs.shape[0],), dtype=np.int32)
             )
-            idx._loc = np.full((n, 2), -1, dtype=np.int32)
-            idx._alive = np.ones(n, dtype=bool)
-            idx._n_rows = n
-            idx.size = n
-            if not idx.is_trained:
-                idx.train()
-            idx._rebuild_layout()
+            # saved vectors are already metric-normalized; add() would
+            # re-normalize (a no-op for unit rows) via the device path
+            idx.add(vecs, tags=tags)
         return idx
 
 
-@jax.jit
-def _scatter_slots(data, ids, sqnorms, clusters, slots, x, rows):
-    data = data.at[clusters, slots].set(x.astype(data.dtype))
-    ids = ids.at[clusters, slots].set(rows)
-    sqnorms = sqnorms.at[clusters, slots].set(
-        jnp.sum(x.astype(jnp.float32) ** 2, axis=1)
+@lru_cache(maxsize=None)
+def _zeros_fn(shape, dtype, sharding):
+    """Cached jitted allocators: device-side zeros/full in the requested
+    sharding, without staging a host buffer (host allocs can be ~20 MB/s on
+    throttled build VMs) and without re-tracing per call."""
+    return jax.jit(partial(jnp.zeros, shape, dtype), out_shardings=sharding)
+
+
+@lru_cache(maxsize=None)
+def _full_fn(shape, fill, dtype, sharding):
+    return jax.jit(
+        partial(jnp.full, shape, fill, dtype), out_shardings=sharding
     )
+
+
+@jax.jit
+def _normalize_rows(x):
+    x = x.astype(jnp.float32)
+    n = jnp.linalg.norm(x, axis=1, keepdims=True)
+    return x / jnp.maximum(n, 1e-12)
+
+
+@jax.jit
+def _row_norms(x):
+    return jnp.sum(x.astype(jnp.float32) ** 2, axis=1)
+
+
+@jax.jit
+def _prep_rows_q(x):
+    """On-device symmetric per-row int8 quantization + sqnorms.
+
+    Matches flat.quantize_rows (host) and scan.quantize_queries_device."""
+    x = x.astype(jnp.float32)
+    norms = jnp.sum(x * x, axis=1)
+    scale = jnp.maximum(jnp.max(jnp.abs(x), axis=1), 1e-12) / 127.0
+    qx = jnp.clip(jnp.round(x / scale[:, None]), -127, 127).astype(jnp.int8)
+    return qx, scale.astype(jnp.float32), norms
+
+
+@jax.jit
+def _gather_f32(src, idx):
+    return src[idx].astype(jnp.float32)
+
+
+@jax.jit
+def _gather_dequant(fvecs, fscales, idx):
+    return fvecs[idx].astype(jnp.float32) * fscales[idx][:, None]
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _topm_dev(x, centroids, m):
+    """Per-row m nearest clusters (monotone in -||x-c||^2), on device."""
+    xc = jax.lax.dot_general(
+        x,
+        centroids,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    c_sq = jnp.sum(centroids * centroids, axis=1)[None, :]
+    _, idx = jax.lax.top_k(xc - 0.5 * c_sq, m)
+    return idx.astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _pad_rows(arr, new_rows):
+    pad = new_rows - arr.shape[0]
+    return jnp.pad(arr, ((0, pad),) + ((0, 0),) * (arr.ndim - 1))
+
+
+@jax.jit
+def _pack_rows(data, ids, sqnorms, fvecs, fnorms, rows, clusters, slots):
+    """Scatter mirror rows into the padded cluster layout (device gather)."""
+    data = data.at[clusters, slots].set(fvecs[rows].astype(data.dtype))
+    ids = ids.at[clusters, slots].set(rows)
+    sqnorms = sqnorms.at[clusters, slots].set(fnorms[rows])
     return data, ids, sqnorms
 
 
 @jax.jit
-def _scatter_slots_q(
-    data, ids, sqnorms, scales, clusters, slots, qx, row_scales, row_norms, rows
+def _pack_rows_q(
+    data, ids, sqnorms, scales, fvecs, fnorms, fscales, rows, clusters, slots
 ):
-    data = data.at[clusters, slots].set(qx)
+    data = data.at[clusters, slots].set(fvecs[rows])
     ids = ids.at[clusters, slots].set(rows)
-    sqnorms = sqnorms.at[clusters, slots].set(row_norms)
-    scales = scales.at[clusters, slots].set(row_scales)
+    sqnorms = sqnorms.at[clusters, slots].set(fnorms[rows])
+    scales = scales.at[clusters, slots].set(fscales[rows])
     return data, ids, sqnorms, scales
 
 
@@ -844,7 +1148,7 @@ def _scatter_mirror_tags(ftags, rows, t):
 
 @jax.jit
 def _scatter_mirror_rows(frescore, rows, x):
-    return frescore.at[rows].set(x)
+    return frescore.at[rows].set(x.astype(jnp.float32))
 
 
 @jax.jit

@@ -160,8 +160,11 @@ def exact_scan(
         if f16:
             # fused into the matmul epilogue: the big matrix hits HBM as fp16.
             # clip first so un-normalized corpora can't overflow to inf (the
-            # clipped extremes tie, and the f32 rescore re-orders the fetch)
-            scores = jnp.clip(scores, -6.0e4, 6.0e4).astype(jnp.float16)
+            # clipped extremes tie, and the f32 rescore re-orders the fetch).
+            # the clip range stays strictly INSIDE the -6e4 mask sentinel so a
+            # legitimately-extreme negative score can never collide with the
+            # sentinel and be dropped by the `s > neg/2` validity test below
+            scores = jnp.clip(scores, -2.9e4, 6.0e4).astype(jnp.float16)
         scores = jnp.where(vld[None, :], scores, neg)
         if approx:
             s, pos = jax.lax.approx_max_k(scores, fetch, recall_target=recall_target)

@@ -83,14 +83,14 @@ class VectorStore:
         self.dim = int(dim or self.config.embedding_dimension)
         self.metric = self.config.index_metric
         self._mesh = mesh
-        self._id_to_row: Dict[str, int] = {}
         # Reader-visible state is ONE atomically-swapped tuple
-        # (index, row_to_id, row_meta) — mirroring the device-tuple pattern
-        # inside the indexes. Row-stable mutations (appends, metadata updates)
-        # mutate the dicts in place; row-RENUMBERING mutations (flat->IVF
-        # promotion, load) build fresh dicts and swap the whole tuple, so a
-        # lock-free reader can never map old row numbers through new maps.
-        self._view: tuple = (None, {}, {})
+        # (index, row_to_id, row_meta, id_to_row) — mirroring the device-tuple
+        # pattern inside the indexes. Row-stable mutations (appends, metadata
+        # updates) mutate the dicts in place; row-RENUMBERING mutations
+        # (flat->IVF promotion, compaction, load) build a fresh index object
+        # AND fresh dicts and swap the whole tuple, so a lock-free reader can
+        # never map old row numbers through new maps (or vice versa).
+        self._view: tuple = (None, {}, {}, {})
         # Host-side WRITE lock. Scatter updates do not donate their buffers,
         # so an in-flight search keeps consuming the previous (immutable)
         # device arrays while a writer installs new ones — reads are lock-free
@@ -121,6 +121,10 @@ class VectorStore:
     @property
     def _row_meta(self) -> Dict[int, Dict[str, Any]]:
         return self._view[2]
+
+    @property
+    def _id_to_row(self) -> Dict[str, int]:
+        return self._view[3]
 
     # -- lifecycle -----------------------------------------------------------
 
@@ -165,7 +169,7 @@ class VectorStore:
         return None
 
     def _ensure_index(self):
-        index, row_to_id, row_meta = self._view
+        index, row_to_id, row_meta, id_to_row = self._view
         if index is None:
             kind = self.config.index_kind
             if kind == "ivf":
@@ -181,7 +185,7 @@ class VectorStore:
                     approx_recall_target=self.config.index_approx_recall_target,
                     score_dtype=self.config.index_score_dtype,
                 )
-            self._view = (index, row_to_id, row_meta)
+            self._view = (index, row_to_id, row_meta, id_to_row)
         return index
 
     def _new_ivf(self) -> IVFIndex:
@@ -218,11 +222,11 @@ class VectorStore:
         # search never maps flat row numbers through IVF-numbered dicts.
         old_meta = self._row_meta
         id_to_row = {k: remap[v] for k, v in self._id_to_row.items()}
-        self._id_to_row = id_to_row
         self._view = (
             ivf,
             {r: i for i, r in id_to_row.items()},
             {remap[r]: m for r, m in old_meta.items()},
+            id_to_row,
         )
         log.info("index_promotion_done", rows=int(ivf.size))
 
@@ -403,7 +407,7 @@ class VectorStore:
     ) -> List[Dict[str, Any]]:
         """Snapshot-consistent listing of stored chunks (Milvus query()
         equivalent): deterministic order, offset/limit pagination."""
-        _, row_to_id, row_meta = self._view
+        _, row_to_id, row_meta, _ = self._view
         rows = []
         for row, pid in row_to_id.items():
             meta = row_meta.get(row, {})
@@ -454,10 +458,15 @@ class VectorStore:
     def compact(self) -> int:
         """Reclaim tombstoned rows (the maintenance Milvus ran server-side).
 
-        Renumbers live rows densely inside the index, remaps the id/meta
-        maps, and installs everything in one atomic view swap so lock-free
-        readers never map old row numbers through new dicts. Returns the
-        number of tombstones reclaimed."""
+        Builds the compacted index as a NEW object (``Index.compacted()``)
+        while readers keep serving the old one, then installs the new index
+        together with freshly-remapped id/meta maps in ONE atomic view swap.
+        A lock-free reader therefore either sees the complete pre-compaction
+        state (old index + old maps) or the complete post-compaction state —
+        never compacted row ids mapped through stale dicts (the round-2
+        in-place compact had exactly that race: auto-compaction inline on
+        upsert/delete re-materialized the SAME index object a concurrent
+        reader's snapshot pointed into). Returns tombstones reclaimed."""
         self.connect()
         with self._lock:
             idx = self._index
@@ -469,8 +478,8 @@ class VectorStore:
                 return int(i._n_rows) if isinstance(i, IVFIndex) else int(i.size)
 
             before = allocated(idx)
-            remap = idx.compact()
-            reclaimed = before - allocated(idx)
+            new_idx, remap = idx.compacted()
+            reclaimed = before - allocated(new_idx)
             if reclaimed == 0:
                 return 0
             old_meta = self._row_meta
@@ -479,15 +488,15 @@ class VectorStore:
                 for pid, r in self._id_to_row.items()
                 if r < len(remap) and remap[r] >= 0
             }
-            self._id_to_row = id_to_row
             self._view = (
-                idx,
+                new_idx,
                 {r: p for p, r in id_to_row.items()},
                 {
                     int(remap[r]): m
                     for r, m in old_meta.items()
                     if r < len(remap) and remap[r] >= 0
                 },
+                id_to_row,
             )
             self.version += 1
             log.info("store_compacted", reclaimed=reclaimed, rows=self.count())
@@ -637,7 +646,7 @@ class VectorStore:
         # index the ids came from even across a concurrent promotion/load.
         # Incremental reverse map: point lookups only (building this per
         # search would be O(corpus) host work on every query).
-        _, row_to_id, row_meta = view
+        _, row_to_id, row_meta, _ = view
         out: List[List[SearchHit]] = []
         for q_scores, q_ids in zip(scores, ids):
             hits: List[SearchHit] = []
@@ -670,16 +679,18 @@ class VectorStore:
         return len(self._id_to_row)
 
     def get_metadata(self, payload_id: str) -> Optional[Dict[str, Any]]:
-        """Metadata for one stored chunk id (None if absent). Lock-free."""
+        """Metadata for one stored chunk id (None if absent). Lock-free:
+        row lookup and metadata come from ONE view snapshot, so a concurrent
+        compaction/promotion can't mix old row numbers with new maps."""
         view = self._view
-        row = self._id_to_row.get(payload_id)
+        row = view[3].get(payload_id)
         if row is None:
             return None
         return view[2].get(row)
 
     def ids_for_repo(self, repo: str) -> List[str]:
         """All stored payload ids belonging to a repo (snapshot-consistent)."""
-        _, row_to_id, row_meta = self._view
+        _, row_to_id, row_meta, _ = self._view
         return [
             pid
             for row, pid in list(row_to_id.items())
@@ -691,7 +702,7 @@ class VectorStore:
 
         Snapshot-consistent: iterates one view, so concurrent mutation can't
         produce a mixed-generation listing (used by the quality harness)."""
-        _, row_to_id, row_meta = self._view
+        _, row_to_id, row_meta, _ = self._view
         for row, pid in list(row_to_id.items()):
             yield pid, row_meta.get(row, {})
 
@@ -779,7 +790,6 @@ class VectorStore:
             row_meta = {
                 remap[r]: m for r, m in row_meta.items() if r in remap
             }
-        self._id_to_row = id_to_row
         self._pair_ids = {
             (str(repo), str(lang)): int(tag)
             for repo, lang, tag in meta.get("pair_ids", [])
@@ -796,7 +806,9 @@ class VectorStore:
                     index._tags[row] = tag
             index._dirty = True  # device tags refresh on next materialize
         # single atomic view swap: loading renumbers rows wholesale
-        self._view = (index, {r: i for i, r in id_to_row.items()}, row_meta)
+        self._view = (
+            index, {r: i for i, r in id_to_row.items()}, row_meta, id_to_row
+        )
         self.version += 1
         log.info("store_loaded", path=str(directory), rows=self.count())
 

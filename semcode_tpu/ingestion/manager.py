@@ -304,8 +304,14 @@ class RepositoryIngestionManager:
             wanted.add(it.dst)
             try:
                 st = it.dst.stat()
-                fresh = (
-                    st.st_size == it.size and st.st_mtime_ns == it.mtime_ns
+                # compare mtime at MICROsecond granularity: copy2's mtime
+                # preservation loses sub-microsecond precision on some
+                # filesystems (and cross-fs timestamp granularity differs),
+                # and an exact st_mtime_ns match would then mark every file
+                # stale on every re-ingest, silently degrading the
+                # incremental path to a full re-copy
+                fresh = st.st_size == it.size and (
+                    st.st_mtime_ns // 1000 == it.mtime_ns // 1000
                 )
             except OSError:
                 fresh = False

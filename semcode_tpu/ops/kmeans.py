@@ -96,6 +96,38 @@ def _lloyd(x, init_centroids, iters, reseed_rows):
     return jax.lax.fori_loop(0, iters, body, init_centroids)
 
 
+def kmeans_fit_dev(
+    sample_dev,
+    n_clusters: int,
+    *,
+    iters: int = 12,
+    seed: int = 0,
+) -> np.ndarray:
+    """Fit k-means on an ALREADY-ON-DEVICE f32 sample; returns centroids.
+
+    The device-authoritative IVF build path gathers its training subsample
+    from the HBM-resident mirror, so no corpus bytes touch the host — on
+    throttled shared hosts the round-2 host-side sample gather alone cost
+    minutes. Only the (K, d) centroids are fetched back.
+    """
+    s, d = sample_dev.shape
+    k = int(n_clusters)
+    rng = np.random.default_rng(seed)
+    if s <= k:
+        sample = np.asarray(sample_dev, dtype=np.float32)
+        centroids = np.zeros((k, d), dtype=np.float32)
+        centroids[:s] = sample
+        if 0 < s < k:
+            centroids[s:] = sample[rng.integers(0, s, size=k - s)]
+        return centroids
+    init = _kmeanspp_init(sample_dev, k, jax.random.PRNGKey(seed))
+    reseed = rng.integers(0, s, size=(iters, k)).astype(np.int32)
+    return np.asarray(
+        _lloyd(sample_dev, init, int(iters), jnp.asarray(reseed)),
+        dtype=np.float32,
+    )
+
+
 def kmeans_fit(
     x: np.ndarray,
     n_clusters: int,

@@ -254,3 +254,76 @@ def test_ivf_allow_tags_filters_exact_path(mesh8, rng):
     masked = np.where((tags == 2)[None, :], q @ x.T, -np.inf)
     top1 = np.argmax(masked, axis=1)
     np.testing.assert_array_equal(ids[:, 0], top1)
+
+
+def test_device_quantize_matches_host(mesh8, rng):
+    """On-device _prep_rows_q must agree bit-for-bit with the host
+    quantize_rows (same scale formula, same round-half-even)."""
+    from semcode_tpu.index.flat import quantize_rows
+    from semcode_tpu.index.ivf import _prep_rows_q
+
+    x = rng.standard_normal((64, 48)).astype(np.float32)
+    q_host, s_host = quantize_rows(x)
+    import jax.numpy as jnp
+
+    q_dev, s_dev, n_dev = _prep_rows_q(jnp.asarray(x))
+    np.testing.assert_array_equal(np.asarray(q_dev), q_host)
+    np.testing.assert_allclose(np.asarray(s_dev), s_host, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(n_dev), np.sum(x.astype(np.float64) ** 2, axis=1), rtol=1e-5
+    )
+
+
+def test_ivf_add_device_array(mesh8, rng):
+    """add() accepts an already-on-device corpus (the bench path) and the
+    results match a numpy-input build exactly."""
+    import jax.numpy as jnp
+
+    n, d, k = 2000, 64, 10
+    x = _clustered(rng, n, d)
+    q = _clustered(rng, 8, d)
+    a = IVFIndex(d, nlist=32, nprobe=32, metric="ip", dtype="int8", mesh=mesh8)
+    b = IVFIndex(d, nlist=32, nprobe=32, metric="ip", dtype="int8", mesh=mesh8)
+    a.add(jnp.asarray(x))
+    b.add(x)
+    sa, ia = a.search(q, k=k)
+    sb, ib = b.search(q, k=k)
+    np.testing.assert_array_equal(ia, ib)
+    np.testing.assert_allclose(sa, sb, rtol=1e-5)
+
+
+def test_ivf_hydrate_host_roundtrip(mesh8, rng):
+    """hydrate_host returns the exact f32 rows when the rescore mirror is on
+    (persistence path for the device-authoritative storage)."""
+    n, d = 500, 32
+    x = _clustered(rng, n, d)
+    idx = IVFIndex(
+        d, nlist=16, nprobe=16, metric="ip", dtype="int8", mesh=mesh8,
+        device_rescore=True,
+    )
+    idx.add(x)
+    np.testing.assert_allclose(idx._host, x, rtol=1e-6)
+    state = idx.state_dict()
+    np.testing.assert_allclose(state["vectors"], x, rtol=1e-6)
+
+
+def test_ivf_compacted_leaves_original_servable(mesh8, rng):
+    """compacted() must not touch the original index: readers keep serving
+    the pre-compaction snapshot (store swaps atomically)."""
+    d = 16
+    x = rng.standard_normal((600, d)).astype(np.float32)
+    idx = IVFIndex(d, nlist=16, nprobe=16, metric="ip", dtype="float32", mesh=mesh8)
+    idx.add(x)
+    idx.remove(np.arange(100))
+    s_before, i_before = idx.search(x[200:204], k=5)
+    new, remap = idx.compacted()
+    # original still serves identical results with original row numbering
+    s_after, i_after = idx.search(x[200:204], k=5)
+    np.testing.assert_array_equal(i_before, i_after)
+    assert idx._n_rows == 600 and new._n_rows == 500
+    # new index serves the compacted numbering
+    _, i_new = new.search(x[200:204], k=5)
+    assert (remap[i_after[i_after >= 0]] >= 0).all()
+    np.testing.assert_array_equal(
+        np.sort(remap[i_after], axis=1), np.sort(i_new, axis=1)
+    )

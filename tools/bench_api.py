@@ -1,0 +1,157 @@
+"""End-to-end API serving SLO harness (BASELINE config 5).
+
+Builds a VectorStore with a synthetic corpus, mounts the real aiohttp app
+(semcode_tpu.api.main.create_app: auth -> micro-batcher -> embed -> index
+scan -> hits; the reference serves the same route with FastAPI in front of a
+remote Milvus, reference src/semcode/api/main.py:199-223) and drives
+``POST /query`` at fixed concurrency with aiohttp's in-process test client.
+Reports end-to-end p50/p99 latency and QPS — the full product path including
+HTTP framing, JSON, batching, the on-TPU query embed, and hit assembly.
+
+Runs IN PROCESS so it can share the TPU with a running benchmark (only one
+process may own the chip). Importable (``run_api_bench``) or a CLI:
+
+    python tools/bench_api.py --rows 20000 --concurrency 32 --secs 10
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+_QUESTIONS = [
+    "how does the ivf index rebuild its cluster layout",
+    "where is the api key checked for incoming requests",
+    "function that quantizes rows to int8 on device",
+    "how are tombstoned rows removed from search results",
+    "what happens when the embedding provider is unavailable",
+    "streaming insert placement into free cluster slots",
+    "how does the chunker split very long files",
+    "top-k merge across mesh shards",
+]
+
+
+def _build_store(rows: int, dim: int):
+    """Synthetic corpus store: vectors generated ON DEVICE (throttled build
+    hosts), metadata shaped like real chunk payloads."""
+    import jax
+    import jax.numpy as jnp
+
+    from semcode_tpu.settings import AppSettings
+    from semcode_tpu.index.store import VectorStore
+
+    import tempfile
+
+    config = AppSettings(
+        workspace_root=Path(tempfile.mkdtemp(prefix="semcode_api_bench_")),
+        index_snapshot_dir=Path(tempfile.mkdtemp(prefix="semcode_api_snap_")),
+        embedding_provider="tpu-hash",
+        embedding_dimension=dim,
+        index_kind="flat",
+        index_dtype="int8",
+        telemetry_enabled=True,
+    )
+    store = VectorStore(config, dim=dim)
+    store.connect()
+
+    @jax.jit
+    def gen(key):
+        x = jax.random.normal(key, (rows, dim), dtype=jnp.float32)
+        return x / jnp.maximum(jnp.linalg.norm(x, axis=1, keepdims=True), 1e-9)
+
+    vecs = np.asarray(gen(jax.random.PRNGKey(3)))
+
+    class _P:
+        __slots__ = ("id", "text", "vector", "metadata")
+
+        def __init__(self, i, v):
+            self.id = f"chunk-{i:07d}"
+            self.text = f"def synthetic_fn_{i}():\n    return {i}\n"
+            self.vector = v
+            self.metadata = {
+                "repo": f"repo-{i % 8}",
+                "path": f"src/mod_{i % 97}.py",
+                "language": "python",
+                "start_line": 1,
+                "end_line": 3,
+            }
+
+    payloads = [_P(i, vecs[i]) for i in range(rows)]
+    store.upsert_embeddings(payloads, batch_size=4096)
+    return config, store
+
+
+async def _drive(app, config, concurrency: float, secs: float):
+    from aiohttp.test_utils import TestClient, TestServer
+
+    client = TestClient(TestServer(app))
+    await client.start_server()
+    lat: list = []
+    stop_at = time.perf_counter() + secs
+    done = 0
+
+    async def worker(wid: int):
+        nonlocal done
+        i = wid
+        while time.perf_counter() < stop_at:
+            body = {"question": _QUESTIONS[i % len(_QUESTIONS)], "top_k": 10}
+            t0 = time.perf_counter()
+            async with client.post("/query", json=body) as resp:
+                await resp.json()
+                assert resp.status == 200, resp.status
+            lat.append((time.perf_counter() - t0) * 1000)
+            done += 1
+            i += 1
+
+    t0 = time.perf_counter()
+    await asyncio.gather(*(worker(w) for w in range(int(concurrency))))
+    total = time.perf_counter() - t0
+    await client.close()
+    return {
+        "qps": round(done / total, 1),
+        "p50_ms": round(float(np.percentile(lat, 50)), 1),
+        "p99_ms": round(float(np.percentile(lat, 99)), 1),
+        "requests": done,
+        "concurrency": int(concurrency),
+    }
+
+
+def run_api_bench(
+    rows: int = 20000, dim: int = 384, concurrency: int = 32, secs: float = 10.0
+) -> dict:
+    from semcode_tpu.api.main import create_app
+    from semcode_tpu.services.indexer import IndexerService
+
+    config, store = _build_store(rows, dim)
+    indexer = IndexerService(config=config, vector_store=store)
+    app = create_app(config=config, indexer=indexer)
+
+    async def go():
+        # warm the embed + scan compiles outside the timed window
+        warm = await _drive(app, config, concurrency=2, secs=1.0)
+        del warm
+        return await _drive(app, config, concurrency, secs)
+
+    stats = asyncio.run(go())
+    stats["rows"] = rows
+    return stats
+
+
+if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=20000)
+    ap.add_argument("--dim", type=int, default=384)
+    ap.add_argument("--concurrency", type=int, default=32)
+    ap.add_argument("--secs", type=float, default=10.0)
+    args = ap.parse_args()
+    out = run_api_bench(args.rows, args.dim, args.concurrency, args.secs)
+    print(json.dumps(out))
