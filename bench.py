@@ -155,9 +155,14 @@ def main() -> None:
     # ---- exact f32 oracle on device (chunked matmul + per-chunk top-k) ------
     @jax.jit
     def oracle_chunk(xc, qd):
+        # precision=HIGHEST: a DEFAULT-precision TPU matmul rounds f32
+        # inputs to bf16 and is NOT a valid exact oracle (measured: 0.9812
+        # top-10 agreement with a host f32 oracle on this corpus; HIGHEST
+        # agrees 1.0000)
         s = jax.lax.dot_general(
             qd, xc, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         return jax.lax.top_k(s, K)
 

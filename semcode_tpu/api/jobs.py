@@ -97,6 +97,17 @@ def _fold(snap: JobSnapshot, kind: str, fields: Dict[str, Any], ts: float) -> Jo
             error=fields.get("error", "process exited mid-job"),
             updated_at=ts,
         )
+    if kind == "snapshot":
+        # journal-compaction record: the whole folded state in one event
+        return replace(
+            snap,
+            status=fields.get("status", snap.status),
+            stage=fields.get("stage"),
+            progress=_freeze(fields.get("progress")),
+            result=fields.get("result"),
+            error=fields.get("error"),
+            updated_at=ts,
+        )
     log.warning("unknown_job_event", kind=kind, job=snap.id)
     return snap
 
@@ -118,11 +129,15 @@ class JobLedger:
         self._last_progress_write: Dict[str, float] = {}
         if self._journal_path is not None:
             self._journal_path.parent.mkdir(parents=True, exist_ok=True)
-            recovered = self._replay()
+            self._replay()
+            # compact on startup: rewrite the journal as one folded snapshot
+            # line per surviving job (terminal jobs beyond keep_terminal were
+            # evicted during replay). Without this the append-only journal
+            # grows forever across restarts; with it the size is bounded by
+            # keep_terminal + active jobs, and the 'interrupted' verdicts
+            # synthesized during replay are persisted as part of the rewrite.
+            self._compact_journal()
             self._journal = self._journal_path.open("a", encoding="utf-8")
-            # converge: persist the 'interrupted' verdicts reached during replay
-            for event in recovered:
-                self._write_journal(event)
 
     # -- event core -----------------------------------------------------------
 
@@ -246,6 +261,15 @@ class JobLedger:
                     created_at=ts,
                     updated_at=ts,
                 )
+            elif kind == "snapshot":
+                base = JobSnapshot(
+                    id=job_id,
+                    type=event.get("type", "unknown"),
+                    metadata=_freeze(event.get("metadata")),
+                    created_at=float(event.get("created_at", ts)),
+                    updated_at=ts,
+                )
+                self._snaps[job_id] = _fold(base, "snapshot", event, ts)
             elif job_id in self._snaps:
                 self._snaps[job_id] = _fold(self._snaps[job_id], kind, event, ts)
             replayed += 1
@@ -276,6 +300,35 @@ class JobLedger:
                 interrupted=len(synthesized),
             )
         return synthesized
+
+    def _compact_journal(self) -> None:
+        """Rewrite the journal as folded per-job snapshot lines (atomic)."""
+        try:
+            tmp = self._journal_path.with_suffix(".tmp")
+            with tmp.open("w", encoding="utf-8") as f:
+                for snap in self._snaps.values():
+                    f.write(
+                        json.dumps(
+                            {
+                                "id": snap.id,
+                                "kind": "snapshot",
+                                "ts": snap.updated_at,
+                                "type": snap.type,
+                                "status": snap.status,
+                                "stage": snap.stage,
+                                "progress": dict(snap.progress),
+                                "result": snap.result,
+                                "error": snap.error,
+                                "metadata": dict(snap.metadata),
+                                "created_at": snap.created_at,
+                            },
+                            default=str,
+                        )
+                        + "\n"
+                    )
+            tmp.replace(self._journal_path)
+        except Exception as exc:  # compaction failure must not block startup
+            log.warning("job_journal_compact_failed", error=str(exc))
 
     def _evict_locked(self) -> None:
         """Bound memory: drop the oldest TERMINAL jobs beyond keep_terminal."""

@@ -107,14 +107,29 @@ class CodeChunker:
         for start, end in segments:
             content = "\n".join(lines[start:end])
             for s_off, e_off, piece in self._split_by_chars(content):
+                # real per-piece line attribution: a char-budget split of a
+                # long segment must not stamp every piece with the whole
+                # segment's span (the reference has that flaw — sources
+                # displayed for long-line files then point at the wrong
+                # lines; reference tree_sitter_chunker.py:264-273)
+                piece_start = start + content.count("\n", 0, s_off)
+                if e_off >= len(content):
+                    # last piece: extend to the segment end (a trailing empty
+                    # line contributes no characters, so char math can't see
+                    # it — this keeps chunk spans tiling the file exactly)
+                    piece_end = end
+                else:
+                    piece_end = (
+                        start + content.count("\n", 0, max(e_off - 1, 0)) + 1
+                    )
                 chunks.append(
                     CodeChunk(
                         path=path,
                         language=language,
-                        start_line=start + 1,
-                        end_line=end,
+                        start_line=piece_start + 1,
+                        end_line=piece_end,
                         content=piece,
-                        symbol=symbol_for_span(symbols, start, end),
+                        symbol=symbol_for_span(symbols, piece_start, piece_end),
                     )
                 )
         return chunks

@@ -19,11 +19,6 @@ from dataclasses import dataclass
 from typing import List, Optional, Sequence
 
 _PY_DEF = re.compile(r"^(\s*)(?:async\s+)?(def|class)\s+([A-Za-z_][A-Za-z0-9_]*)")
-_JS_DEF = re.compile(
-    r"^\s*(?:export\s+)?(?:default\s+)?"
-    r"(?:(function|class)\s+([A-Za-z_$][A-Za-z0-9_$]*)"
-    r"|(?:const|let|var)\s+([A-Za-z_$][A-Za-z0-9_$]*)\s*=\s*(?:async\s*)?\()"
-)
 
 _KIND_MAP = {"def": "function", "class": "class", "struct": "class",
              "enum": "enum", "namespace": "namespace", "union": "class",
@@ -101,13 +96,13 @@ def scan_symbols(lines: Sequence[str], language: str) -> List[SymbolDef]:
 
         out.extend(scan_c_symbols("\n".join(lines)))
     elif language in ("javascript", "typescript"):
-        for i, line in enumerate(lines):
-            m = _JS_DEF.match(line)
-            if m:
-                name = m.group(2) or m.group(3)
-                kind = _KIND_MAP.get(m.group(1) or "function", "function")
-                out.append(SymbolDef(name, kind, i,
-                                     len(line) - len(line.lstrip())))
+        # structural tokenizer+brace scanner (jsparse.py): handles class
+        # methods with qualified names, arrow functions (incl. expression
+        # bodies), object-literal methods, generics/type annotations, and
+        # multi-line signatures — the round-2 line regex missed all of those
+        from .jsparse import scan_js_symbols
+
+        out.extend(scan_js_symbols("\n".join(lines)))
     return out
 
 

@@ -83,6 +83,7 @@ class FlatIndex:
         approx_topk: bool = True,
         approx_recall_target: float = 0.95,
         score_dtype: str = "auto",  # auto | float32 | float16
+        fetch_width: int = 0,  # 0 = auto (max(4k, 128)); rescore candidate pool
     ):
         if metric not in ("ip", "cosine", "l2"):
             raise ValueError(f"unknown metric: {metric}")
@@ -99,6 +100,7 @@ class FlatIndex:
         self.approx_topk = bool(approx_topk)
         self.approx_recall_target = float(approx_recall_target)
         self.score_dtype = score_dtype
+        self.fetch_width = int(fetch_width)
         # rows must split evenly across shards AND stay lane-aligned
         import math
 
@@ -313,9 +315,13 @@ class FlatIndex:
     def _fetch_width(self, k: int, shard_rows: int, rescore) -> int:
         """Per-shard candidate width. With the fused rescore active we
         over-fetch so approx-selection/storage-precision misses are recovered
-        by the exact f32 re-ranking; without it there is nothing to re-rank."""
+        by the exact f32 re-ranking; without it there is nothing to re-rank.
+        ``fetch_width`` overrides the auto pool (recall lever: a wider pool
+        recovers more int8-ranking misses at ~linear gather cost)."""
         if rescore is None:
             return min(k, shard_rows)
+        if self.fetch_width > 0:
+            return min(max(self.fetch_width, k), shard_rows)
         return min(max(4 * k, 128), shard_rows)
 
     def search(
@@ -429,6 +435,7 @@ class FlatIndex:
             approx_topk=self.approx_topk,
             approx_recall_target=self.approx_recall_target,
             score_dtype=self.score_dtype,
+            fetch_width=self.fetch_width,
         )
         if live.size:
             # rows are already metric-normalized; add()'s re-normalization is

@@ -132,6 +132,7 @@ class IVFIndex:
         approx_recall_target: float = 0.95,  # per-shard approx_max_k target
         device_rescore: Optional[bool] = None,  # None = auto by HBM budget
         score_dtype: str = "auto",  # auto | float32 | float16 (exact path)
+        fetch_width: int = 0,  # 0 = auto (max(4k, 128)); rescore candidate pool
     ):
         if metric not in ("ip", "cosine", "l2"):
             raise ValueError(f"unknown metric: {metric}")
@@ -154,6 +155,7 @@ class IVFIndex:
         self._dtype = _storage_dtype(dtype)
         self.device_rescore = device_rescore
         self.score_dtype = score_dtype
+        self.fetch_width = int(fetch_width)
         import math
 
         self._row_multiple = math.lcm(self.n_shards * 8, 128)
@@ -694,9 +696,13 @@ class IVFIndex:
         )
 
     def _fetch_width(self, k: int, shard_rows: int, rescore) -> int:
-        """Per-shard candidate width for the exact path (see FlatIndex)."""
+        """Per-shard candidate width for the exact path (see FlatIndex).
+        ``fetch_width`` overrides the auto pool (recall lever: a wider pool
+        recovers more int8-ranking misses at ~linear gather cost)."""
         if rescore is None:
             return min(k, shard_rows)
+        if self.fetch_width > 0:
+            return min(max(self.fetch_width, k), shard_rows)
         return min(max(4 * k, 128), shard_rows)
 
     def _score_dtype(self, rescore) -> str:
@@ -716,12 +722,21 @@ class IVFIndex:
             return "compiled"
         return "interpret" if self.use_pallas == "always" else "off"
 
+    # Measured on a v5e chip (1M x 384 int8, nlist=1024, cmax=2176): probing
+    # reads ~4x fewer rows than the exact mirror scan at batch 8 / nprobe 32
+    # yet is ~4x SLOWER — per-query cluster gathers are scattered HBM reads
+    # plus per-probe top-k merges, while the exact path is one dense MXU
+    # matmul over contiguous rows. The row-count comparison must therefore
+    # charge probing this empirical per-row penalty.
+    _PROBE_GATHER_PENALTY = 16.0
+
     def _pick_mode(self, n_q_padded: int, nprobe: int, k: int) -> str:
         """Cost-based scan selection (HBM reads dominate on TPU).
 
-        Per-query probing reads Q * nprobe * cmax rows; a single masked full
-        scan of the padded layout reads nlist * cmax rows once for the whole
-        batch and is a dense MXU matmul — strictly cheaper for large batches.
+        Per-query probing reads Q * nprobe * cmax rows (charged with the
+        measured gather penalty above); a single masked full scan of the flat
+        mirror reads every row once for the whole batch and is a dense MXU
+        matmul — cheaper for all but tiny batches on huge corpora.
         Exactness caveat: with ``approx_topk`` on a TPU backend the full
         scan's per-shard selection is ``lax.approx_max_k`` at
         ``approx_recall_target`` and the scoring precision is the storage
@@ -730,8 +745,10 @@ class IVFIndex:
         (store._fetch_k / _rescore_host). With ``approx_topk=False`` and f32
         storage the scan is exact.
         """
-        ivf_rows = n_q_padded * nprobe * self.cmax
-        scan_rows = self.nlist * self.cmax
+        ivf_rows = n_q_padded * nprobe * self.cmax * self._PROBE_GATHER_PENALTY
+        # the exact path scans the flat mirror (one read per row), not the
+        # padded layout
+        scan_rows = self._mirror_cap or (self.nlist * self.cmax)
         if nprobe >= self.nlist or scan_rows <= ivf_rows:
             return "exact"
         return "ivf"
@@ -925,6 +942,7 @@ class IVFIndex:
             approx_recall_target=self.approx_recall_target,
             device_rescore=self.device_rescore,
             score_dtype=self.score_dtype,
+            fetch_width=self.fetch_width,
         )
         new.centroids = (
             None if self.centroids is None else self.centroids.copy()

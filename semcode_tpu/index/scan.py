@@ -172,10 +172,17 @@ def exact_scan(
             s, pos = jax.lax.top_k(scores, fetch)  # (Q, fetch) local rows
         s = s.astype(jnp.float32)
         if resc is not None:
-            # fused exact rescore: gather candidate rows from the f32 mirror
+            # fused exact rescore: gather candidate rows from the f32 mirror.
+            # precision=HIGHEST is load-bearing: the TPU MXU's DEFAULT f32
+            # matmul rounds INPUTS to bf16, which re-ties the tie-dense
+            # candidates this rescore exists to separate (measured 1M x 384:
+            # default-precision rescore caps recall@10 at ~0.986 vs a host
+            # f32 oracle; HIGHEST matches it 1.0000). Cost is confined to the
+            # tiny (Q, fetch, d) gather, not the corpus scan.
             cand = resc[pos]  # (Q, fetch, d)
             exact = jnp.einsum(
-                "qfd,qd->qf", cand, q_f32, preferred_element_type=jnp.float32
+                "qfd,qd->qf", cand, q_f32, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
             if metric == "l2":
                 exact = 2.0 * exact - nrm[pos]
@@ -238,8 +245,10 @@ def rescore_global(mesh, frescore, fnorms, q, ids, metric):
         mine = (ids_rep >= 0) & (local >= 0) & (local < shard_rows)
         li = jnp.clip(local, 0, shard_rows - 1)
         cand = resc[li]  # (Q, k, d)
+        # HIGHEST: true f32 scoring (see exact_scan's rescore comment)
         exact = jnp.einsum(
-            "qkd,qd->qk", cand, qq, preferred_element_type=jnp.float32
+            "qkd,qd->qk", cand, qq, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         if metric == "l2":
             exact = 2.0 * exact - nrm[li]

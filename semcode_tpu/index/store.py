@@ -184,6 +184,7 @@ class VectorStore:
                     device_rescore=self.config.index_device_rescore,
                     approx_recall_target=self.config.index_approx_recall_target,
                     score_dtype=self.config.index_score_dtype,
+                    fetch_width=self.config.index_fetch_width,
                 )
             self._view = (index, row_to_id, row_meta, id_to_row)
         return index
@@ -200,6 +201,7 @@ class VectorStore:
             approx_recall_target=self.config.index_approx_recall_target,
             device_rescore=self.config.index_device_rescore,
             score_dtype=self.config.index_score_dtype,
+            fetch_width=self.config.index_fetch_width,
         )
 
     def _maybe_promote(self) -> None:

@@ -72,43 +72,78 @@ class PairBatcher:
             )
         self.mix = mix
 
-    def _crop(self, text: str) -> str:
-        lines = text.splitlines()
-        n = len(lines)
-        span = max(2, int(n * float(self.rng.uniform(0.5, 0.9))))
-        start = int(self.rng.integers(0, max(n - span, 0) + 1))
-        return "\n".join(lines[start : start + span])
-
-    def _anchor_for(self, i: int) -> str:
-        """Pick an anchor view of chunk i according to the task mix."""
-        r = float(self.rng.uniform())
-        crop_w, doc_w, _ = self.mix
-        if r < crop_w or (self._docs[i] is None and self._sym_queries[i] is None):
-            return self._crop(self.texts[i])
-        if r < crop_w + doc_w and self._docs[i] is not None:
-            return self._docs[i]
-        if self._sym_queries[i] is not None:
-            # alternate phrasings so the encoder doesn't latch onto one template
-            sym = self.symbols[i]
+        # PRE-TOKENIZE everything once (chunk bodies, docstrings, symbol-query
+        # variants). Per-batch text tokenization is host-CPU-bound and on a
+        # throttled 1-core build host it dominates step wall time 10-100x
+        # over the TPU step itself; with id arrays a batch is pure slicing.
+        cap = 4 * self.seq_len
+        self._body_ids: List[np.ndarray] = [
+            self.tokenizer.encode_ids(t, cap=cap) for t in self.texts
+        ]
+        self._doc_ids: List[Optional[np.ndarray]] = [
+            self.tokenizer.encode_ids(d, cap=self.seq_len) if d else None
+            for d in self._docs
+        ]
+        self._sym_ids: List[Optional[List[np.ndarray]]] = []
+        for i, sym in enumerate(self.symbols):
+            if not sym or self._sym_queries[i] is None:
+                self._sym_ids.append(None)
+                continue
             variants = [
                 self._sym_queries[i],
                 f"where is {sym} defined",
                 f"definition of {sym}",
             ]
+            self._sym_ids.append(
+                [self.tokenizer.encode_ids(v, cap=self.seq_len) for v in variants]
+            )
+
+    def _crop_ids(self, i: int) -> np.ndarray:
+        ids = self._body_ids[i]
+        n = len(ids)
+        span = max(2, int(n * float(self.rng.uniform(0.5, 0.9))))
+        start = int(self.rng.integers(0, max(n - span, 0) + 1))
+        return ids[start : start + span]
+
+    def _anchor_ids_for(self, i: int) -> np.ndarray:
+        """Pick an anchor view of chunk i according to the task mix."""
+        r = float(self.rng.uniform())
+        crop_w, doc_w, _ = self.mix
+        has_doc = self._doc_ids[i] is not None
+        has_sym = self._sym_ids[i] is not None
+        if r < crop_w or (not has_doc and not has_sym):
+            return self._crop_ids(i)
+        if r < crop_w + doc_w and has_doc:
+            return self._doc_ids[i]
+        if has_sym:
+            # alternate phrasings so the encoder doesn't latch onto one template
+            variants = self._sym_ids[i]
             return variants[int(self.rng.integers(0, len(variants)))]
-        if self._docs[i] is not None:
-            return self._docs[i]
-        return self._crop(self.texts[i])
+        if has_doc:
+            return self._doc_ids[i]
+        return self._crop_ids(i)
+
+    def _assemble(self, rows: List[np.ndarray]):
+        from .tokenizer import CLS_ID, PAD_ID
+
+        n = len(rows)
+        ids = np.full((n, self.seq_len), PAD_ID, dtype=np.int32)
+        mask = np.zeros((n, self.seq_len), dtype=np.int32)
+        ids[:, 0] = CLS_ID
+        mask[:, 0] = 1
+        for r, row in enumerate(rows):
+            row = row[: self.seq_len - 1]
+            ids[r, 1 : 1 + len(row)] = row
+            mask[r, 1 : 1 + len(row)] = 1
+        return ids, mask
 
     def batches(self, n_batches: int) -> Iterator[Dict[str, np.ndarray]]:
         for _ in range(n_batches):
             picks: List[int] = self.rng.choice(
                 len(self.texts), size=self.batch_size, replace=len(self.texts) < self.batch_size
             ).tolist()
-            anchors = [self._anchor_for(i) for i in picks]
-            positives = [self._crop(self.texts[i]) for i in picks]
-            a_ids, a_mask = self.tokenizer.encode_batch(anchors, max_len=self.seq_len)
-            p_ids, p_mask = self.tokenizer.encode_batch(positives, max_len=self.seq_len)
+            a_ids, a_mask = self._assemble([self._anchor_ids_for(i) for i in picks])
+            p_ids, p_mask = self._assemble([self._crop_ids(i) for i in picks])
             yield {
                 "anchor_ids": a_ids,
                 "anchor_mask": a_mask,

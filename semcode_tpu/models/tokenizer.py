@@ -38,6 +38,16 @@ class HashingTokenizer:
             self.vocab_size - RESERVED
         )
 
+    def encode_ids(self, text: str, cap: Optional[int] = None) -> np.ndarray:
+        """Raw token ids (no CLS/padding) — the pre-tokenization primitive:
+        the training pipeline tokenizes each chunk ONCE and crops/pads id
+        arrays afterwards (per-batch re-tokenization is host-CPU-bound and
+        dominates step time on throttled build hosts)."""
+        toks = code_tokens(text)
+        if cap is not None:
+            toks = toks[:cap]
+        return np.asarray([self._tok_id(t) for t in toks], dtype=np.int32)
+
     def encode_batch(
         self, texts: Sequence[str], max_len: Optional[int] = None
     ) -> Tuple[np.ndarray, np.ndarray]:
@@ -65,6 +75,12 @@ class HFTokenizer:
 
     def encode(self, text: str) -> list:
         return list(self._tok.encode(text).ids)
+
+    def encode_ids(self, text: str, cap: Optional[int] = None) -> np.ndarray:
+        ids = self._tok.encode(text).ids
+        if cap is not None:
+            ids = ids[:cap]
+        return np.asarray(ids, dtype=np.int32)
 
     def decode(self, ids: Sequence[int]) -> str:
         return self._tok.decode(list(ids))

@@ -109,6 +109,11 @@ class AppSettings(BaseModel):
     # QPS-neutral on a v5e chip (XLA fuses selection into the matmul without
     # materializing the score matrix), so auto resolves to float32
     index_score_dtype: str = "auto"  # auto | float32 | float16
+    # exact-path rescore candidate pool per shard; 0 = auto (max(4k, 128)).
+    # The recall lever for lossy storage: a wider pool recovers more
+    # quantized-ranking misses at ~linear gather cost (measured 1M x 384
+    # int8 on one v5e chip: 128 -> 0.984 @ 81k QPS, 512 -> see BENCHMARKS)
+    index_fetch_width: int = 0
 
     # -- mesh / parallelism ----------------------------------------------------
     mesh_shape: str = ""  # e.g. "8" or "4x2"; empty = all local devices, 1-D
@@ -237,6 +242,7 @@ _SECTION_FIELDS: Dict[str, Dict[str, str]] = {
         "approx_recall_target": "index_approx_recall_target",
         "device_rescore": "index_device_rescore",
         "score_dtype": "index_score_dtype",
+        "fetch_width": "index_fetch_width",
         "auto_compact_ratio": "index_auto_compact_ratio",
         "auto_compact_min": "index_auto_compact_min",
     },

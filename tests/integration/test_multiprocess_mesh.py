@@ -6,22 +6,39 @@ collectives across processes — the CPU analogue of DCN), builds the sharded
 indexes over the 2x4 global mesh, and verifies search results against a
 local oracle in each process. This is the engine path a 2-host TPU pod
 slice would execute, minus only the transport.
+
+Port handling: worker 0 allocates its OWN coordinator port (bind :0, close,
+bind the coordinator immediately) and announces it on stdout; the parent
+only then launches worker 1 with that port. This removes the cross-process
+free-port TOCTOU that made the round-2 version flaky — the remaining window
+is microseconds inside one process, and the whole spawn still retries once.
 """
 
-import socket
+import os
 import subprocess
 import sys
+import time
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[2]
 
 WORKER = r"""
-import os, sys
-proc_id = int(sys.argv[1]); port = sys.argv[2]
+import os, socket, sys
+proc_id = int(sys.argv[1])
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
 sys.path.insert(0, {repo!r})
 import jax
 jax.config.update("jax_platforms", "cpu")
+if proc_id == 0:
+    # allocate the coordinator port HERE and bind it immediately after:
+    # no cross-process reuse window
+    with socket.socket() as s:
+        s.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    print(f"PORT={{port}}", flush=True)
+else:
+    port = int(sys.argv[2])
 jax.distributed.initialize(
     coordinator_address=f"127.0.0.1:{{port}}", num_processes=2,
     process_id=proc_id)
@@ -71,56 +88,76 @@ print(f"WORKER_OK loss={{loss:.6f}}", flush=True)
 """
 
 
-def _free_port() -> int:
-    with socket.socket() as s:
-        s.bind(("127.0.0.1", 0))
-        s.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
-        return s.getsockname()[1]
-
-
 def test_engine_on_a_real_two_process_mesh(tmp_path):
-    # bounded by the communicate() timeout below; the free-port probe has a
-    # small reuse race, so the whole spawn is retried once on coordinator
-    # bind failure
+    last = None
     for attempt in range(2):
-        port = _free_port()
-        if _spawn_and_check(tmp_path, port, final=attempt == 1):
+        ok, err = _spawn_and_check(tmp_path)
+        if ok:
             return
+        last = err
+    raise AssertionError(last)
 
 
-def _spawn_and_check(tmp_path, port: int, final: bool) -> bool:
+def _spawn_and_check(tmp_path):
     code = WORKER.format(repo=str(REPO))
     env = {
         k: v
-        for k, v in __import__("os").environ.items()
+        for k, v in os.environ.items()
         # children must pick their own platform/device topology
         if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
     }
-    procs = [
-        subprocess.Popen(
-            [sys.executable, "-c", code, str(i), str(port)],
+    procs = []
+    try:
+        p0 = subprocess.Popen(
+            [sys.executable, "-c", code, "0"],
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
             text=True,
             cwd=tmp_path,
             env=env,
         )
-        for i in range(2)
-    ]
-    outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=560)
-        outs.append(out)
-    if not final and any(
-        p.returncode != 0 and "bind" in out.lower() for p, out in zip(procs, outs)
-    ):
-        return False  # port race: retry once with a fresh port
+        procs.append(p0)
+        # worker 0 prints its self-allocated coordinator port first
+        port = None
+        deadline = time.monotonic() + 240
+        while time.monotonic() < deadline:
+            line = p0.stdout.readline()
+            if not line:
+                out, _ = p0.communicate(timeout=30)
+                return False, f"worker 0 died before PORT line:\n{out[-2500:]}"
+            if line.startswith("PORT="):
+                port = int(line.strip().split("=", 1)[1])
+                break
+        if port is None:
+            return False, "worker 0 never printed its coordinator port"
+        p1 = subprocess.Popen(
+            [sys.executable, "-c", code, "1", str(port)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+            cwd=tmp_path,
+            env=env,
+        )
+        procs.append(p1)
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=560)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        return False, "multiprocess mesh run timed out"
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.communicate()
     losses = []
     for i, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"worker {i} failed:\n{out[-2500:]}"
+        if p.returncode != 0:
+            return False, f"worker {i} failed:\n{out[-2500:]}"
         ok_lines = [ln for ln in out.splitlines() if ln.startswith("WORKER_OK")]
-        assert ok_lines, out[-2500:]
+        if not ok_lines:
+            return False, out[-2500:]
         losses.append(ok_lines[0])
     # both controllers computed the identical training loss
     assert losses[0] == losses[1], losses
-    return True
+    return True, None

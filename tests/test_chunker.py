@@ -159,3 +159,27 @@ class Widget:
     broken = ["def solo(:", "    pass"]
     fb = scan_symbols(broken, "python")
     assert fb and fb[0].name == "solo"
+
+
+def test_char_split_pieces_carry_real_line_ranges(tmp_path):
+    """Pieces of a char-budget split must carry distinct, correct line
+    spans — not the whole segment's (the reference stamps every piece with
+    the full segment span, reference tree_sitter_chunker.py:264-273)."""
+    # 40 lines x 400 chars = 16k chars in one 40-line segment
+    lines = [f"x{i:03d} = " + "a" * 392 for i in range(40)]
+    path = tmp_path / "wide.py"
+    path.write_text("\n".join(lines), encoding="utf-8")
+    chunker = CodeChunker(max_lines=200, max_chars=6000)
+    chunks = chunker.chunk_file(path)
+    assert len(chunks) >= 3
+    # spans are distinct, ordered, and cover the file
+    spans = [(c.start_line, c.end_line) for c in chunks]
+    assert len(set(spans)) == len(spans)
+    assert spans[0][0] == 1 and spans[-1][1] == 40
+    for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+        assert s2 >= s1 and e2 >= e1
+    # every piece's first line really is at its recorded start_line
+    for c in chunks:
+        first_piece_line = c.content.splitlines()[0]
+        src_line = lines[c.start_line - 1]
+        assert src_line.endswith(first_piece_line) or src_line == first_piece_line

@@ -117,3 +117,45 @@ def test_terminal_eviction_bounds_memory():
     assert ledger.get(live.id) is not None
     terminal_kept = [i for i in ids if ledger.get(i) is not None]
     assert len(terminal_kept) == 5 and terminal_kept == ids[-5:]
+
+
+def test_journal_bounded_across_restarts(tmp_path):
+    """Startup compaction folds the journal to one snapshot line per job, so
+    size stays bounded no matter how many events/restarts accumulate."""
+    journal = tmp_path / "jobs.jsonl"
+    ledger = JobLedger(journal)
+    for i in range(5):
+        snap = ledger.create("ingest", {"n": i})
+        ledger.set_status(snap.id, "running")
+        for p in range(20):
+            ledger.update_progress(snap.id, copied=p)
+        ledger.complete(snap.id, {"ok": True})
+    ledger.close()
+    lines_before = len(journal.read_text().splitlines())
+    assert lines_before >= 15  # events accumulated in the live journal
+
+    for restart in range(3):
+        ledger = JobLedger(journal)
+        jobs = ledger.list()
+        assert len(jobs) == 5
+        assert all(s.status == "completed" for s in jobs.values())
+        assert all(s.result == {"ok": True} for s in jobs.values())
+        ledger.close()
+        # after compaction: exactly one snapshot line per job, every restart
+        assert len(journal.read_text().splitlines()) == 5
+
+
+def test_journal_compaction_marks_interrupted(tmp_path):
+    journal = tmp_path / "jobs.jsonl"
+    ledger = JobLedger(journal)
+    snap = ledger.create("ingest")
+    ledger.set_status(snap.id, "running", stage="copy")
+    ledger.close()  # process "dies" mid-job
+    ledger2 = JobLedger(journal)
+    got = ledger2.get(snap.id)
+    assert got is not None and got.status == "interrupted"
+    ledger2.close()
+    # the interrupted verdict survives the NEXT restart via the snapshot line
+    ledger3 = JobLedger(journal)
+    assert ledger3.get(snap.id).status == "interrupted"
+    ledger3.close()

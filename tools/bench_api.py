@@ -134,8 +134,10 @@ def run_api_bench(
     app = create_app(config=config, indexer=indexer)
 
     async def go():
-        # warm the embed + scan compiles outside the timed window
-        warm = await _drive(app, config, concurrency=2, secs=1.0)
+        # warm OUTSIDE the timed window at the SAME concurrency, so the
+        # batcher's micro-batch shapes (and their jit compiles) are hot —
+        # otherwise the first timed window pays compile spikes in p99
+        warm = await _drive(app, config, concurrency, secs=2.5)
         del warm
         return await _drive(app, config, concurrency, secs)
 
