@@ -399,18 +399,57 @@ def cmd_train(args) -> int:
     from .parallel.mesh import get_mesh
     from .settings import settings
 
-    manager = RepositoryIngestionManager()
-    repos = {r.name: r for r in manager.list_ingested()}
-    if args.repo != "all" and args.repo not in repos:
-        print(f"[ERROR] repository '{args.repo}' not in workspace", file=sys.stderr)
-        return 2
     chunks = []
-    for name, repo in sorted(repos.items()):
-        if args.repo not in ("all", name):
-            continue
-        chunks.extend(manager.chunk_repository(repo))
+    if args.from_dirs:
+        # chunk arbitrary source trees directly (no workspace ingestion):
+        # training corpora are throwaway reads, and the held-out serving
+        # repo must never enter this list
+        from .chunking import CodeChunker
+        from .ingestion.manager import DEFAULT_IGNORE_PATTERNS
+        import fnmatch
+
+        chunker = CodeChunker()
+        for d in args.from_dirs.split(","):
+            root = Path(d.strip()).resolve()
+            files = [
+                f
+                for f in sorted(root.rglob("*"))
+                if f.is_file()
+                and f.suffix in CHUNK_SUFFIXES
+                and not any(
+                    fnmatch.fnmatch(part, pat)
+                    for part in f.relative_to(root).parts
+                    for pat in DEFAULT_IGNORE_PATTERNS
+                )
+            ]
+            before = len(chunks)
+            chunks.extend(chunker.chunk_repository(root, files))
+            print(f"  {root}: {len(files)} files, {len(chunks)-before} chunks")
+        source = args.from_dirs
+    elif args.repo:
+        manager = RepositoryIngestionManager()
+        repos = {r.name: r for r in manager.list_ingested()}
+        if args.repo != "all" and args.repo not in repos:
+            print(
+                f"[ERROR] repository '{args.repo}' not in workspace",
+                file=sys.stderr,
+            )
+            return 2
+        for name, repo in sorted(repos.items()):
+            if args.repo not in ("all", name):
+                continue
+            chunks.extend(manager.chunk_repository(repo))
+        source = args.repo
+    else:
+        print("[ERROR] pass --repo or --from", file=sys.stderr)
+        return 2
+    if args.max_chunks and len(chunks) > args.max_chunks:
+        import random
+
+        random.Random(0).shuffle(chunks)
+        chunks = chunks[: args.max_chunks]
     texts = [c.content for c in chunks]
-    print(f"training on {len(texts)} chunks from '{args.repo}'")
+    print(f"training on {len(texts)} chunks from '{source}'")
 
     tokenizer = HashingTokenizer(max_len=args.seq_len)
     cfg = EncoderConfig.preset(
@@ -418,7 +457,14 @@ def cmd_train(args) -> int:
     )
     n_dev = len(jax.devices())
     mesh = get_mesh(settings.mesh_shape or str(n_dev), ("data",))
-    trainer = ContrastiveTrainer(cfg, mesh, learning_rate=args.lr)
+    lr = args.lr
+    if getattr(args, "warmup", 0) > 0:
+        import optax
+
+        lr = optax.warmup_cosine_decay_schedule(
+            0.0, args.lr, args.warmup, max(args.steps, args.warmup + 1)
+        )
+    trainer = ContrastiveTrainer(cfg, mesh, learning_rate=lr)
     params, opt_state = trainer.init_state(jax.random.PRNGKey(0), seq_len=args.seq_len)
     batcher = PairBatcher(
         texts,
@@ -572,13 +618,30 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser(
         "train", help="Contrastive-train the encoder on an ingested repo"
     )
-    p.add_argument("--repo", required=True, help="Repo name, or 'all'")
+    p.add_argument(
+        "--repo", default=None, help="Repo name, or 'all' (workspace chunks)"
+    )
+    p.add_argument(
+        "--from",
+        dest="from_dirs",
+        default=None,
+        help=(
+            "Comma-separated source directories to chunk directly for "
+            "training (no workspace ingestion; the generalization recipe "
+            "trains on several OTHER codebases and holds the serving repo "
+            "out entirely)"
+        ),
+    )
     p.add_argument("--steps", type=int, default=200)
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--seq-len", type=int, default=128)
     p.add_argument("--preset", default="mini")
     p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--warmup", type=int, default=0, help="LR warmup steps")
     p.add_argument("--out", default=None)
+    p.add_argument(
+        "--max-chunks", type=int, default=0, help="Cap training chunks (0 = all)"
+    )
     p.set_defaults(func=cmd_train)
 
     p = sub.add_parser(
