@@ -85,6 +85,46 @@ class _JinaEmbeddings(_OpenAICompatibleEmbeddings):
         )
 
 
+class HybridEmbeddings:
+    """Lexical + semantic ensemble: concatenation of the hash embedder's and
+    the trained encoder's unit vectors, each scaled so inner products add as
+    a fixed-weight score mix (``w*enc_sim + (1-w)*hash_sim``).
+
+    Held-out measurements motivated this: the hash embedder wins docstring
+    queries with literal-identifier overlap while the trained encoder wins
+    paraphrase/symbol queries; the concat keeps both signals in one index.
+    Both parts are unit vectors, so the concat's norm is constant
+    (sqrt(a^2+b^2) = 1) and the weighting survives normalization.
+    """
+
+    def __init__(self, hash_emb, encoder_emb, *, w_encoder: float = 0.5):
+        import numpy as np
+
+        w = min(max(float(w_encoder), 0.0), 1.0)
+        self._a = float(np.sqrt(1.0 - w))  # hash part scale
+        self._b = float(np.sqrt(w))  # encoder part scale
+        self.hash = hash_emb
+        self.encoder = encoder_emb
+        self.dim = int(hash_emb.dim) + int(encoder_emb.dim)
+
+    def _concat(self, h, e):
+        import numpy as np
+
+        h = np.asarray(h, dtype=np.float32) * self._a
+        e = np.asarray(e, dtype=np.float32) * self._b
+        return np.concatenate([h, e], axis=-1)
+
+    def embed_documents(self, texts):
+        h = self.hash.embed_documents(texts)
+        e = self.encoder.embed_documents(texts)
+        return [v.tolist() for v in self._concat(h, e)]
+
+    def embed_query(self, text: str):
+        return self._concat(
+            self.hash.embed_query(text), self.encoder.embed_query(text)
+        ).tolist()
+
+
 class EmbeddingProviderFactory:
     """Create an embeddings provider from settings
     (reference providers.py:31-104 keeps the same shape)."""
@@ -110,6 +150,24 @@ class EmbeddingProviderFactory:
                 batch_size=config.embedding_batch_size,
                 max_tokens=config.embedding_max_tokens,
                 dtype=config.encoder_dtype,
+            )
+        if provider in ("tpu-hybrid", "hybrid"):
+            from ..models.encoder import EncoderEmbeddings
+            from .hash_embedder import HashEmbeddings
+
+            return HybridEmbeddings(
+                HashEmbeddings(
+                    dim=config.embedding_dimension,
+                    batch_size=config.embedding_batch_size,
+                ),
+                EncoderEmbeddings(
+                    preset=config.encoder_preset,
+                    weights_path=config.encoder_weights_path,
+                    batch_size=config.embedding_batch_size,
+                    max_tokens=config.embedding_max_tokens,
+                    dtype=config.encoder_dtype,
+                ),
+                w_encoder=config.embedding_hybrid_weight,
             )
         if provider in ("openai", "lmstudio"):
             return _OpenAICompatibleEmbeddings(

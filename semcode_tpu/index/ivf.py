@@ -379,8 +379,17 @@ class IVFIndex:
             ftags = _scatter_mirror_tags(mir.ftags, rows_d, tags_d)
             mir = _Mirror(fvecs, fvalid, fnorms, fscales, frescore, ftags)
             if cache is not None:
-                if isinstance(xc, jax.Array) or self.metric == "cosine":
-                    cache[rows[lo:hi]] = np.asarray(xd, dtype=np.float32)
+                if isinstance(xc, jax.Array):
+                    # fetching every device chunk back to a throttled host
+                    # would undo the device-authoritative build; drop the
+                    # cache and hydrate on demand if persistence needs it
+                    log.warning("host_cache_dropped_for_device_ingest")
+                    self._host_cache = cache = None
+                elif self.metric == "cosine":
+                    # normalize on host rather than fetching the device copy
+                    cache[rows[lo:hi]] = xc / np.maximum(
+                        np.linalg.norm(xc, axis=1, keepdims=True), 1e-12
+                    )
                 else:
                     cache[rows[lo:hi]] = xc
         self._mir = mir

@@ -35,7 +35,12 @@ class PairBatcher:
         min_lines: int = 4,
         symbols: Optional[Sequence[Optional[str]]] = None,
         languages: Optional[Sequence[str]] = None,
+        paths: Optional[Sequence[Optional[str]]] = None,
         mix: Tuple[float, float, float] = (0.5, 0.3, 0.2),  # crop, doc, symbol
+        hard_frac: float = 0.25,  # fraction of the batch drawn as same-file
+        # siblings of other batch members: natural hard negatives (similar
+        # imports/style/vocabulary but different definitions), which in-batch
+        # InfoNCE otherwise almost never samples from a large corpus
     ):
         keep = [i for i, t in enumerate(texts) if len(t.splitlines()) >= min_lines]
         self.texts = [texts[i] for i in keep]
@@ -45,6 +50,22 @@ class PairBatcher:
         self.seq_len = int(seq_len)
         self.batch_size = int(batch_size)
         self.rng = np.random.default_rng(seed)
+        self.hard_frac = float(hard_frac)
+        self._by_path: dict = {}
+        if paths is not None:
+            paths = list(paths)
+            for new_i, old_i in enumerate(keep):
+                p = paths[old_i]
+                if p:
+                    self._by_path.setdefault(str(p), []).append(new_i)
+            # only files with 2+ chunks can contribute sibling negatives
+            self._by_path = {
+                p: idxs for p, idxs in self._by_path.items() if len(idxs) > 1
+            }
+            self._path_of = {}
+            for p, idxs in self._by_path.items():
+                for i in idxs:
+                    self._path_of[i] = p
         symbols = list(symbols) if symbols is not None else [None] * len(texts)
         languages = (
             list(languages) if languages is not None else ["text"] * len(texts)
@@ -137,11 +158,36 @@ class PairBatcher:
             mask[r, 1 : 1 + len(row)] = 1
         return ids, mask
 
+    def _pick_indices(self) -> List[int]:
+        picks: List[int] = self.rng.choice(
+            len(self.texts),
+            size=self.batch_size,
+            replace=len(self.texts) < self.batch_size,
+        ).tolist()
+        if not self._by_path or self.hard_frac <= 0:
+            return picks
+        # swap the tail of the batch for same-file siblings of the head:
+        # each swap plants one hard negative pair inside the batch
+        n_hard = min(int(self.batch_size * self.hard_frac), self.batch_size // 2)
+        used = set(picks)
+        for slot in range(n_hard):
+            anchor = picks[slot]
+            path = self._path_of.get(anchor)
+            if path is None:
+                continue
+            sibs = [j for j in self._by_path[path] if j != anchor and j not in used]
+            if not sibs:
+                continue
+            sib = sibs[int(self.rng.integers(0, len(sibs)))]
+            victim = self.batch_size - 1 - slot
+            used.discard(picks[victim])
+            picks[victim] = sib
+            used.add(sib)
+        return picks
+
     def batches(self, n_batches: int) -> Iterator[Dict[str, np.ndarray]]:
         for _ in range(n_batches):
-            picks: List[int] = self.rng.choice(
-                len(self.texts), size=self.batch_size, replace=len(self.texts) < self.batch_size
-            ).tolist()
+            picks = self._pick_indices()
             a_ids, a_mask = self._assemble([self._anchor_ids_for(i) for i in picks])
             p_ids, p_mask = self._assemble([self._crop_ids(i) for i in picks])
             yield {

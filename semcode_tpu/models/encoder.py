@@ -230,12 +230,69 @@ class EncoderEmbeddings:
         out = self._apply(self.params, jnp.asarray(ids), jnp.asarray(mask))
         return np.asarray(out, dtype=np.float32)[: len(texts)]
 
+    # windows per document: chunks run up to 200 lines (~1500 code tokens),
+    # far beyond one max_len window — a prefix-truncated embedding simply
+    # cannot see definitions in the back half of a chunk
+    MAX_DOC_WINDOWS = 6
+
+    def _encode_rows(self, rows: Sequence[np.ndarray]) -> np.ndarray:
+        """Encode pre-tokenized id rows (no CLS/padding) in one jit step."""
+        from .tokenizer import CLS_ID, PAD_ID
+
+        longest = max((len(r) + 1 for r in rows), default=1)
+        bucket = _len_bucket(min(longest, self.cfg.max_len), self.cfg.max_len)
+        n = len(rows)
+        ids = np.full((n, bucket), PAD_ID, dtype=np.int32)
+        mask = np.zeros((n, bucket), dtype=np.int32)
+        ids[:, 0] = CLS_ID
+        mask[:, 0] = 1
+        for i, r in enumerate(rows):
+            r = r[: bucket - 1]
+            ids[i, 1 : 1 + len(r)] = r
+            mask[i, 1 : 1 + len(r)] = 1
+        target = 8 if n <= 8 else -(-n // 8) * 8
+        if n < target:
+            ids = np.pad(ids, ((0, target - n), (0, 0)))
+            mask = np.pad(mask, ((0, target - n), (0, 0)))
+        out = self._apply(self.params, jnp.asarray(ids), jnp.asarray(mask))
+        return np.asarray(out, dtype=np.float32)[:n]
+
     def embed_documents(self, texts: Sequence[str]) -> List[List[float]]:
-        out: List[List[float]] = []
-        for i in range(0, len(texts), self.batch_size):
-            vecs = self._encode(texts[i : i + self.batch_size])
-            out.extend(v.tolist() for v in vecs)
-        return out
+        """Windowed document embedding: long chunks are split into
+        ``max_len``-token windows, each encoded separately, and the document
+        vector is the length-weighted mean of its window embeddings
+        (re-normalized). A 200-line chunk's later definitions stay visible
+        instead of being truncated away."""
+        window = self.cfg.max_len - 1
+        rows: List[np.ndarray] = []
+        owners: List[int] = []
+        weights: List[float] = []
+        for di, t in enumerate(texts):
+            tids = self.tokenizer.encode_ids(
+                t, cap=window * self.MAX_DOC_WINDOWS
+            )
+            n_win = max(1, -(-len(tids) // window))
+            for w in range(n_win):
+                seg = tids[w * window : (w + 1) * window]
+                rows.append(seg)
+                owners.append(di)
+                weights.append(float(max(len(seg), 1)))
+        acc = np.zeros((len(texts), self.dim), dtype=np.float32)
+        wsum = np.zeros((len(texts),), dtype=np.float32)
+        for i in range(0, len(rows), self.batch_size):
+            vecs = self._encode_rows(rows[i : i + self.batch_size])
+            for v, o, w in zip(
+                vecs,
+                owners[i : i + self.batch_size],
+                weights[i : i + self.batch_size],
+            ):
+                acc[o] += w * v
+                wsum[o] += w
+        acc /= np.maximum(wsum[:, None], 1e-9)
+        acc /= np.maximum(
+            np.linalg.norm(acc, axis=1, keepdims=True), 1e-9
+        )
+        return [v.tolist() for v in acc]
 
     def embed_query(self, text: str) -> List[float]:
         return self._encode([text])[0].tolist()

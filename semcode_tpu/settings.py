@@ -68,6 +68,11 @@ class AppSettings(BaseModel):
     encoder_preset: str = "mini"  # mini (L6/H384) | base (L12/H768) | large (L24/H1024)
     encoder_weights_path: Optional[Path] = None  # local HF-style dir (safetensors)
     encoder_dtype: str = "bfloat16"
+    # tpu-hybrid provider: weight of the encoder part in the score mix
+    # (1 - weight goes to the lexical hash part); index dimension is then
+    # embedding_dimension + encoder hidden. 0.4 measured best on two
+    # held-out repos (docs/BENCHMARKS.md quality table)
+    embedding_hybrid_weight: float = 0.4
 
     # -- TPU vector index (replaces the reference's Milvus section) -----------
     index_kind: str = "auto"  # flat | ivf | auto (flat until ivf_min_size rows)
@@ -218,6 +223,7 @@ _SECTION_FIELDS: Dict[str, Dict[str, str]] = {
         "api_key": "embedding_api_key",
         "batch_size": "embedding_batch_size",
         "max_tokens": "embedding_max_tokens",
+        "hybrid_weight": "embedding_hybrid_weight",
     },
     "encoder": {
         "preset": "encoder_preset",

@@ -59,3 +59,46 @@ def test_factory_dispatch(monkeypatch):
     cfg2 = AppSettings(embedding_provider="nope")
     with pytest.raises(NotImplementedError):
         EmbeddingProviderFactory.create(cfg2)
+
+
+def test_hybrid_provider_concat_and_norm():
+    """tpu-hybrid concatenates scaled unit parts: dim = hash + encoder,
+    norms stay 1, and the weight splits the score mix."""
+    import numpy as np
+
+    from semcode_tpu.embeddings import EmbeddingProviderFactory
+    from semcode_tpu.settings import AppSettings
+
+    cfg = AppSettings(
+        workspace_root=None,
+        embedding_provider="tpu-hybrid",
+        embedding_dimension=32,
+        encoder_preset="mini",
+        embedding_max_tokens=32,
+        embedding_hybrid_weight=0.25,
+    )
+    emb = EmbeddingProviderFactory.create(cfg)
+    assert emb.dim == 32 + 384
+    q = np.asarray(emb.embed_query("parse config file"))
+    assert q.shape == (emb.dim,)
+    assert abs(np.linalg.norm(q) - 1.0) < 1e-4
+    # hash part carries weight sqrt(0.75), encoder part sqrt(0.25)
+    assert abs(np.linalg.norm(q[:32]) - np.sqrt(0.75)) < 1e-3
+    docs = emb.embed_documents(["def parse(path):\n    return path\n"])
+    assert len(docs[0]) == emb.dim
+
+
+def test_encoder_windowed_long_doc_sees_tail():
+    """A long chunk's TAIL content must influence its embedding (windowed
+    mean) — prefix truncation made back-half definitions invisible."""
+    import numpy as np
+
+    from semcode_tpu.models.encoder import EncoderEmbeddings
+
+    emb = EncoderEmbeddings(preset="mini", max_tokens=32, seed=0)
+    filler = "\n".join(f"x{i} = {i}" for i in range(40))
+    a = filler + "\ndef very_unique_tail_marker():\n    return 42\n"
+    b = filler + "\nzz = 1\n"
+    va, vb = (np.asarray(v) for v in emb.embed_documents([a, b]))
+    assert not np.allclose(va, vb, atol=1e-5)
+    assert abs(np.linalg.norm(va) - 1.0) < 1e-4

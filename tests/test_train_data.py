@@ -61,3 +61,28 @@ def test_encoder_embeddings_loads_checkpoint(tmp_path):
     assert emb.dim == 128
     v = emb.embed_query("def f(): return 1")
     assert len(v) == 128
+
+
+def test_same_file_hard_negatives_in_batch():
+    """With paths given, a batch contains same-file sibling chunks (hard
+    negatives); without them it's plain random sampling."""
+    import numpy as np
+
+    from semcode_tpu.models.data import PairBatcher
+    from semcode_tpu.models.tokenizer import HashingTokenizer
+
+    texts = [f"def f{i}():\n    a = {i}\n    b = {i}\n    return a+b\n" for i in range(40)]
+    paths = [f"file_{i // 4}.py" for i in range(40)]  # 4 chunks per file
+    tok = HashingTokenizer(max_len=32)
+    b = PairBatcher(
+        texts, tok, seq_len=32, batch_size=16, paths=paths, hard_frac=0.5,
+        seed=3,
+    )
+    assert b._by_path and len(b._by_path) == 10
+    hits = 0
+    for batch_idx, picks in enumerate(b._pick_indices() for _ in range(20)):
+        files = [picks[i] // 4 for i in range(len(picks))]
+        # at least one pair of same-file chunks in most batches
+        if len(set(files)) < len(files):
+            hits += 1
+    assert hits >= 10, hits
