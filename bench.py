@@ -123,34 +123,59 @@ def main() -> None:
     import jax.numpy as jnp
 
     # ---- corpus + queries, generated on device ------------------------------
+    # High dims stream the corpus in deterministic chunks (jax PRNG fold_in):
+    # a whole 1M x 3072 f32 corpus (12.3 GB) cannot coexist in HBM with the
+    # int8 mirror + padded layout, but each chunk can be regenerated
+    # bit-identically whenever it is needed (oracle pass, build pass), so
+    # nothing is ever fetched to the host and peak HBM stays bounded.
     n_centers = max(64, N // 1000)
+    whole = N * DIM * 4 <= (6 << 30) and os.environ.get("BENCH_STREAM") != "1"
+    n_gen_chunks = (
+        1 if whole else max(2, -(-(N * DIM * 4) // (3 << 30)))
+    )
+    gchunk = -(-N // n_gen_chunks)
 
     @jax.jit
-    def gen_corpus(key):
-        kc, ka, kn = jax.random.split(key, 3)
-        centers = jax.random.normal(kc, (n_centers, DIM), dtype=jnp.float32)
-        assign = jax.random.randint(ka, (N,), 0, n_centers)
+    def gen_centers(key):
+        return jax.random.normal(key, (n_centers, DIM), dtype=jnp.float32)
+
+    centers_dev = gen_centers(jax.random.PRNGKey(41))
+
+    @jax.jit
+    def gen_chunk(key, centers):
+        ka, kn = jax.random.split(key)
+        assign = jax.random.randint(ka, (gchunk,), 0, n_centers)
         x = centers[assign] + 0.35 * jax.random.normal(
-            kn, (N, DIM), dtype=jnp.float32
+            kn, (gchunk, DIM), dtype=jnp.float32
         )
         return x / jnp.maximum(
             jnp.linalg.norm(x, axis=1, keepdims=True), 1e-9
         )
 
+    def chunk_i(i):
+        return gen_chunk(
+            jax.random.fold_in(jax.random.PRNGKey(42), i), centers_dev
+        )
+
     @jax.jit
-    def gen_queries(key, x):
+    def gen_queries(key, x0):
         ki, kn = jax.random.split(key)
-        idx = jax.random.choice(ki, N, (N_QUERIES,), replace=False)
-        q = x[idx] + 0.05 * jax.random.normal(
+        idx = jax.random.choice(ki, x0.shape[0], (N_QUERIES,), replace=False)
+        q = x0[idx] + 0.05 * jax.random.normal(
             kn, (N_QUERIES, DIM), dtype=jnp.float32
         )
         return q / jnp.maximum(jnp.linalg.norm(q, axis=1, keepdims=True), 1e-9)
 
     t0 = time.perf_counter()
-    x_dev = gen_corpus(jax.random.PRNGKey(42))
+    # in whole mode chunk 0 IS the corpus; in streamed mode it also seeds
+    # the query sample (same distribution as every other chunk)
+    x_dev = chunk_i(0)
     q_dev = gen_queries(jax.random.PRNGKey(7), x_dev)
     queries = np.asarray(q_dev)  # (512, d): tiny fetch
-    log(f"device corpus+queries in {time.perf_counter()-t0:.1f}s")
+    if not whole:
+        x_dev = None  # chunk 0 is regenerated on demand; free its HBM
+    log(f"device corpus+queries in {time.perf_counter()-t0:.1f}s "
+        f"({'whole' if whole else f'{n_gen_chunks} streamed chunks'})")
 
     # ---- exact f32 oracle on device (chunked matmul + per-chunk top-k) ------
     @jax.jit
@@ -167,13 +192,19 @@ def main() -> None:
         return jax.lax.top_k(s, K)
 
     t0 = time.perf_counter()
-    chunk = 131072
+    sub = max(8192, min(131072, (1 << 28) // (DIM * 4)))
     parts_s, parts_i = [], []
-    for lo in range(0, N, chunk):
-        hi = min(lo + chunk, N)
-        s, i = oracle_chunk(x_dev[lo:hi], q_dev)
-        parts_s.append(np.asarray(s))
-        parts_i.append(np.asarray(i) + lo)
+    for gi in range(n_gen_chunks):
+        xc_full = x_dev if whole else chunk_i(gi)
+        base = gi * gchunk
+        rows_in = min(gchunk, N - base) if not whole else N
+        for lo in range(0, rows_in, sub):
+            hi = min(lo + sub, rows_in)
+            s, i = oracle_chunk(xc_full[lo:hi], q_dev)
+            parts_s.append(np.asarray(s))
+            parts_i.append(np.asarray(i) + base + lo)
+        if not whole:
+            del xc_full
     all_s = np.concatenate(parts_s, axis=1)
     all_i = np.concatenate(parts_i, axis=1)
     sel = np.argsort(-all_s, axis=1)[:, :K]
@@ -183,15 +214,39 @@ def main() -> None:
     from semcode_tpu.index.ivf import IVFIndex
 
     # ---- IVF build (device-resident corpus, no host staging) ----------------
+    from semcode_tpu.index.flat import DEVICE_RESCORE_MAX_BYTES
+
     t0 = time.perf_counter()
     ivf = IVFIndex(
         DIM, nlist=NLIST, nprobe=NPROBE, metric="ip", dtype=DTYPE,
         kmeans_iters=10,
+        # at final scale the f32 mirror cannot fit: force it off up front so
+        # the streamed build never allocates-then-drops it mid-growth
+        device_rescore=(
+            False if N * DIM * 4 > DEVICE_RESCORE_MAX_BYTES else None
+        ),
     )
     # tag 1% of rows (simulating a small repo among many) so the filtered-
     # search section below can measure device tag masking at low selectivity
     row_tags = (np.arange(N) % 100 == 0).astype(np.int32)
-    ivf.add(x_dev, tags=row_tags)
+    if whole:
+        ivf.add(x_dev, tags=row_tags)
+    else:
+        # bulk mode: chunked adds only upload+quantize into the device
+        # mirror; ONE train + balanced-assign + pack pass runs at block exit.
+        # Without it every chunk re-packs the grown layout and the transient
+        # old-layout + new-layout + mirror working set OOMs HBM at 1M x 3072.
+        with ivf.bulk(expected_rows=N):
+            for gi in range(n_gen_chunks):
+                base = gi * gchunk
+                rows_in = min(gchunk, N - base)
+                xc_full = chunk_i(gi)
+                ivf.add(
+                    xc_full[:rows_in], tags=row_tags[base : base + rows_in]
+                )
+                del xc_full
+                log(f"  streamed ingest: {base + rows_in}/{N} rows")
+            log("  bulk finalize: train + assign + pack (single pass)")
     build_s = time.perf_counter() - t0
     RES.extras["build_s"] = round(build_s, 1)
     log(f"IVF build: {build_s:.1f}s (nlist={ivf.nlist}, cmax={ivf.cmax},"
@@ -263,7 +318,12 @@ def main() -> None:
         # fetch a few clusters' rows (bounded host traffic on throttled VMs)
         probe_cl = np.argsort(-counts)[:4]
         rows_idx = np.flatnonzero(np.isin(base_assign_live, probe_cl))[:8192]
-        sample = np.asarray(x_dev[jnp.asarray(rows_idx.astype(np.int32))])
+        if whole:
+            sample = np.asarray(x_dev[jnp.asarray(rows_idx.astype(np.int32))])
+        else:  # streamed mode: dequantize the rows from the index mirror
+            sample = np.asarray(
+                ivf._f32_chunk(jnp.asarray(rows_idx.astype(np.int32)))
+            )
         qv = queries[0]
         t0 = time.perf_counter()
         reps = 0

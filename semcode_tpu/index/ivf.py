@@ -32,6 +32,7 @@ Tombstones (``ids == -1``) support upsert-by-id from the store layer.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from functools import lru_cache, partial
 import collections
 from typing import Optional, Tuple
@@ -183,6 +184,8 @@ class IVFIndex:
         # mirror is off (the store's host rescore then needs it); otherwise
         # hydrated on demand for persistence
         self._host_cache: Optional[np.ndarray] = None
+        self._host_ingest_only = True  # False once a device array is added
+        self._bulk = False  # inside a bulk() block: defer layout/materialize
 
     # -- helpers ---------------------------------------------------------------
 
@@ -234,28 +237,35 @@ class IVFIndex:
             raise ValueError(f"expected (n, {self.dim}) vectors, got {x.shape}")
         return x
 
+    def _extend_meta_capacity(self, need: int) -> None:
+        """Pre-size the host metadata buffers (no rows appended)."""
+        if need > self._meta_cap:
+            self._extend_meta_grow(max(need, max(1024, self._meta_cap * 2)))
+
+    def _extend_meta_grow(self, new_cap: int) -> None:
+        for name, fill in (
+            ("_assign", -1),
+            ("_alive", False),
+            ("_tags", 0),
+        ):
+            old = getattr(self, name)
+            buf = np.full((new_cap,), fill, dtype=old.dtype)
+            buf[: self._n_rows] = old[: self._n_rows]
+            setattr(self, name, buf)
+        loc = np.full((new_cap, 2), -1, dtype=np.int32)
+        loc[: self._n_rows] = self._loc[: self._n_rows]
+        self._loc = loc
+        if self._host_cache is not None:
+            host = np.zeros((new_cap, self.dim), dtype=np.float32)
+            host[: self._n_rows] = self._host_cache[: self._n_rows]
+            self._host_cache = host
+        self._meta_cap = new_cap
+
     def _extend_meta(self, n: int, tags: np.ndarray) -> np.ndarray:
         """Append n rows to the host metadata buffers; returns new row ids."""
         need = self._n_rows + n
         if need > self._meta_cap:
-            new_cap = max(need, max(1024, self._meta_cap * 2))
-            for name, fill in (
-                ("_assign", -1),
-                ("_alive", False),
-                ("_tags", 0),
-            ):
-                old = getattr(self, name)
-                buf = np.full((new_cap,), fill, dtype=old.dtype)
-                buf[: self._n_rows] = old[: self._n_rows]
-                setattr(self, name, buf)
-            loc = np.full((new_cap, 2), -1, dtype=np.int32)
-            loc[: self._n_rows] = self._loc[: self._n_rows]
-            self._loc = loc
-            if self._host_cache is not None:
-                host = np.zeros((new_cap, self.dim), dtype=np.float32)
-                host[: self._n_rows] = self._host_cache[: self._n_rows]
-                self._host_cache = host
-            self._meta_cap = new_cap
+            self._extend_meta_grow(max(need, max(1024, self._meta_cap * 2)))
         rows = np.arange(self._n_rows, need, dtype=np.int64)
         self._alive[rows] = True
         self._tags[rows] = tags
@@ -318,13 +328,17 @@ class IVFIndex:
         mir = self._mir
         keep_rescore = mir.frescore is not None and self._rescore_enabled(mcap)
         if mir.frescore is not None and not keep_rescore:
-            # f32 mirror no longer fits the HBM budget: back-fill the host
-            # cache before dropping it so exactness survives the transition
             log.warning("frescore_dropped_on_growth", rows=need_rows)
-            host = self.hydrate_host()
-            cache = np.zeros((self._meta_cap, self.dim), dtype=np.float32)
-            cache[: host.shape[0]] = host
-            self._host_cache = cache
+            if self._host_ingest_only:
+                # host-fed store: back-fill the host cache before dropping
+                # the f32 mirror so exactness survives the transition
+                host = self.hydrate_host()
+                cache = np.zeros((self._meta_cap, self.dim), dtype=np.float32)
+                cache[: host.shape[0]] = host
+                self._host_cache = cache
+            # device-fed corpora skip the back-fill (fetching GBs to a
+            # throttled host would undo the device-resident build); final
+            # ordering falls back to exact-integer int8 scoring
         grown = _Mirror(
             fvecs=jax.device_put(_pad_rows(mir.fvecs, mcap), s2),
             fvalid=jax.device_put(_pad_rows(mir.fvalid, mcap), s1),
@@ -353,6 +367,8 @@ class IVFIndex:
         mir = self._mir
         n = rows.shape[0]
         cache = self._host_cache
+        if isinstance(x, jax.Array):
+            self._host_ingest_only = False
         for lo in range(0, n, _CHUNK_ROWS):
             hi = min(lo + _CHUNK_ROWS, n)
             xc = x[lo:hi]
@@ -442,6 +458,42 @@ class IVFIndex:
             sample_dev, self.nlist, iters=self.kmeans_iters, seed=self.seed
         )
 
+    @contextmanager
+    def bulk(self, expected_rows: Optional[int] = None):
+        """Deferred-materialization ingest for large streamed builds.
+
+        Inside the block, ``add()`` only uploads rows into the device mirror;
+        training, cluster placement and the padded-layout materialization all
+        happen ONCE when the block exits. For a multi-GB corpus streamed in
+        chunks this removes every intermediate re-pack — each one transiently
+        holds old layout + new layout + mirror in HBM (the 1M x 3072 int8
+        build OOMs exactly there without bulk mode) — and is also faster:
+        one k-means + one balanced assignment + one scatter pass total.
+
+        ``expected_rows`` pre-sizes the mirror so chunked adds never trigger
+        a grow-copy (2x mirror transient).
+
+        Searching inside the block serves the pre-bulk snapshot if one
+        exists; on a fresh index it raises (there is nothing consistent to
+        scan yet). Not for concurrent use: callers hold the store write lock
+        or own the index outright (the benchmark build).
+        """
+        if self._bulk:
+            raise RuntimeError("bulk() blocks do not nest")
+        if expected_rows is not None and expected_rows > 0:
+            self._extend_meta_capacity(expected_rows)
+            self._ensure_mirror(max(expected_rows, 1))
+        self._bulk = True
+        try:
+            yield self
+        finally:
+            self._bulk = False
+            if self._n_rows > 0:
+                if not self.is_trained:
+                    self.train()
+                self._rebuild_layout()
+                self._materialize()
+
     def add(self, x, tags=None) -> np.ndarray:
         """Append rows; trains the quantizer on first call. Returns row ids.
 
@@ -462,6 +514,11 @@ class IVFIndex:
         rows = self._extend_meta(n, tags)
         self._ensure_mirror(self._n_rows)
         self._ingest_rows(x, rows, tags)
+        if self._bulk:
+            # layout/materialization deferred to bulk() exit; the mirror is
+            # authoritative so nothing is lost if the block exits early
+            self._dirty = True
+            return rows
         if not self.is_trained:
             self.train()
             self._rebuild_layout()
@@ -646,12 +703,12 @@ class IVFIndex:
             c_d = jnp.asarray(c_all[lo:hi])
             s_d = jnp.asarray(s_all[lo:hi])
             if quant:
-                data, ids, sqnorms, scales = _pack_rows_q(
+                data, ids, sqnorms, scales = _pack_rows_q_donated(
                     data, ids, sqnorms, scales,
                     mir.fvecs, mir.fnorms, mir.fscales, rows_d, c_d, s_d,
                 )
             else:
-                data, ids, sqnorms = _pack_rows(
+                data, ids, sqnorms = _pack_rows_donated(
                     data, ids, sqnorms, mir.fvecs, mir.fnorms, rows_d, c_d, s_d
                 )
         dev = _Dev(
@@ -685,6 +742,11 @@ class IVFIndex:
         always safe to search."""
         dev = self._dev
         if dev is None:
+            if self._bulk:
+                raise RuntimeError(
+                    "index is inside a bulk() ingest and has no materialized "
+                    "snapshot yet; finish the bulk block before searching"
+                )
             dev = self._materialize()
         return dev
 
@@ -775,6 +837,11 @@ class IVFIndex:
             raise ValueError(f"expected queries of dim {self.dim}, got {q.shape}")
         n_q = q.shape[0]
         if self.size == 0 or not self.is_trained:
+            if self._bulk and self.size > 0:
+                raise RuntimeError(
+                    "index is inside a bulk() ingest with no materialized "
+                    "snapshot; finish the bulk block before searching"
+                )
             return (
                 np.full((n_q, k), _NEG_INF, dtype=np.float32),
                 np.full((n_q, k), -1, dtype=np.int64),
@@ -1131,8 +1198,7 @@ def _pad_rows(arr, new_rows):
     return jnp.pad(arr, ((0, pad),) + ((0, 0),) * (arr.ndim - 1))
 
 
-@jax.jit
-def _pack_rows(data, ids, sqnorms, fvecs, fnorms, rows, clusters, slots):
+def _pack_rows_impl(data, ids, sqnorms, fvecs, fnorms, rows, clusters, slots):
     """Scatter mirror rows into the padded cluster layout (device gather)."""
     data = data.at[clusters, slots].set(fvecs[rows].astype(data.dtype))
     ids = ids.at[clusters, slots].set(rows)
@@ -1140,8 +1206,7 @@ def _pack_rows(data, ids, sqnorms, fvecs, fnorms, rows, clusters, slots):
     return data, ids, sqnorms
 
 
-@jax.jit
-def _pack_rows_q(
+def _pack_rows_q_impl(
     data, ids, sqnorms, scales, fvecs, fnorms, fscales, rows, clusters, slots
 ):
     data = data.at[clusters, slots].set(fvecs[rows])
@@ -1149,6 +1214,17 @@ def _pack_rows_q(
     sqnorms = sqnorms.at[clusters, slots].set(fnorms[rows])
     scales = scales.at[clusters, slots].set(fscales[rows])
     return data, ids, sqnorms, scales
+
+
+# _place_rows updates READER-VISIBLE arrays (the current _Dev snapshot): no
+# donation, scatter-copies keep the old snapshot intact for in-flight reads.
+_pack_rows = jax.jit(_pack_rows_impl)
+_pack_rows_q = jax.jit(_pack_rows_q_impl)
+# _materialize builds FRESH padded arrays no reader has seen yet: donating
+# the accumulators packs in place — without it the chunked scatter holds two
+# copies of the (nlist, cmax, dim) layout (2 x 6.8 GB at 1M x 3072) and OOMs.
+_pack_rows_donated = jax.jit(_pack_rows_impl, donate_argnums=(0, 1, 2))
+_pack_rows_q_donated = jax.jit(_pack_rows_q_impl, donate_argnums=(0, 1, 2, 3))
 
 
 @jax.jit

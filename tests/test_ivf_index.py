@@ -327,3 +327,53 @@ def test_ivf_compacted_leaves_original_servable(mesh8, rng):
     np.testing.assert_array_equal(
         np.sort(remap[i_after], axis=1), np.sort(i_new, axis=1)
     )
+
+
+def test_ivf_bulk_ingest_matches_single_add(mesh8, rng):
+    """bulk(): chunked deferred ingest == one-shot add (exact path).
+
+    The benchmark's streamed 1M x 3072 build feeds the index in device
+    chunks inside a bulk() block; layout + materialization must be
+    equivalent to adding the whole corpus at once.
+    """
+    n, d, k = 3000, 64, 10
+    x = _clustered(rng, n, d)
+    q = _clustered(rng, 16, d)
+    ref = IVFIndex(d, nlist=32, nprobe=8, metric="ip", dtype="int8", mesh=mesh8)
+    ref.add(x)
+    idx = IVFIndex(d, nlist=32, nprobe=8, metric="ip", dtype="int8", mesh=mesh8)
+    with idx.bulk(expected_rows=n):
+        for lo in range(0, n, 700):
+            idx.add(x[lo : lo + 700])
+        # no intermediate layout was built inside the block
+        assert idx._dirty and idx.cmax == 0
+    assert idx.size == n and idx.is_trained and not idx._dirty
+    _, ids = idx.search(q, k=k, mode="exact")
+    assert _recall(ids, _oracle_ids(x, q, k)) == 1.0
+    # tags survive a bulk ingest (device filtered search)
+    idx2 = IVFIndex(d, nlist=32, nprobe=8, metric="ip", dtype="int8", mesh=mesh8)
+    tags = (np.arange(n) % 7 == 0).astype(np.int32)
+    with idx2.bulk(expected_rows=n):
+        for lo in range(0, n, 700):
+            idx2.add(x[lo : lo + 700], tags=tags[lo : lo + 700])
+    _, ids2 = idx2.search(q, k=k, mode="exact", allow_tags=[1])
+    assert (ids2 >= 0).any()
+    assert all(tags[i] == 1 for i in ids2.ravel() if i >= 0)
+
+
+def test_ivf_bulk_search_guard(mesh8, rng):
+    d = 32
+    x = _clustered(rng, 500, d)
+    idx = IVFIndex(d, nlist=16, nprobe=4, metric="ip", dtype="float32", mesh=mesh8)
+    with idx.bulk() as b:
+        b.add(x)
+        with pytest.raises(RuntimeError, match="bulk"):
+            idx.search(x[:2], k=3, mode="exact")
+        with pytest.raises(RuntimeError, match="nest"):
+            with idx.bulk():
+                pass
+    # after the block the index serves normally (exact path == oracle)
+    _, ids = idx.search(x[:2], k=3, mode="exact")
+    np.testing.assert_array_equal(
+        np.sort(ids, axis=1), np.sort(_oracle_ids(x, x[:2], 3), axis=1)
+    )
