@@ -67,6 +67,11 @@ DTYPE = os.environ.get("BENCH_DTYPE", "int8")  # int8 | bfloat16 | float32
 # driver kills the whole run at ~30 min; leave margin for slow hosts)
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 1350))
 RUN_API = os.environ.get("BENCH_API", "1") == "1"
+# fold a 1M x 3072 sub-benchmark into the artifact when budget remains
+# (BASELINE config 3; skipped automatically on slow hosts by the guard)
+RUN_HIGHDIM = os.environ.get("BENCH_HIGHDIM", "1") == "1"
+HIGHDIM_N = int(os.environ.get("BENCH_HIGHDIM_N", 1_000_000))
+HIGHDIM_MIN_N = int(os.environ.get("BENCH_HIGHDIM_MIN_N", 1_000_000))
 
 
 def log(msg: str) -> None:
@@ -518,8 +523,154 @@ def main() -> None:
     guard("under_ingest", 30, sec_under_ingest)
     if RUN_API:
         guard("api", 120, sec_api)
+
+    if DIM == 384 and N >= HIGHDIM_MIN_N and RUN_HIGHDIM:
+        # free the 384-dim corpus/index HBM before the wide-row build
+        def sec_highdim():
+            nonlocal ivf, x_dev
+            del serve_batches[:], q_batches[:]
+            ivf = None
+            x_dev = None
+            import gc
+
+            gc.collect()
+            run_highdim()
+
+        guard("highdim_3072", 420, sec_highdim)
+
     log(f"done in {elapsed():.0f}s")
     RES.emit()
+
+
+def run_highdim() -> None:
+    """1M x 3072 sub-benchmark (BASELINE config 3) folded into the same
+    artifact when wall budget allows: text-embedding-3-large
+    dimensionality, streamed bulk device build, int8 storage without an f32
+    mirror (12.3 GB cannot fit in 16 GB HBM beside the layout), probing vs
+    exact at the serving batch — the regime where the Pallas cluster kernel
+    wins (see docs/BENCHMARKS.md probing-path verdict)."""
+    import jax
+    import jax.numpy as jnp
+
+    from semcode_tpu.index.ivf import IVFIndex
+
+    HN, HD = HIGHDIM_N, 3072
+    HNLIST = 1024 if HN >= 500_000 else 128
+    n_chunks = max(2, -(-(HN * HD * 4) // (3 << 30)))
+    gchunk = -(-HN // n_chunks)
+    n_centers = HN // 1000
+
+    t0 = time.perf_counter()
+    centers = jax.jit(
+        lambda key: jax.random.normal(key, (n_centers, HD), dtype=jnp.float32)
+    )(jax.random.PRNGKey(141))
+
+    @jax.jit
+    def gen_chunk(key, cent):
+        ka, kn = jax.random.split(key)
+        assign = jax.random.randint(ka, (gchunk,), 0, n_centers)
+        x = cent[assign] + 0.35 * jax.random.normal(
+            kn, (gchunk, HD), dtype=jnp.float32
+        )
+        return x / jnp.maximum(jnp.linalg.norm(x, axis=1, keepdims=True), 1e-9)
+
+    def chunk_i(i):
+        return gen_chunk(jax.random.fold_in(jax.random.PRNGKey(142), i), centers)
+
+    @jax.jit
+    def gen_queries(key, x0):
+        ki, kn = jax.random.split(key)
+        idx = jax.random.choice(ki, x0.shape[0], (256,), replace=False)
+        q = x0[idx] + 0.05 * jax.random.normal(kn, (256, HD), dtype=jnp.float32)
+        return q / jnp.maximum(jnp.linalg.norm(q, axis=1, keepdims=True), 1e-9)
+
+    @jax.jit
+    def oracle_part(xc, qd):
+        s = jax.lax.dot_general(
+            qd, xc, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return jax.lax.top_k(s, K)
+
+    q_dev = gen_queries(jax.random.PRNGKey(17), chunk_i(0))
+    parts_s, parts_i = [], []
+    sub = max(8192, (1 << 28) // (HD * 4))
+    for gi in range(n_chunks):
+        xc = chunk_i(gi)
+        base = gi * gchunk
+        rows_in = min(gchunk, HN - base)
+        for lo in range(0, rows_in, sub):
+            s, i = oracle_part(xc[lo : min(lo + sub, rows_in)], q_dev)
+            parts_s.append(np.asarray(s))
+            parts_i.append(np.asarray(i) + base + lo)
+        del xc
+    all_s = np.concatenate(parts_s, axis=1)
+    all_i = np.concatenate(parts_i, axis=1)
+    sel = np.argsort(-all_s, axis=1)[:, :K]
+    h_oracle = np.take_along_axis(all_i, sel, axis=1)
+    log(f"highdim corpus+oracle in {time.perf_counter()-t0:.1f}s")
+
+    t0 = time.perf_counter()
+    hivf = IVFIndex(
+        HD, nlist=HNLIST, nprobe=16, metric="ip", dtype="int8",
+        kmeans_iters=10, device_rescore=False,
+    )
+    with hivf.bulk(expected_rows=HN):
+        for gi in range(n_chunks):
+            rows_in = min(gchunk, HN - gi * gchunk)
+            xc = chunk_i(gi)
+            hivf.add(xc[:rows_in])
+            del xc
+    build_s = time.perf_counter() - t0
+    log(f"highdim build: {build_s:.1f}s (cmax={hivf.cmax})")
+
+    hq = np.asarray(q_dev)
+    big = [jax.device_put(hq)]  # one 256-query batch
+    small = [jax.device_put(hq[i : i + 8]) for i in range(0, 256, 8)]
+
+    def qps_of(mode, batches, secs, nprobe=None):
+        np.asarray(hivf.search_device(batches[0], K, mode=mode, nprobe=nprobe)[0])
+        bsz = batches[0].shape[0]
+        t_s = time.perf_counter()
+        n_done = 0
+        while time.perf_counter() - t_s < secs:
+            outs = []
+            for i in range(16):
+                outs.append(
+                    hivf.search_device(
+                        batches[i % len(batches)], K, mode=mode, nprobe=nprobe
+                    )
+                )
+                n_done += bsz
+            np.asarray(outs[-1][0])
+        return n_done / (time.perf_counter() - t_s)
+
+    _, ids = hivf.search_device(big[0], K, mode="exact")
+    rec = recall_of(np.asarray(ids), h_oracle)
+    qps = qps_of("exact", big, min(TIMED_SECS / 2, max(4.0, remaining() / 20)))
+    got = np.zeros((256, K), dtype=np.int64)
+    for bi, b in enumerate(small):
+        _, ids = hivf.search_device(b, K, mode="ivf", nprobe=16)
+        got[bi * 8 : bi * 8 + 8] = np.asarray(ids)
+    rec16 = recall_of(got, h_oracle)
+    secs = max(3.0, min(TIMED_SECS / 4, remaining() / 20))
+    qe8 = qps_of("exact", small, secs)
+    qi8 = qps_of("ivf", small, secs, nprobe=16)
+    RES.extras.update(
+        d3072_build_s=round(build_s, 1),
+        d3072_recall_at_10=round(rec, 4),
+        d3072_qps=round(qps, 1),
+        d3072_small_batch_exact_qps=round(qe8, 1),
+        d3072_small_batch_probing16_qps=round(qi8, 1),
+        d3072_recall_at_10_probing16=round(rec16, 4),
+        d3072_auto_mode_b8=hivf._pick_mode(8, 16, K),
+    )
+    log(
+        f"highdim {HN}x{HD}: exact {qps:.0f} QPS @ recall {rec:.4f}; "
+        f"batch-8 exact {qe8:.0f} vs probing16 {qi8:.0f} QPS @ {rec16:.4f} "
+        f"(auto={RES.extras['d3072_auto_mode_b8']})"
+    )
 
 
 if __name__ == "__main__":

@@ -793,21 +793,28 @@ class IVFIndex:
             return "compiled"
         return "interpret" if self.use_pallas == "always" else "off"
 
-    # Measured on a v5e chip (1M x 384 int8, nlist=1024, cmax=2176): probing
-    # reads ~4x fewer rows than the exact mirror scan at batch 8 / nprobe 32
-    # yet is ~4x SLOWER — per-query cluster gathers are scattered HBM reads
-    # plus per-probe top-k merges, while the exact path is one dense MXU
-    # matmul over contiguous rows. The row-count comparison must therefore
-    # charge probing this empirical per-row penalty.
-    _PROBE_GATHER_PENALTY = 16.0
+    # Per-row fixed overhead of the probing kernel expressed in
+    # dim-equivalent bytes: sequential grid-step launches, the in-VMEM
+    # probe-mask pass and the k-pass top-k fold all cost the same per row
+    # whether the row is 384 or 3072 bytes wide, so probing amortizes
+    # better the wider the rows. Calibrated against two v5e measurements
+    # (1M rows, nlist=1024, cmax=2176, int8, batch 8):
+    #   dim  384: exact 2288 QPS vs probing  818 QPS -> overhead ~1.8k
+    #   dim 3072: exact 1444 QPS vs probing 3615 QPS (nprobe 16) -> ~1.2k
+    # (the model with 1536 predicts the 3072 speedup within 3%).
+    _PROBE_ROW_OVERHEAD = 1536.0
 
     def _pick_mode(self, n_q_padded: int, nprobe: int, k: int) -> str:
         """Cost-based scan selection (HBM reads dominate on TPU).
 
-        Per-query probing reads Q * nprobe * cmax rows (charged with the
-        measured gather penalty above); a single masked full scan of the flat
-        mirror reads every row once for the whole batch and is a dense MXU
-        matmul — cheaper for all but tiny batches on huge corpora.
+        The cluster-major kernel reads each PROBED cluster once per batch
+        (not once per query), so probing costs U * cmax * (dim + overhead)
+        bytes where U is the expected number of distinct probed clusters
+        over the whole batch; the exact path reads the flat mirror once,
+        N * dim bytes, as one dense MXU matmul. Probing therefore wins on
+        wide rows at small batch (few distinct clusters, overhead amortized
+        by dim) and loses at large batch (the union saturates toward nlist
+        while the exact scan's cost is batch-invariant).
         Exactness caveat: with ``approx_topk`` on a TPU backend the full
         scan's per-shard selection is ``lax.approx_max_k`` at
         ``approx_recall_target`` and the scoring precision is the storage
@@ -816,11 +823,17 @@ class IVFIndex:
         (store._fetch_k / _rescore_host). With ``approx_topk=False`` and f32
         storage the scan is exact.
         """
-        ivf_rows = n_q_padded * nprobe * self.cmax * self._PROBE_GATHER_PENALTY
+        if nprobe >= self.nlist:
+            return "exact"
+        # expected distinct clusters probed by the batch (draws with
+        # replacement across queries; exact enough for a cost model)
+        draws = n_q_padded * nprobe
+        u_expect = self.nlist * (1.0 - (1.0 - 1.0 / self.nlist) ** draws)
+        ivf_bytes = u_expect * self.cmax * (self.dim + self._PROBE_ROW_OVERHEAD)
         # the exact path scans the flat mirror (one read per row), not the
         # padded layout
         scan_rows = self._mirror_cap or (self.nlist * self.cmax)
-        if nprobe >= self.nlist or scan_rows <= ivf_rows:
+        if scan_rows * self.dim <= ivf_bytes:
             return "exact"
         return "ivf"
 

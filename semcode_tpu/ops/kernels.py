@@ -38,16 +38,33 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -3.0e38  # python float: jnp scalars become captured consts in pallas
 K_PAD = 128  # output row padding (top-k slots, lane-aligned)
 PROBE_PAD = 128  # probe-table lane padding
+VMEM_BUDGET = 10 << 20  # conservative scoped-vmem target (v5e limit ~16 MB)
+
+
+def _vmem_estimate(n_q: int, cmax: int, dtile: int, quantized: bool) -> int:
+    """Rough per-step VMEM footprint of the cluster kernel in bytes.
+
+    Pipelined inputs are double-buffered (x2); scratch and whole-array
+    blocks are resident once. The bf16 cast of an int8 block is charged
+    too — Mosaic materializes it before the MXU pass."""
+    databytes = 1 if quantized else 4
+    block = cmax * dtile * databytes * 2  # double-buffered HBM->VMEM stream
+    block_cast = cmax * dtile * 2 if quantized else 0
+    qblk = n_q * dtile * (2 if quantized else 4) * 2
+    scores = 2 * n_q * cmax * 4  # score value + slab accumulator scratch
+    topk = 2 * n_q * K_PAD * 8
+    tables = 2 * n_q * PROBE_PAD * 4 + 2 * cmax * 8
+    return block + block_cast + qblk + scores + topk + tables
 
 
 def _ivf_cluster_kernel(
     # scalar prefetch
     union_ref,  # (U,) int32 compacted probed-cluster ids (padding = unprobed)
     # inputs (auto-pipelined VMEM blocks)
-    q_ref,      # (Q, d) f32 (or exact-int bf16), whole-array VMEM
+    q_ref,      # (Q, dtile) f32 (or exact-int bf16) query dim-slab
     qscl_ref,   # (Q, 128) f32 query scales (int8) or ones
     probes_ref,  # (Q, PROBE_PAD) int32 local cluster ids, -1 = not probed
-    data_ref,   # (1, cmax, d) current cluster block
+    data_ref,   # (1, cmax, dtile) current cluster block dim-slab
     ids_ref,    # (1, 1, cmax) int32 row ids
     scl_ref,    # (1, 1, cmax) f32 row scales
     # outputs
@@ -56,28 +73,59 @@ def _ivf_cluster_kernel(
     # scratch (persists across the sequential grid)
     acc_s,      # (Q, K_PAD) f32 running top-k scores
     acc_i,      # (Q, K_PAD) int32 running top-k ids
+    score_acc,  # (Q, cmax) f32 partial dot products across dim slabs
     *,
     k: int,
     n_steps: int,
+    n_dtiles: int,
     quantized: bool,
 ):
     u = pl.program_id(0)
+    dt = pl.program_id(1)  # innermost: dim slabs of one cluster run back-to-back
     c = union_ref[u]
 
-    @pl.when(u == 0)
+    @pl.when((u == 0) & (dt == 0))
     def _init():
         acc_s[...] = jnp.full(acc_s.shape, NEG_INF, dtype=jnp.float32)
         acc_i[...] = jnp.full(acc_i.shape, -1, dtype=jnp.int32)
 
-    block = data_ref[0]  # (cmax, d)
+    block = data_ref[0]  # (cmax, dtile)
     if quantized:
         block = block.astype(jnp.bfloat16)
-    scores = jax.lax.dot_general(
+    partial = jax.lax.dot_general(
         q_ref[...],
         block,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (Q, cmax)
+    if n_dtiles == 1:
+        scores = partial
+    else:
+        # accumulate dim-slab partial sums; the top-k fold below only runs
+        # on the last slab, when `scores` is the complete dot product
+        @pl.when(dt == 0)
+        def _first():
+            score_acc[...] = partial
+
+        @pl.when(dt > 0)
+        def _rest():
+            score_acc[...] = score_acc[...] + partial
+
+        scores = score_acc[...]
+
+    @pl.when(dt == n_dtiles - 1)
+    def _fold_topk():
+        _fold_block_topk(
+            scores, qscl_ref, probes_ref, ids_ref, scl_ref,
+            out_s_ref, out_i_ref, acc_s, acc_i,
+            c=c, u=u, k=k, n_steps=n_steps, quantized=quantized,
+        )
+
+
+def _fold_block_topk(
+    scores, qscl_ref, probes_ref, ids_ref, scl_ref,
+    out_s_ref, out_i_ref, acc_s, acc_i, *, c, u, k, n_steps, quantized
+):
     if quantized:
         scores = scores * qscl_ref[:, :1] * scl_ref[0]
     ids_row = ids_ref[0]  # (1, cmax)
@@ -177,36 +225,61 @@ def ivf_scan_shard(
     else:
         scl3 = scales_s.reshape(nlist_s, 1, cmax).astype(jnp.float32)
 
+    # ---- dim tiling: bound VMEM regardless of dim --------------------------
+    # The double-buffered (cmax, d) cluster block dominates VMEM; at
+    # d=3072, cmax=2176 it alone is 2 x 6.7 MB and the kernel fails scoped
+    # vmem allocation (~16 MB budget on v5e). Split d into equal slabs —
+    # total HBM traffic is unchanged (every byte still read once per batch),
+    # only the partial dot products accumulate in a (Q, cmax) f32 scratch.
+    dtile = d
+    while _vmem_estimate(n_q, cmax, dtile, quantized) > VMEM_BUDGET and (
+        dtile % 2 == 0 and (dtile // 2) % 128 == 0
+    ):
+        dtile //= 2
+    n_dtiles = d // dtile
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_steps,),
+        grid=(n_steps, n_dtiles),
         in_specs=[
-            pl.BlockSpec((n_q, d), lambda u, un: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (n_q, PROBE_PAD), lambda u, un: (0, 0), memory_space=pltpu.VMEM
+                (n_q, dtile), lambda u, dt, un: (0, dt),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (n_q, PROBE_PAD), lambda u, un: (0, 0), memory_space=pltpu.VMEM
+                (n_q, PROBE_PAD), lambda u, dt, un: (0, 0),
+                memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((1, cmax, d), lambda u, un: (un[u], 0, 0)),
-            pl.BlockSpec((1, 1, cmax), lambda u, un: (un[u], 0, 0)),
-            pl.BlockSpec((1, 1, cmax), lambda u, un: (un[u], 0, 0)),
+            pl.BlockSpec(
+                (n_q, PROBE_PAD), lambda u, dt, un: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, cmax, dtile), lambda u, dt, un: (un[u], 0, dt)),
+            pl.BlockSpec((1, 1, cmax), lambda u, dt, un: (un[u], 0, 0)),
+            pl.BlockSpec((1, 1, cmax), lambda u, dt, un: (un[u], 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec(
-                (n_q, K_PAD), lambda u, un: (0, 0), memory_space=pltpu.VMEM
+                (n_q, K_PAD), lambda u, dt, un: (0, 0),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (n_q, K_PAD), lambda u, un: (0, 0), memory_space=pltpu.VMEM
+                (n_q, K_PAD), lambda u, dt, un: (0, 0),
+                memory_space=pltpu.VMEM,
             ),
         ],
         scratch_shapes=[
             pltpu.VMEM((n_q, K_PAD), jnp.float32),
             pltpu.VMEM((n_q, K_PAD), jnp.int32),
+            pltpu.VMEM((n_q, cmax), jnp.float32),
         ],
     )
     kernel = functools.partial(
-        _ivf_cluster_kernel, k=k, n_steps=n_steps, quantized=quantized
+        _ivf_cluster_kernel,
+        k=k,
+        n_steps=n_steps,
+        n_dtiles=n_dtiles,
+        quantized=quantized,
     )
     out_s, out_i = pl.pallas_call(
         kernel,

@@ -377,3 +377,47 @@ def test_ivf_bulk_search_guard(mesh8, rng):
     np.testing.assert_array_equal(
         np.sort(ids, axis=1), np.sort(_oracle_ids(x, x[:2], 3), axis=1)
     )
+
+
+def test_ivf_pallas_dim_tiled_matches_xla(mesh8, rng, monkeypatch):
+    """High dims split the kernel's cluster blocks into dim slabs to bound
+    VMEM (the 1M x 3072 batch-256 compile overflowed scoped vmem). Force
+    multi-slab execution by shrinking the budget and check exact agreement
+    with the XLA path."""
+    from semcode_tpu.ops import kernels
+
+    monkeypatch.setattr(kernels, "VMEM_BUDGET", 1)  # force dtile = 128
+    n, d, k = 2000, 256, 10
+    x = _clustered(rng, n, d)
+    q = _clustered(rng, 16, d)
+    kw = dict(nlist=32, nprobe=8, metric="ip", mesh=mesh8)
+    for dtype, rtol in (("float32", 1e-5), ("int8", 1e-4)):
+        a = IVFIndex(d, use_pallas="always", dtype=dtype, **kw)
+        b = IVFIndex(d, use_pallas="never", dtype=dtype, **kw)
+        a.add(x)
+        b.add(x)
+        assert a._pallas_mode() == "interpret"
+        sa, ia = a.search(q, k=k, mode="ivf")
+        sb, ib = b.search(q, k=k, mode="ivf")
+        np.testing.assert_array_equal(ia, ib)
+        np.testing.assert_allclose(sa, sb, rtol=rtol)
+
+
+def test_pick_mode_regimes(mesh8):
+    """Cost model (calibrated on v5e, see _PROBE_ROW_OVERHEAD): probing wins
+    wide rows at small batch; the exact mirror scan wins everywhere else."""
+    def mk(dim):
+        idx = IVFIndex(dim, nlist=1024, nprobe=32, metric="ip", mesh=mesh8)
+        idx.cmax = 2176  # the measured 1M-row layout
+        idx._mirror_cap = 1_000_000
+        return idx
+
+    narrow, wide = mk(384), mk(3072)
+    # measured: 1M x 384 batch 8 -> exact 2288 vs probing 818 QPS
+    assert narrow._pick_mode(8, 32, 10) == "exact"
+    # measured: 1M x 3072 batch 8 -> probing16 3615 vs exact 1444 QPS
+    assert wide._pick_mode(8, 16, 10) == "ivf"
+    assert wide._pick_mode(8, 32, 10) == "ivf"
+    # large batches saturate the probed-cluster union -> exact at any dim
+    assert narrow._pick_mode(256, 32, 10) == "exact"
+    assert wide._pick_mode(256, 32, 10) == "exact"
