@@ -15,6 +15,7 @@
 #include <cstring>
 #include <string>
 #include <unordered_map>
+#include <unordered_set>
 #include <vector>
 
 #include <zlib.h>
@@ -125,6 +126,53 @@ void code_tokens(const char* text, int len, std::vector<std::string>* out) {
   }
 }
 
+// Mirror of hash_embedder.STOP_TOKENS / _stopped() / STOP_FACTOR — the
+// fixed IDF approximation is part of the embedding definition and the
+// native path must stay byte-for-byte equivalent (tests/test_native_featurizer).
+static const char* kStopTokens[] = {
+    "the", "a", "an", "of", "to", "and", "or", "in", "on", "for", "is",
+    "are", "was", "be", "as", "at", "by", "with", "from", "this", "that",
+    "it", "if", "else", "elif", "return", "def", "class", "import",
+    "none", "true", "false", "self", "cls", "not", "no", "new", "del",
+    "try", "except", "finally", "raise", "pass", "while", "do", "switch",
+    "case", "break", "continue", "static", "void", "const", "let", "var",
+    "function", "public", "private", "protected", "virtual", "override",
+    "template", "typename", "using", "namespace", "struct", "enum",
+    "union", "extern", "inline", "operator", "sizeof", "nullptr", "null",
+    "undefined", "type", "types", "value", "values", "arg", "args",
+    "kwargs", "param", "params", "parameter", "parameters", "obj",
+    "object", "data", "result", "results", "name", "names", "key",
+    "keys", "item", "items", "list", "dict", "str", "int", "float",
+    "bool", "double", "long", "short", "unsigned", "char", "auto",
+    "index", "val", "num", "count", "size", "len", "length", "get",
+    "set", "add", "when", "then", "than", "must", "should", "which",
+    "where", "there", "these", "those", "such", "other", "into", "over",
+    "only", "also", "each", "all", "any", "some", "more", "most", "can",
+    "cannot", "may", "might", "will", "would", "use", "used", "uses",
+    "given", "default", "optional", "returns", "same", "both", "two",
+    "one", "first", "last", "next", "see", "note",
+};
+
+static const double kStopFactor = 0.3;
+
+static bool is_stopped(const std::string& f) {
+  if (f.find('\x1f') != std::string::npos) return false;  // bigram
+  static const std::unordered_set<std::string> stop(
+      kStopTokens, kStopTokens + sizeof(kStopTokens) / sizeof(kStopTokens[0]));
+  if (stop.count(f)) return true;
+  if (f.size() == 1) {
+    unsigned char c = (unsigned char)f[0];
+    if (!std::isalnum(c)) return true;
+  }
+  if (!f.empty()) {
+    bool all_digits = true;
+    for (unsigned char c : f)
+      if (!std::isdigit(c)) { all_digits = false; break; }
+    if (all_digits) return true;
+  }
+  return false;
+}
+
 struct Counter {
   std::unordered_map<std::string, int> index;
   std::vector<std::string> keys;  // insertion order
@@ -181,7 +229,9 @@ int semcode_featurize(const char* text, int len, int max_features,
     uint32_t crc = crc32(0L, (const Bytef*)f.data(), (uInt)f.size());
     float sign = ((crc >> 31) & 1u) == 0 ? 1.0f : -1.0f;
     out_ids[i] = (int32_t)(crc % (uint32_t)n_buckets);
-    out_weights[i] = (float)((1.0 + std::log((double)count)) * sign);
+    double w = (1.0 + std::log((double)count)) * (double)sign;
+    if (is_stopped(f)) w *= kStopFactor;
+    out_weights[i] = (float)w;
   }
   return n_out;
 }

@@ -55,6 +55,45 @@ def _sign(feature: str) -> float:
     return 1.0 if (zlib.crc32(feature.encode("utf-8")) >> 31) & 1 == 0 else -1.0
 
 
+# Ubiquitous tokens carry no retrieval signal but dominate raw term
+# frequency (a docstring query's "the/return/value" tokens would outweigh
+# its one distinctive identifier). A corpus-level IDF is impossible in a
+# stateless provider, so this fixed approximation downweights (a) english
+# glue, (b) language keywords, (c) code nouns so generic they appear in
+# most chunks. Held-out MRR motivated the factor (see docs/BENCHMARKS.md).
+# The list is part of the embedding definition: changing it invalidates
+# stored vectors, and the native featurizer (native/featurizer.cpp)
+# mirrors it byte-for-byte — keep both in sync.
+STOP_FACTOR = 0.3
+STOP_TOKENS = frozenset(
+    """the a an of to and or in on for is are was be as at by with from
+    this that it if else elif return def class import none true false
+    self cls not no new del try except finally raise pass while do
+    switch case break continue static void const let var function
+    public private protected virtual override template typename using
+    namespace struct enum union extern inline operator sizeof nullptr
+    null undefined type types value values arg args kwargs param params
+    parameter parameters obj object data result results name names key
+    keys item items list dict str int float bool double long short
+    unsigned char auto index val num count size len length get set add
+    when then than must should which where there these those such other
+    into over only also each all any some more most can cannot may
+    might will would use used uses using given default optional
+    returns true false same both two one first last next see note""".split()
+)
+
+
+def _stopped(feature: str) -> bool:
+    """Is this feature a low-signal unigram? Bigrams keep full weight
+    (two glue words in sequence are often a meaningful phrase), as do
+    identifiers; single punctuation marks and bare digits are noise."""
+    if "\x1f" in feature:
+        return False
+    if feature in STOP_TOKENS:
+        return True
+    return len(feature) == 1 and not feature.isalnum() or feature.isdigit()
+
+
 class HashEmbeddings:
     """embed_documents/embed_query via hashed n-grams + TPU random projection."""
 
@@ -94,7 +133,10 @@ class HashEmbeddings:
         wts = np.zeros(self.max_features, dtype=np.float32)
         for i, (f, c) in enumerate(feats):
             ids[i] = _bucket(f, self.n_buckets)
-            wts[i] = (1.0 + np.log(c)) * _sign(f)
+            w = (1.0 + np.log(c)) * _sign(f)
+            if _stopped(f):
+                w *= STOP_FACTOR
+            wts[i] = w
         return ids, wts
 
     # -- device projection -------------------------------------------------------

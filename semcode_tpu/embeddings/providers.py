@@ -85,6 +85,47 @@ class _JinaEmbeddings(_OpenAICompatibleEmbeddings):
         )
 
 
+def embedding_text(text: str, *, symbol=None, path=None) -> str:
+    """Document-side expansion: the text EMBEDDED for a chunk prepends its
+    defining symbol (twice — log-TF means a usage-heavy sibling chunk that
+    mentions the name many times otherwise outweighs the definition) and
+    the file stem. Standard title/anchor expansion from text IR, applied
+    to code: 'where is X defined' queries should land on X's definition,
+    and window-0 of the encoder always sees the identity of the chunk.
+    The STORED text is untouched — this only shapes the vector."""
+    parts = []
+    if symbol:
+        parts.append(f"{symbol} {symbol}")
+    if path:
+        from pathlib import Path as _P
+
+        parts.append(_P(str(path)).stem)
+    if not parts:
+        return text
+    return " ".join(parts) + "\n" + text
+
+
+_IDENTIFIER_RE = None
+
+
+def _query_has_identifier(text: str) -> bool:
+    """Does the query contain code-identifier shapes (snake_case,
+    camelCase, dotted paths)? Such queries are literal lookups where the
+    lexical signal is near-authoritative; pure natural-language queries
+    lean on the semantic encoder instead."""
+    global _IDENTIFIER_RE
+    if _IDENTIFIER_RE is None:
+        import re
+
+        _IDENTIFIER_RE = re.compile(
+            r"\b[A-Za-z][A-Za-z0-9]*_[A-Za-z0-9_]+\b"   # snake_case
+            r"|\b[a-z]+[A-Z][A-Za-z0-9]*\b"              # camelCase
+            r"|\b[A-Z][a-z0-9]+[A-Z][A-Za-z0-9]*\b"      # PascalCase
+            r"|\b\w+\.\w+\("                             # obj.method(
+        )
+    return _IDENTIFIER_RE.search(text) is not None
+
+
 class HybridEmbeddings:
     """Lexical + semantic ensemble: concatenation of the hash embedder's and
     the trained encoder's unit vectors, each scaled so inner products add as
@@ -97,31 +138,52 @@ class HybridEmbeddings:
     (sqrt(a^2+b^2) = 1) and the weighting survives normalization.
     """
 
-    def __init__(self, hash_emb, encoder_emb, *, w_encoder: float = 0.5):
-        import numpy as np
-
-        w = min(max(float(w_encoder), 0.0), 1.0)
-        self._a = float(np.sqrt(1.0 - w))  # hash part scale
-        self._b = float(np.sqrt(w))  # encoder part scale
+    def __init__(
+        self,
+        hash_emb,
+        encoder_emb,
+        *,
+        w_encoder: float = 0.5,
+        adaptive: bool = True,
+        adaptive_shift: float = 0.15,
+    ):
+        self.w = min(max(float(w_encoder), 0.0), 1.0)
+        self.adaptive = bool(adaptive)
+        self.adaptive_shift = float(adaptive_shift)
         self.hash = hash_emb
         self.encoder = encoder_emb
         self.dim = int(hash_emb.dim) + int(encoder_emb.dim)
 
-    def _concat(self, h, e):
+    def _concat(self, h, e, w: float):
         import numpy as np
 
-        h = np.asarray(h, dtype=np.float32) * self._a
-        e = np.asarray(e, dtype=np.float32) * self._b
+        h = np.asarray(h, dtype=np.float32) * float(np.sqrt(1.0 - w))
+        e = np.asarray(e, dtype=np.float32) * float(np.sqrt(w))
         return np.concatenate([h, e], axis=-1)
 
     def embed_documents(self, texts):
         h = self.hash.embed_documents(texts)
         e = self.encoder.embed_documents(texts)
-        return [v.tolist() for v in self._concat(h, e)]
+        return [v.tolist() for v in self._concat(h, e, self.w)]
+
+    def _query_weight(self, text: str) -> float:
+        """Per-query score mix. Documents are indexed with the static
+        weight, but the concat trick leaves the QUERY side free: scoring is
+        sqrt(1-w_d)*sqrt(1-w_q)*hash_sim + sqrt(w_d)*sqrt(w_q)*enc_sim, so
+        shifting w_q re-balances the mix per query without re-indexing.
+        Queries carrying literal identifiers shift toward the lexical
+        signal; prose queries shift toward the encoder."""
+        if not self.adaptive:
+            return self.w
+        if _query_has_identifier(text):
+            return max(0.0, self.w - self.adaptive_shift)
+        return min(1.0, self.w + self.adaptive_shift)
 
     def embed_query(self, text: str):
         return self._concat(
-            self.hash.embed_query(text), self.encoder.embed_query(text)
+            self.hash.embed_query(text),
+            self.encoder.embed_query(text),
+            self._query_weight(text),
         ).tolist()
 
 
@@ -168,6 +230,7 @@ class EmbeddingProviderFactory:
                     dtype=config.encoder_dtype,
                 ),
                 w_encoder=config.embedding_hybrid_weight,
+                adaptive=config.embedding_hybrid_adaptive,
             )
         if provider in ("openai", "lmstudio"):
             return _OpenAICompatibleEmbeddings(

@@ -230,7 +230,14 @@ class IndexerService:
             entries.append((chunk, rel_path, cid, sha, fresh))
 
         stale = [e for e in entries if not e[4]]
-        texts = [e[0].content for e in stale]
+        # the EMBEDDED text prepends symbol + file stem (doc-side expansion,
+        # providers.embedding_text); the stored payload text stays raw
+        from ..embeddings.providers import embedding_text
+
+        texts = [
+            embedding_text(e[0].content, symbol=e[0].symbol, path=e[1])
+            for e in stale
+        ]
         batch = max(1, self.config.embedding_batch_size)
         vectors: List[List[float]] = []
         total = len(texts)

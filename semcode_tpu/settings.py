@@ -73,6 +73,9 @@ class AppSettings(BaseModel):
     # embedding_dimension + encoder hidden. 0.4 measured best on two
     # held-out repos (docs/BENCHMARKS.md quality table)
     embedding_hybrid_weight: float = 0.4
+    # per-query adaptive mix: identifier-bearing queries lean lexical,
+    # prose queries lean semantic (providers.HybridEmbeddings._query_weight)
+    embedding_hybrid_adaptive: bool = True
 
     # -- TPU vector index (replaces the reference's Milvus section) -----------
     index_kind: str = "auto"  # flat | ivf | auto (flat until ivf_min_size rows)
@@ -224,6 +227,7 @@ _SECTION_FIELDS: Dict[str, Dict[str, str]] = {
         "batch_size": "embedding_batch_size",
         "max_tokens": "embedding_max_tokens",
         "hybrid_weight": "embedding_hybrid_weight",
+        "hybrid_adaptive": "embedding_hybrid_adaptive",
     },
     "encoder": {
         "preset": "encoder_preset",

@@ -79,13 +79,25 @@ def test_hybrid_provider_concat_and_norm():
     )
     emb = EmbeddingProviderFactory.create(cfg)
     assert emb.dim == 32 + 384
+    # adaptive query weighting: a prose query shifts toward the encoder
+    # (w + shift), an identifier-bearing query toward the hash part
     q = np.asarray(emb.embed_query("parse config file"))
     assert q.shape == (emb.dim,)
     assert abs(np.linalg.norm(q) - 1.0) < 1e-4
-    # hash part carries weight sqrt(0.75), encoder part sqrt(0.25)
-    assert abs(np.linalg.norm(q[:32]) - np.sqrt(0.75)) < 1e-3
+    w_prose = 0.25 + emb.adaptive_shift
+    assert abs(np.linalg.norm(q[:32]) - np.sqrt(1 - w_prose)) < 1e-3
+    q_id = np.asarray(emb.embed_query("where is parse_config_file defined"))
+    w_id = 0.25 - emb.adaptive_shift
+    assert abs(np.linalg.norm(q_id[:32]) - np.sqrt(1 - w_id)) < 1e-3
+    # documents always use the static weight
     docs = emb.embed_documents(["def parse(path):\n    return path\n"])
     assert len(docs[0]) == emb.dim
+    d = np.asarray(docs[0])
+    assert abs(np.linalg.norm(d[:32]) - np.sqrt(0.75)) < 1e-3
+    # adaptive off -> static weight for every query
+    emb.adaptive = False
+    q_off = np.asarray(emb.embed_query("parse config file"))
+    assert abs(np.linalg.norm(q_off[:32]) - np.sqrt(0.75)) < 1e-3
 
 
 def test_encoder_windowed_long_doc_sees_tail():
