@@ -37,6 +37,9 @@ class PairBatcher:
         languages: Optional[Sequence[str]] = None,
         paths: Optional[Sequence[Optional[str]]] = None,
         mix: Tuple[float, float, float] = (0.5, 0.3, 0.2),  # crop, doc, symbol
+        expand_docs: bool = True,  # positive side sees the same symbol+stem
+        # prefix the indexer embeds (providers.embedding_text), so the
+        # train-time document distribution matches serve-time window 0
         hard_frac: float = 0.25,  # fraction of the batch drawn as same-file
         # siblings of other batch members: natural hard negatives (similar
         # imports/style/vocabulary but different definitions), which in-batch
@@ -98,8 +101,24 @@ class PairBatcher:
         # throttled 1-core build host it dominates step wall time 10-100x
         # over the TPU step itself; with id arrays a batch is pure slicing.
         cap = 4 * self.seq_len
+        if expand_docs:
+            # the INDEXED text is embedding_text(body, symbol, path); training
+            # positives must see the same prefix or the encoder treats it as
+            # out-of-distribution noise at serve time
+            from ..embeddings.providers import embedding_text
+
+            kept_paths = (
+                [list(paths)[i] for i in keep] if paths is not None
+                else [None] * len(self.texts)
+            )
+            body_texts = [
+                embedding_text(t, symbol=s, path=p)
+                for t, s, p in zip(self.texts, self.symbols, kept_paths)
+            ]
+        else:
+            body_texts = self.texts
         self._body_ids: List[np.ndarray] = [
-            self.tokenizer.encode_ids(t, cap=cap) for t in self.texts
+            self.tokenizer.encode_ids(t, cap=cap) for t in body_texts
         ]
         self._doc_ids: List[Optional[np.ndarray]] = [
             self.tokenizer.encode_ids(d, cap=self.seq_len) if d else None
