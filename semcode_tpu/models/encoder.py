@@ -162,6 +162,14 @@ class EncoderEmbeddings:
         jdtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}.get(
             dtype, jnp.bfloat16
         )
+        if weights_path is None and preset == "mini":
+            # shipped default: a pretrained checkpoint packaged with the
+            # library (assets/encoder-mini), so provider=tpu-encoder and
+            # tpu-hybrid work out of the box with no training step. An
+            # explicit weights_path or a non-default preset overrides it.
+            shipped = Path(__file__).resolve().parents[1] / "assets" / "encoder-mini"
+            if (shipped / "semcode_encoder.msgpack").exists():
+                weights_path = shipped
         self.tokenizer = load_tokenizer(weights_path, 32768, max_tokens)
         self.cfg = EncoderConfig.preset(
             preset,

@@ -161,8 +161,12 @@ class ContrastiveTrainer:
 # -- checkpointing ---------------------------------------------------------------
 
 
-def save_params(params, cfg: EncoderConfig, path) -> None:
-    """Serialize trained encoder params + config (msgpack via flax)."""
+def save_params(params, cfg: EncoderConfig, path, *, half: bool = False) -> None:
+    """Serialize trained encoder params + config (msgpack via flax).
+
+    ``half=True`` casts weights to float16 on disk (halves checkpoint size
+    for shipping; load_params restores float32). Inference runs in bf16
+    anyway, so the f16 round-trip is lossless for serving purposes."""
     import dataclasses
     import json
     from pathlib import Path
@@ -171,8 +175,13 @@ def save_params(params, cfg: EncoderConfig, path) -> None:
 
     path = Path(path)
     path.mkdir(parents=True, exist_ok=True)
+    host_params = jax.device_get(params)
+    if half:
+        host_params = jax.tree_util.tree_map(
+            lambda x: np.asarray(x, dtype=np.float16), host_params
+        )
     (path / "semcode_encoder.msgpack").write_bytes(
-        serialization.to_bytes(jax.device_get(params))
+        serialization.to_bytes(host_params)
     )
     cfg_dict = dataclasses.asdict(cfg)
     cfg_dict["dtype"] = str(np.dtype(cfg.dtype).name) if cfg.dtype else "bfloat16"
@@ -205,5 +214,12 @@ def load_params(path):
     params = serialization.from_bytes(
         template, (path / "semcode_encoder.msgpack").read_bytes()
     )
-    params = jax.tree_util.tree_map(jnp_.asarray, params)
+    # half-precision shipped checkpoints restore to f32 (compute casts to
+    # the model dtype anyway; keeping master weights f32 lets training resume)
+    params = jax.tree_util.tree_map(
+        lambda x: jnp_.asarray(
+            x, dtype=jnp_.float32 if np.asarray(x).dtype == np.float16 else None
+        ),
+        params,
+    )
     return params, cfg

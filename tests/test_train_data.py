@@ -45,6 +45,28 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-6)
 
 
+def test_checkpoint_half_precision_roundtrip(tmp_path):
+    """half=True ships f16 on disk at ~half the bytes; load restores f32
+    and the embedding output matches within f16 quantization error."""
+    cfg = EncoderConfig(
+        vocab_size=256, hidden=128, layers=1, heads=4, mlp_dim=256, max_len=16
+    )
+    model = CodeEncoder(cfg)
+    ids = np.ones((1, 8), dtype=np.int32)
+    params = model.init(jax.random.PRNGKey(0), ids, ids)
+    save_params(params, cfg, tmp_path / "full")
+    save_params(params, cfg, tmp_path / "half", half=True)
+    full_b = (tmp_path / "full" / "semcode_encoder.msgpack").stat().st_size
+    half_b = (tmp_path / "half" / "semcode_encoder.msgpack").stat().st_size
+    assert half_b < 0.6 * full_b
+    params2, _ = load_params(tmp_path / "half")
+    leaf = jax.tree_util.tree_leaves(params2)[0]
+    assert leaf.dtype == np.float32
+    out1 = np.asarray(model.apply(params, ids, ids))
+    out2 = np.asarray(model.apply(params2, ids, ids))
+    np.testing.assert_allclose(out1, out2, atol=2e-3)
+
+
 def test_encoder_embeddings_loads_checkpoint(tmp_path):
     from semcode_tpu.models.encoder import EncoderEmbeddings
 
