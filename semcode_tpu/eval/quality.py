@@ -185,7 +185,12 @@ def evaluate_store(
         vecs = np.asarray(
             embeddings.embed_documents([q.text for q in chunk]), dtype=np.float32
         )
-        hits_batch = store.search_batch(vecs, top_k=k, filters=filters)
+        hits_batch = store.search_batch(
+            vecs,
+            top_k=k,
+            filters=filters,
+            query_texts=[q.text for q in chunk],
+        )
         for q, hits in zip(chunk, hits_batch):
             rank = np.inf
             for pos, hit in enumerate(hits, start=1):

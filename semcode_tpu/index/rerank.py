@@ -1,0 +1,131 @@
+"""Second-stage lexical rerank of dense retrieval candidates.
+
+The reference's retrieval is single-stage: Milvus ANN scores only
+(reference src/semcode/storage/milvus_store.py:135-148) with whatever
+semantic quality the hosted embedding provides. Production code search
+works markedly better as retrieve-then-rerank: the dense index nominates a
+candidate window (cheap on the TPU — top_k*depth instead of top_k costs
+nothing at MXU scan batch sizes), then an EXACT lexical scorer re-orders
+the window on the host using the query text and each candidate's real
+text/symbol/path. Identifier-shaped queries ("where is ClientSession
+defined") and docstring queries (whose words literally appear in the
+target chunk) gain the most — exactly the query kinds the quality harness
+(eval/quality.py) measures.
+
+Scorer: BM25 computed within the candidate window (df/idf over the window,
+standard k1/b saturation) over identifier-aware tokens (camelCase and
+snake_case subwords + the whole identifier), with field boosts: tokens
+from the chunk's defining symbol count 3x, from the file stem 2x, body 1x.
+The final order blends min-max-normalized dense and lexical scores;
+`weight` (settings search_rerank_weight) is the lexical share. Host cost
+is O(window * tokens) pure python/numpy on <= a few dozen candidates per
+query — microseconds next to a device scan.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+_IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+_CAMEL = re.compile(r"(?<=[a-z0-9])(?=[A-Z])|(?<=[A-Z])(?=[A-Z][a-z])")
+_K1 = 1.2
+_B = 0.75
+_BODY_CHAR_CAP = 6000  # chunker caps chunks at 6000 chars already
+
+
+def tokenize(text: str, *, limit: Optional[int] = None) -> List[str]:
+    """Identifier-aware tokens: each identifier lowercased, plus its
+    snake_case/camelCase subwords when it splits (so "ClientSession"
+    matches both "clientsession" and "client session" queries)."""
+    out: List[str] = []
+    for m in _IDENT.finditer(text):
+        tok = m.group(0)
+        low = tok.lower()
+        out.append(low)
+        parts = [
+            p.lower()
+            for piece in tok.split("_")
+            for p in _CAMEL.split(piece)
+            if len(p) > 1
+        ]
+        if len(parts) > 1:
+            out.extend(parts)
+        if limit is not None and len(out) >= limit:
+            break
+    return out
+
+
+def _doc_tf(hit) -> Dict[str, float]:
+    """Field-boosted term frequencies for one candidate hit."""
+    tf: Dict[str, float] = {}
+    body = (hit.text or "")[:_BODY_CHAR_CAP]
+    for tok in tokenize(body):
+        tf[tok] = tf.get(tok, 0.0) + 1.0
+    symbol = (hit.metadata or {}).get("symbol")
+    if symbol:
+        for tok in tokenize(str(symbol)):
+            tf[tok] = tf.get(tok, 0.0) + 3.0
+    if hit.path:
+        stem = str(hit.path).rsplit("/", 1)[-1].rsplit(".", 1)[0]
+        for tok in tokenize(stem):
+            tf[tok] = tf.get(tok, 0.0) + 2.0
+    return tf
+
+
+def rerank_hits(
+    query_text: str,
+    hits: Sequence,
+    top_k: int,
+    *,
+    weight: float,
+) -> List:
+    """Blend window-BM25 lexical scores into the dense order; return the
+    top_k hits re-sorted. `hits` must be in dense-score order (desc)."""
+    if weight <= 0.0 or len(hits) <= 1 or not query_text:
+        return list(hits[:top_k])
+    q_tokens = set(tokenize(query_text, limit=64))
+    if not q_tokens:
+        return list(hits[:top_k])
+
+    docs = [_doc_tf(h) for h in hits]
+    n = len(docs)
+    lengths = np.asarray(
+        [max(sum(d.values()), 1.0) for d in docs], dtype=np.float64
+    )
+    avg_len = float(lengths.mean())
+    df = {
+        t: sum(1 for d in docs if t in d)
+        for t in q_tokens
+    }
+    lex = np.zeros(n, dtype=np.float64)
+    for t in q_tokens:
+        dft = df[t]
+        if dft == 0:
+            continue
+        idf = math.log(1.0 + (n - dft + 0.5) / (dft + 0.5))
+        for i, d in enumerate(docs):
+            tf = d.get(t)
+            if tf:
+                lex[i] += idf * (
+                    tf * (_K1 + 1.0)
+                    / (tf + _K1 * (1.0 - _B + _B * lengths[i] / avg_len))
+                )
+
+    dense = np.asarray([h.score for h in hits], dtype=np.float64)
+
+    def _minmax(x: np.ndarray) -> np.ndarray:
+        span = float(x.max() - x.min())
+        if span <= 1e-12:
+            return np.zeros_like(x)
+        return (x - x.min()) / span
+
+    final = (1.0 - weight) * _minmax(dense) + weight * _minmax(lex)
+    # blend ties happen at the window extremes (dense-best vs lexical-best
+    # at weight 0.5); break them toward the EXACT evidence. lexsort is
+    # stable, so full ties keep the dense order.
+    order = np.lexsort((-lex, -final))
+    return [hits[i] for i in order[:top_k]]

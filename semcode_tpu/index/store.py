@@ -34,6 +34,7 @@ from ..parallel.mesh import get_mesh
 from ..settings import AppSettings, settings as default_settings
 from .flat import FlatIndex
 from .ivf import IVFIndex
+from .rerank import rerank_hits
 
 log = get_logger("index.store")
 
@@ -513,6 +514,7 @@ class VectorStore:
         top_k: Any = 10,  # validated/coerced via validate_top_k (API passes raw JSON)
         nprobe: Optional[int] = None,
         filters: Optional[Dict[str, Any]] = None,
+        query_text: Optional[str] = None,
     ) -> List[SearchHit]:
         """Single-vector ANN search returning enriched hits."""
         self.connect()
@@ -523,6 +525,7 @@ class VectorStore:
             top_k=top_k,
             nprobe=nprobe,
             filters=filters,
+            query_texts=[query_text] if query_text is not None else None,
         )
         return hits_batch[0]
 
@@ -533,6 +536,7 @@ class VectorStore:
         top_k: Any = 10,  # validated/coerced via validate_top_k (API passes raw JSON)
         nprobe: Optional[int] = None,
         filters: Optional[Dict[str, Any]] = None,
+        query_texts: Optional[Sequence[Optional[str]]] = None,
     ) -> List[List[SearchHit]]:
         self.connect()
         top_k = validate_top_k(top_k, self.config.search_top_k_max)
@@ -544,7 +548,8 @@ class VectorStore:
         allow, residual, empty = self._split_filters(filters)
         if empty:
             return [[] for _ in range(q.shape[0])]
-        fetch_k = self._fetch_k(index, top_k, residual)
+        window = self._rerank_window(top_k, query_texts)
+        fetch_k = self._fetch_k(index, window, residual)
         if isinstance(index, IVFIndex):
             scores, ids = index.search(
                 q, k=fetch_k, nprobe=nprobe, allow_tags=allow
@@ -552,7 +557,8 @@ class VectorStore:
         else:
             scores, ids = index.search(q, k=fetch_k, allow_tags=allow)
         scores, ids = self._rescore_host(index, q, scores, ids)
-        return self._hits_from(view, scores, ids, top_k, residual)
+        hits = self._hits_from(view, scores, ids, window, residual)
+        return self._apply_rerank(hits, query_texts, top_k)
 
     def search_batch_device(
         self,
@@ -561,6 +567,7 @@ class VectorStore:
         top_k: Any = 10,  # validated/coerced via validate_top_k (API passes raw JSON)
         nprobe: Optional[int] = None,
         filters: Optional[Dict[str, Any]] = None,
+        query_texts: Optional[Sequence[Optional[str]]] = None,
     ) -> List[List[SearchHit]]:
         """Search with an already-on-device, already-normalized query batch
         (Q multiple of 8). Saves a host->device round trip on the serving
@@ -575,7 +582,8 @@ class VectorStore:
         allow, residual, empty = self._split_filters(filters)
         if empty:
             return [[] for _ in range(n_q)]
-        fetch_k = self._fetch_k(index, top_k, residual)
+        window = self._rerank_window(top_k, query_texts)
+        fetch_k = self._fetch_k(index, window, residual)
         if isinstance(index, IVFIndex):
             scores, ids = index.search_device(
                 q_dev, fetch_k, nprobe=nprobe, allow_tags=allow
@@ -587,7 +595,35 @@ class VectorStore:
         scores, ids = self._rescore_host(
             index, np.asarray(q_dev, dtype=np.float32), scores, ids
         )
-        return self._hits_from(view, scores, ids, top_k, residual)
+        hits = self._hits_from(view, scores, ids, window, residual)
+        return self._apply_rerank(hits, query_texts, top_k)
+
+    def _rerank_window(
+        self, top_k: int, query_texts: Optional[Sequence[Optional[str]]]
+    ) -> int:
+        """Candidate-window size for the second-stage lexical rerank
+        (index/rerank.py). top_k when reranking is off (no query text or
+        weight 0) — then the window IS the result."""
+        if not query_texts or self.config.search_rerank_weight <= 0.0:
+            return top_k
+        return min(
+            max(top_k * self.config.search_rerank_depth, top_k),
+            self.config.search_top_k_max,
+        )
+
+    def _apply_rerank(
+        self,
+        hits_batch: List[List[SearchHit]],
+        query_texts: Optional[Sequence[Optional[str]]],
+        top_k: int,
+    ) -> List[List[SearchHit]]:
+        weight = self.config.search_rerank_weight
+        if not query_texts or weight <= 0.0:
+            return hits_batch
+        return [
+            rerank_hits(text or "", hits, top_k, weight=weight)
+            for text, hits in zip(query_texts, hits_batch)
+        ]
 
     def _fetch_k(self, index, top_k: int, filters) -> int:
         """Candidate fetch depth: headroom for post-filtering, plus — only

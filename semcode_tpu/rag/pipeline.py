@@ -218,7 +218,7 @@ class SemanticSearchPipeline:
                 self.embeddings.embed_documents(questions), dtype=np.float32
             )
             hits_batch = self.vector_store.search_batch(
-                vectors, top_k=k, filters=filters
+                vectors, top_k=k, filters=filters, query_texts=questions
             )
         except Exception as exc:
             log.warning("batch_retrieval_failed", error=str(exc))
@@ -297,13 +297,16 @@ class SemanticSearchPipeline:
                     q_dev = self.embeddings.embed_query_device(question)
                 with timer.stage("search"):
                     hits = self.vector_store.search_batch_device(
-                        q_dev, top_k=k, filters=filters
+                        q_dev, top_k=k, filters=filters,
+                        query_texts=[question],
                     )
                 return hits[0] if hits else []
             with timer.stage("embed"):
                 vector = self.embeddings.embed_query(question)
             with timer.stage("search"):
-                return self.vector_store.search(vector, top_k=k, filters=filters)
+                return self.vector_store.search(
+                    vector, top_k=k, filters=filters, query_text=question
+                )
         except Exception as exc:
             log.warning("retrieval_failed", error=str(exc))
             return []

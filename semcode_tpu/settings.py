@@ -117,6 +117,13 @@ class AppSettings(BaseModel):
     # QPS-neutral on a v5e chip (XLA fuses selection into the matmul without
     # materializing the score matrix), so auto resolves to float32
     index_score_dtype: str = "auto"  # auto | float32 | float16
+    # second-stage lexical rerank (index/rerank.py): when the caller passes
+    # query TEXT (the RAG pipeline and the quality harness do), the dense
+    # window of top_k*depth candidates is re-ordered by a blend of dense
+    # score and window-BM25 over identifier-aware tokens. weight = lexical
+    # share (0 disables); host cost is microseconds per query.
+    search_rerank_weight: float = 0.35
+    search_rerank_depth: int = 5
     # exact-path rescore candidate pool per shard; 0 = auto (max(4k, 128)).
     # The recall lever for lossy storage: a wider pool recovers more
     # quantized-ranking misses at ~linear gather cost (measured 1M x 384
@@ -249,6 +256,8 @@ _SECTION_FIELDS: Dict[str, Dict[str, str]] = {
         "rescore": "index_rescore",
         "rescore_min": "index_rescore_min",
         "top_k_max": "search_top_k_max",
+        "rerank_weight": "search_rerank_weight",
+        "rerank_depth": "search_rerank_depth",
         "approx_recall_target": "index_approx_recall_target",
         "device_rescore": "index_device_rescore",
         "score_dtype": "index_score_dtype",
