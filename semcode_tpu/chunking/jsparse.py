@@ -22,7 +22,7 @@ Handles:
 from __future__ import annotations
 
 import re
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Tuple
 
 _KEYWORD_NOT_NAME = frozenset(
     "if for while switch return catch do else new delete throw typeof void "

@@ -26,6 +26,9 @@ from __future__ import annotations
 
 import math
 import re
+import threading
+from collections import Counter, OrderedDict
+from functools import lru_cache
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
@@ -35,44 +38,93 @@ _CAMEL = re.compile(r"(?<=[a-z0-9])(?=[A-Z])|(?<=[A-Z])(?=[A-Z][a-z])")
 _K1 = 1.2
 _B = 0.75
 _BODY_CHAR_CAP = 6000  # chunker caps chunks at 6000 chars already
+# bound host tokenization cost per candidate (~worst-case 6000-char chunks
+# are ~700 identifiers; the rerank signal is front-loaded: docstrings and
+# definition headers live at the chunk head, and symbol/path fields are
+# boosted separately)
+_BODY_TOKEN_CAP = 800
+
+
+@lru_cache(maxsize=65536)
+def _subtokens(tok: str) -> tuple:
+    """Lowercased identifier plus its snake_case/camelCase subwords when it
+    splits (so "ClientSession" matches both "clientsession" and
+    "client session" queries). Cached: candidate windows re-use the same
+    identifiers heavily, and the split is the hot regex."""
+    parts = tuple(
+        p.lower()
+        for piece in tok.split("_")
+        for p in _CAMEL.split(piece)
+        if len(p) > 1
+    )
+    low = tok.lower()
+    if len(parts) > 1:
+        return (low,) + parts
+    return (low,)
 
 
 def tokenize(text: str, *, limit: Optional[int] = None) -> List[str]:
-    """Identifier-aware tokens: each identifier lowercased, plus its
-    snake_case/camelCase subwords when it splits (so "ClientSession"
-    matches both "clientsession" and "client session" queries)."""
+    """Identifier-aware tokens (see _subtokens)."""
+    raw = _IDENT.findall(text)
+    if limit is not None:
+        raw = raw[:limit]
     out: List[str] = []
-    for m in _IDENT.finditer(text):
-        tok = m.group(0)
-        low = tok.lower()
-        out.append(low)
-        parts = [
-            p.lower()
-            for piece in tok.split("_")
-            for p in _CAMEL.split(piece)
-            if len(p) > 1
-        ]
-        if len(parts) > 1:
-            out.extend(parts)
-        if limit is not None and len(out) >= limit:
-            break
+    for tok in raw:
+        out.extend(_subtokens(tok))
     return out
 
 
-def _doc_tf(hit) -> Dict[str, float]:
+def _weighted_tf(
+    text: str, weight: float, tf: Dict[str, float],
+    limit: Optional[int] = None,
+) -> None:
+    """Accumulate field-boosted tf. findall + Counter run at C speed; the
+    python loop is over UNIQUE identifiers only (~200 per 6000-char chunk),
+    which is what makes 50-candidate windows a ~1 ms host stage."""
+    raw = _IDENT.findall(text)
+    if limit is not None:
+        raw = raw[:limit]
+    for tok, cnt in Counter(raw).items():
+        for s in _subtokens(tok):
+            tf[s] = tf.get(s, 0.0) + weight * cnt
+
+
+def _doc_tf_uncached(hit) -> Dict[str, float]:
     """Field-boosted term frequencies for one candidate hit."""
     tf: Dict[str, float] = {}
-    body = (hit.text or "")[:_BODY_CHAR_CAP]
-    for tok in tokenize(body):
-        tf[tok] = tf.get(tok, 0.0) + 1.0
+    _weighted_tf((hit.text or "")[:_BODY_CHAR_CAP], 1.0, tf,
+                 limit=_BODY_TOKEN_CAP)
     symbol = (hit.metadata or {}).get("symbol")
     if symbol:
-        for tok in tokenize(str(symbol)):
-            tf[tok] = tf.get(tok, 0.0) + 3.0
+        _weighted_tf(str(symbol), 3.0, tf)
     if hit.path:
         stem = str(hit.path).rsplit("/", 1)[-1].rsplit(".", 1)[0]
-        for tok in tokenize(stem):
-            tf[tok] = tf.get(tok, 0.0) + 2.0
+        _weighted_tf(stem, 2.0, tf)
+    return tf
+
+
+# Hot candidates repeat across queries (a static corpus between mutations),
+# so tf maps are cached content-keyed: id + text length + a 128-char prefix
+# hash. Content-derived keys stay correct across store snapshots without
+# any coordination; a same-id re-ingest with different text misses the key.
+_TF_CACHE: "OrderedDict[tuple, Dict[str, float]]" = OrderedDict()
+_TF_CACHE_MAX = 4096
+_TF_LOCK = threading.Lock()
+
+
+def _doc_tf(hit) -> Dict[str, float]:
+    text = hit.text or ""
+    key = (hit.id, len(text), hash(text[:128]))
+    with _TF_LOCK:
+        tf = _TF_CACHE.get(key)
+        if tf is not None:
+            _TF_CACHE.move_to_end(key)
+            return tf
+    tf = _doc_tf_uncached(hit)
+    with _TF_LOCK:
+        _TF_CACHE[key] = tf
+        while len(_TF_CACHE) > _TF_CACHE_MAX:
+            _TF_CACHE.popitem(last=False)
     return tf
 
 
