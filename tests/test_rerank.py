@@ -138,3 +138,14 @@ def test_store_without_query_text_unchanged(tmp_path, mesh8, rng):
     )
     hits = store.search_batch(vecs[:2], top_k=2)
     assert hits[0][0].id == "c0" and hits[1][0].id == "c1"
+
+
+def test_tf_cache_is_content_keyed():
+    # same id + same length, different content: the prefix-hash key must
+    # miss, so the stale tf map is not served for re-ingested chunks
+    a1 = _hit("x", 1.0, "alpha")
+    out1 = rerank_hits("alpha", [a1, _hit("y", 0.99, "zzzzz")], 2, weight=0.8)
+    assert out1[0].id == "x"
+    a2 = _hit("x", 0.99, "gamma")  # re-ingested: same id, new text
+    out2 = rerank_hits("gamma", [_hit("y", 1.0, "zzzzz"), a2], 2, weight=0.8)
+    assert out2[0].id == "x"
