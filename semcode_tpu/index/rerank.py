@@ -33,6 +33,9 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
+# deliberately independent of embeddings/hash_embedder.py's tokenizer: that
+# one must stay bit-identical to native/featurizer.cpp and to every indexed
+# corpus; this one only needs to agree with ITSELF between query and doc
 _IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
 _CAMEL = re.compile(r"(?<=[a-z0-9])(?=[A-Z])|(?<=[A-Z])(?=[A-Z][a-z])")
 _K1 = 1.2
@@ -113,8 +116,17 @@ _TF_LOCK = threading.Lock()
 
 
 def _doc_tf(hit) -> Dict[str, float]:
+    # full-text hash: chunk ids are SPAN-based (md5 of repo:path:lines,
+    # services/indexer.py), so a re-ingested chunk keeps its id with new
+    # content — only the content itself can key the cache. python caches
+    # str.__hash__ per string object, so this is amortized-free for hits
+    # served repeatedly from the same row_meta snapshot. symbol/path feed
+    # the boosted fields, so they key too.
     text = hit.text or ""
-    key = (hit.id, len(text), hash(text[:128]))
+    key = (
+        hit.id, len(text), hash(text),
+        (hit.metadata or {}).get("symbol"), hit.path,
+    )
     with _TF_LOCK:
         tf = _TF_CACHE.get(key)
         if tf is not None:
@@ -168,6 +180,12 @@ def rerank_hits(
                 )
 
     dense = np.asarray([h.score for h in hits], dtype=np.float64)
+    # belt-and-braces: a sentinel/non-finite dense score would make the
+    # min-max span meaningless (store paths scrub these before hits exist)
+    finite = np.isfinite(dense)
+    if not finite.all():
+        fill = float(dense[finite].min()) if finite.any() else 0.0
+        dense = np.where(finite, dense, fill)
 
     def _minmax(x: np.ndarray) -> np.ndarray:
         span = float(x.max() - x.min())

@@ -32,7 +32,7 @@ import numpy as np
 from ..logger import get_logger
 from ..parallel.mesh import get_mesh
 from ..settings import AppSettings, settings as default_settings
-from .flat import FlatIndex
+from .flat import FlatIndex, _NEG_INF as _SCORE_SENTINEL
 from .ivf import IVFIndex
 from .rerank import rerank_hits
 
@@ -557,7 +557,11 @@ class VectorStore:
         else:
             scores, ids = index.search(q, k=fetch_k, allow_tags=allow)
         scores, ids = self._rescore_host(index, q, scores, ids)
-        hits = self._hits_from(view, scores, ids, window, residual)
+        hits = self._hits_from(
+            view, scores, ids,
+            self._limits(q.shape[0], top_k, window, query_texts),
+            residual,
+        )
         return self._apply_rerank(hits, query_texts, top_k)
 
     def search_batch_device(
@@ -590,12 +594,27 @@ class VectorStore:
             )
         else:
             scores, ids = index.search_device(q_dev, fetch_k, allow_tags=allow)
-        scores = np.asarray(scores)
-        ids = np.asarray(ids)
+        scores = np.asarray(scores, dtype=np.float32)
+        ids = np.asarray(ids).astype(np.int64, copy=False)
+        # scrub sentinel-scored slots (tag-masked or padded rows) exactly
+        # like the index host paths do: without this, _rescore_host would
+        # overwrite the -3e38 filter sentinel with the row's TRUE score and
+        # resurrect filtered-out rows into the results
+        bad = (
+            (ids < 0)
+            | (ids >= max(index.size, 1))
+            | ~np.isfinite(scores)
+            | (scores <= _SCORE_SENTINEL / 2)
+        )
+        scores = np.where(bad, _SCORE_SENTINEL, scores)
+        ids = np.where(bad, -1, ids)
         scores, ids = self._rescore_host(
             index, np.asarray(q_dev, dtype=np.float32), scores, ids
         )
-        hits = self._hits_from(view, scores, ids, window, residual)
+        hits = self._hits_from(
+            view, scores, ids, self._limits(n_q, top_k, window, query_texts),
+            residual,
+        )
         return self._apply_rerank(hits, query_texts, top_k)
 
     def _rerank_window(
@@ -611,18 +630,44 @@ class VectorStore:
             self.config.search_top_k_max,
         )
 
+    @staticmethod
+    def _limits(
+        n_q: int,
+        top_k: int,
+        window: int,
+        query_texts: Optional[Sequence[Optional[str]]],
+    ) -> List[int]:
+        """Per-query hit-list depth: the rerank window only where a query
+        TEXT exists (padding queries and text-less entries get plain top_k,
+        skipping ~window-deep hit construction they would discard)."""
+        return [
+            window
+            if (query_texts and i < len(query_texts) and query_texts[i])
+            else top_k
+            for i in range(n_q)
+        ]
+
     def _apply_rerank(
         self,
         hits_batch: List[List[SearchHit]],
         query_texts: Optional[Sequence[Optional[str]]],
         top_k: int,
     ) -> List[List[SearchHit]]:
-        weight = self.config.search_rerank_weight
+        # clamp: weight > 1 would flip the dense coefficient negative and
+        # actively prefer the dense-worst candidate
+        weight = min(max(self.config.search_rerank_weight, 0.0), 1.0)
         if not query_texts or weight <= 0.0:
             return hits_batch
+        # preserve the one-list-per-query contract even when fewer texts
+        # than queries were passed (e.g. a padded device batch)
         return [
-            rerank_hits(text or "", hits, top_k, weight=weight)
-            for text, hits in zip(query_texts, hits_batch)
+            rerank_hits(
+                (query_texts[i] if i < len(query_texts) else None) or "",
+                hits,
+                top_k,
+                weight=weight,
+            )
+            for i, hits in enumerate(hits_batch)
         ]
 
     def _fetch_k(self, index, top_k: int, filters) -> int:
@@ -684,12 +729,18 @@ class VectorStore:
         # index the ids came from even across a concurrent promotion/load.
         # Incremental reverse map: point lookups only (building this per
         # search would be O(corpus) host work on every query).
+        # top_k: one int for every query, or a per-query limit list (the
+        # rerank window applies only to queries that carry text).
         _, row_to_id, row_meta, _ = view
+        limits = (
+            top_k if isinstance(top_k, (list, tuple))
+            else [top_k] * len(scores)
+        )
         out: List[List[SearchHit]] = []
-        for q_scores, q_ids in zip(scores, ids):
+        for q_scores, q_ids, lim in zip(scores, ids, limits):
             hits: List[SearchHit] = []
             for s, r in zip(q_scores.tolist(), q_ids.tolist()):
-                if r < 0 or len(hits) >= top_k:
+                if r < 0 or len(hits) >= lim:
                     continue
                 pid = row_to_id.get(int(r))
                 if pid is None:

@@ -149,3 +149,51 @@ def test_tf_cache_is_content_keyed():
     a2 = _hit("x", 0.99, "gamma")  # re-ingested: same id, new text
     out2 = rerank_hits("gamma", [_hit("y", 1.0, "zzzzz"), a2], 2, weight=0.8)
     assert out2[0].id == "x"
+
+
+def test_device_path_filter_not_resurrected(tmp_path, mesh8, rng):
+    # Regression: search_batch_device must scrub sentinel-scored (tag-
+    # masked) slots BEFORE the host rescore — otherwise the rescore
+    # overwrites the filter sentinel with the row's true score and rows
+    # from the filtered-OUT repo leak into (and outrank) the results.
+    # The 10x rerank window makes the over-fetch reach far past the
+    # allowed repo's row count, so every masked slot is in the window.
+    import jax.numpy as jnp
+
+    dim = 32
+    vecs = rng.standard_normal((48, dim)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    cfg = AppSettings(
+        workspace_root=tmp_path,
+        embedding_dimension=dim,
+        index_kind="flat",
+        index_dtype="int8",  # host rescore active (no device mirror on cpu)
+        index_metric="ip",
+        search_rerank_weight=0.5,
+    )
+    store = VectorStore(cfg, mesh=mesh8)
+    store.upsert_embeddings(
+        [
+            EmbeddingPayload(
+                id=f"c{i}",
+                text=f"def fn_{i}(): pass",
+                vector=vecs[i],
+                metadata={
+                    "repo": "big" if i < 40 else "small",
+                    "path": f"f{i}.py",
+                    "language": "python",
+                    "text": f"def fn_{i}(): pass",
+                },
+            )
+            for i in range(48)
+        ]
+    )
+    q = jnp.asarray(np.tile(vecs[:1], (8, 1)))  # padded device batch
+    hits = store.search_batch_device(
+        q, top_k=10, filters={"repo": "small"},
+        query_texts=["where is fn_40 defined"],
+    )
+    assert len(hits) == 8  # one-list-per-query contract preserved
+    assert hits[0], "filtered search returned nothing"
+    assert all(h.repo == "small" for h in hits[0])
+    assert hits[0][0].id == "c40"  # rerank finds the named symbol
