@@ -68,19 +68,40 @@ def _build_store(rows: int, dim: int):
 
     vecs = np.asarray(gen(jax.random.PRNGKey(3)))
 
+    # realistic chunk bodies (~0.7 KB, varied identifiers) so the serving
+    # numbers include the second-stage rerank's real host cost — one-line
+    # bodies would make its tokenization stage look free
+    _VERBS = ("parse", "build", "merge", "scan", "flush", "encode", "route")
+    _NOUNS = ("cluster", "payload", "snapshot", "registry", "batch", "shard")
+
+    def _body(i: int) -> str:
+        v, n = _VERBS[i % len(_VERBS)], _NOUNS[(i // 7) % len(_NOUNS)]
+        return (
+            f'"""{v.capitalize()} the {n} state for request {i}."""\n'
+            f"def {v}_{n}_{i % 997}(ctx, retries={i % 5}):\n"
+            f"    state = ctx.lookup('{n}_{i % 53}')\n"
+            f"    for attempt in range(retries + 1):\n"
+            f"        result = state.{v}(timeout_ms={100 + i % 400})\n"
+            f"        if result.ok:\n"
+            f"            return result.value\n"
+            f"    raise RuntimeError('{v} {n} failed after retries')\n"
+        ) * 3
+
     class _P:
         __slots__ = ("id", "text", "vector", "metadata")
 
         def __init__(self, i, v):
             self.id = f"chunk-{i:07d}"
-            self.text = f"def synthetic_fn_{i}():\n    return {i}\n"
+            self.text = _body(i)
             self.vector = v
             self.metadata = {
                 "repo": f"repo-{i % 8}",
                 "path": f"src/mod_{i % 97}.py",
                 "language": "python",
+                "symbol": f"{_VERBS[i % len(_VERBS)]}_"
+                          f"{_NOUNS[(i // 7) % len(_NOUNS)]}_{i % 997}",
                 "start_line": 1,
-                "end_line": 3,
+                "end_line": 24,
             }
 
     payloads = [_P(i, vecs[i]) for i in range(rows)]
