@@ -274,6 +274,24 @@ def main() -> None:
             got[i : i + BATCH] = np.asarray(ids)
         return recall_of(got, oracle_ids)
 
+    def timed_qps_chunked(secs, chunk_b=16):
+        """Flagship throughput: B batches folded into ONE device dispatch
+        (scan.exact_scan_batched). The fixed per-dispatch fee (~2-3 ms on a
+        service-tunnel TPU — larger than the whole 1M x 384 scan's ~1.3 ms
+        of device time) otherwise caps batch-at-a-time serving; chunked
+        dispatch is how a real serving stack amortizes it."""
+        qs_chunk = jnp.stack(
+            [q_batches[i % len(q_batches)] for i in range(chunk_b)]
+        )
+        np.asarray(ivf.search_device_batched(qs_chunk, K)[0])  # warm/compile
+        t_start = time.perf_counter()
+        n_done = 0
+        while time.perf_counter() - t_start < secs:
+            outs = [ivf.search_device_batched(qs_chunk, K) for _ in range(4)]
+            n_done += 4 * chunk_b * BATCH
+            np.asarray(outs[-1][0])
+        return n_done / (time.perf_counter() - t_start)
+
     def timed_qps(mode, batches, secs, nprobe=None):
         np.asarray(ivf.search_device(batches[0], K, mode=mode,
                                      nprobe=nprobe)[0])  # warm
@@ -309,10 +327,33 @@ def main() -> None:
         f"section {time.perf_counter()-t0:.1f}s)")
     RES.extras["recall_at_10_exact"] = round(recall, 4)
 
-    qps, p50, p99 = timed_qps("exact", q_batches, min(TIMED_SECS, 20))
-    log(f"TPU exact scan: {qps:.0f} QPS amortized (batch={BATCH}),"
+    qps_single, p50, p99 = timed_qps("exact", q_batches, min(TIMED_SECS, 20))
+    log(f"TPU exact scan: {qps_single:.0f} QPS per-dispatch (batch={BATCH}),"
         f" single-call p50={p50:.1f}ms p99={p99:.1f}ms per batch")
-    RES.extras.update(batch_p50_ms=round(p50, 1), batch_p99_ms=round(p99, 1))
+    RES.extras.update(batch_p50_ms=round(p50, 1), batch_p99_ms=round(p99, 1),
+                      qps_per_dispatch=round(qps_single, 1))
+    # provisional flagship line NOW: the chunked-dispatch compile below is
+    # one more executable — on a degraded tunnel it can take minutes, and a
+    # driver kill must never cost the already-measured number
+    RES.value = round(qps_single, 1)
+    RES.metric = (
+        f"query throughput at recall@10={recall:.4f} "
+        f"(N={N}, dim={DIM}, {DTYPE}, exact scan, per-dispatch; "
+        f"chunked-dispatch measurement pending)"
+    )
+    RES.emit()
+    qps = qps_single
+    if remaining() > 120:
+        try:
+            qps_chunk = timed_qps_chunked(min(TIMED_SECS, 20))
+            log(f"TPU exact scan, chunked dispatch (B=16 batches/launch): "
+                f"{qps_chunk:.0f} QPS")
+            RES.extras["dispatch_chunked"] = True
+            qps = max(qps_chunk, qps_single)
+        except Exception as exc:  # noqa: BLE001 - flagship must still land
+            log(f"chunked dispatch failed ({exc!r}); using per-dispatch QPS")
+    else:
+        log("skip chunked dispatch: budget low")
 
     # ---- CPU baseline (numpy IVF-equivalent, sampled + extrapolated) --------
     base_qps = None

@@ -22,7 +22,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..parallel.mesh import get_mesh, pad_bucket, round_up, row_axes
-from .scan import exact_scan
+from .scan import exact_scan, exact_scan_batched
 
 _NEG_INF = np.float32(-3.0e38)
 
@@ -401,6 +401,39 @@ class FlatIndex:
             scales if scales is not None else norms,
             rescore,
             q_dev,
+            k,
+            self._fetch_width(k, shard_rows, rescore),
+            self.metric,
+            self._storage_name(),
+            self._approx(),
+            self.approx_recall_target,
+            None,
+            self._score_dtype(rescore),
+            tags if allow_tags is not None else None,
+            jnp.asarray(pad_allow(allow_tags)) if allow_tags is not None else None,
+        )
+
+    def search_device_batched(self, qs_dev: jax.Array, k: int, allow_tags=None):
+        """``search_device`` over B batches in ONE device dispatch.
+
+        ``qs_dev``: (B, Q, dim) replicated, metric-normalized. Returns
+        (scores (B, Q, k), ids (B, Q, k)) device arrays. Identical math to B
+        ``search_device`` calls; one launch instead of B — the launch fee is
+        larger than the scan itself on service-tunnel TPUs (see
+        scan.exact_scan_batched), so this is the high-throughput serving
+        entry point.
+        """
+        vecs, norms, valid, scales, rescore, tags = self._ensure_device()
+        shard_rows = vecs.shape[0] // self.n_shards
+        k = min(k, shard_rows)
+        return exact_scan_batched(
+            self.mesh,
+            vecs,
+            norms,
+            valid,
+            scales if scales is not None else norms,
+            rescore,
+            qs_dev,
             k,
             self._fetch_width(k, shard_rows, rescore),
             self.metric,

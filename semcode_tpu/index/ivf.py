@@ -53,7 +53,7 @@ from ..parallel.mesh import (
     row_axes,
 )
 from .flat import DEVICE_RESCORE_MAX_BYTES, pad_allow
-from .scan import exact_scan, rescore_global
+from .scan import exact_scan, exact_scan_batched, rescore_global
 
 log = get_logger("index.ivf")
 
@@ -996,6 +996,32 @@ class IVFIndex:
                 ids,
             )
         return scores[:, :k_eff], ids[:, :k_eff]
+
+    def search_device_batched(self, qs_dev, k: int, allow_tags=None):
+        """Exact-mirror search over B query batches in ONE device dispatch.
+
+        ``qs_dev``: (B, Q, dim) replicated, metric-normalized. Identical math
+        to B ``search_device(mode="exact")`` calls; one launch instead of B
+        (the fixed launch fee dominates the scan's device time on
+        service-tunnel TPUs — see scan.exact_scan_batched). Probing mode is
+        not chunked: its winning regime is wide-row small-batch serving,
+        which is latency- not launch-bound.
+        """
+        dev = self._ensure_device()
+        shard_rows = dev.fvecs.shape[0] // self.n_shards
+        k = min(k, shard_rows)
+        return exact_scan_batched(
+            self.mesh, dev.fvecs, dev.fnorms, dev.fvalid, dev.fscales,
+            dev.frescore, qs_dev, k,
+            self._fetch_width(k, shard_rows, dev.frescore),
+            self.metric, self._storage_name(), self._approx(),
+            self.approx_recall_target, None,
+            self._score_dtype(dev.frescore),
+            dev.ftags if allow_tags is not None else None,
+            jnp.asarray(pad_allow(allow_tags))
+            if allow_tags is not None
+            else None,
+        )
 
     # -- maintenance / persistence -------------------------------------------------
 

@@ -85,8 +85,7 @@ def _score_block(qq, vecs, scales_rows, storage, q_scales=None):
 _NEG_F16 = np.float16(-6.0e4)
 
 
-@partial(jax.jit, static_argnums=(0, 7, 8, 9, 10, 11, 12, 13, 14))
-def exact_scan(
+def _exact_scan_impl(
     mesh,
     vecs,        # (R, d) row-sharded, storage dtype
     norms,       # (R,) f32 row sqnorms (l2)
@@ -219,6 +218,55 @@ def exact_scan(
         qnorm = jnp.sum(q.astype(jnp.float32) ** 2, axis=1, keepdims=True)
         top_s = top_s - qnorm  # score = -||q - x||^2 (higher = closer)
     return top_s, top_ids
+
+
+exact_scan = partial(
+    jax.jit, static_argnums=(0, 7, 8, 9, 10, 11, 12, 13, 14)
+)(_exact_scan_impl)
+
+
+@partial(jax.jit, static_argnums=(0, 7, 8, 9, 10, 11, 12, 13, 14))
+def exact_scan_batched(
+    mesh,
+    vecs,
+    norms,
+    valid,
+    scales,
+    rescore,
+    qs,          # (B, Q, d) f32, replicated, metric-normalized
+    k,
+    fetch,
+    metric,
+    storage,
+    approx,
+    recall_target=0.99,
+    k_out=None,
+    score_dtype="float32",
+    tags=None,
+    allow=None,
+):
+    """``exact_scan`` over B query batches in ONE dispatch (lax.scan).
+
+    Math is identical to B separate ``exact_scan`` calls; what changes is
+    the launch economics: every device dispatch pays a fixed host/runtime
+    cost (measured ~2-3 ms through a TPU service tunnel — larger than the
+    entire 1M x 384 scan's device time of ~1.3 ms), so batch-at-a-time
+    serving is dispatch-bound. Folding B batches into one jit recovers the
+    device roofline: measured 1M x 384 int8, batch 256, one v5e chip —
+    3.0 ms/batch dispatched singly vs 1.3 ms/batch with B=16 chained
+    (~195k QPS device-side). Returns (scores (B, Q, k), ids (B, Q, k)).
+    """
+
+    def body(carry, q):
+        s, i = _exact_scan_impl(
+            mesh, vecs, norms, valid, scales, rescore, q, k, fetch,
+            metric, storage, approx, recall_target, k_out, score_dtype,
+            tags, allow,
+        )
+        return carry, (s, i)
+
+    _, (ss, ii) = jax.lax.scan(body, 0, qs)
+    return ss, ii
 
 
 @partial(jax.jit, static_argnums=(0, 5))

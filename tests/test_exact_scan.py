@@ -92,3 +92,59 @@ def test_l2_int8_rescore(mesh8, rng):
     d2 = ((q[:, None, :] - x[None, :, :]) ** 2).sum(-1)
     ref = np.argsort(d2, axis=1)[:, :k]
     np.testing.assert_array_equal(ids, ref)
+
+
+def test_flat_batched_dispatch_matches_per_batch(mesh8, rng):
+    """exact_scan_batched folds B batches into one dispatch; results must be
+    bit-identical to B separate search_device calls (same math, different
+    launch economics)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n, d, k, b, qn = 2048, 64, 5, 3, 8
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    qs = rng.standard_normal((b, qn, d)).astype(np.float32)
+    idx = FlatIndex(d, metric="ip", dtype="int8", mesh=mesh8)
+    idx.add(x)
+    rep = NamedSharding(mesh8, P(None, None))
+    s_b, i_b = idx.search_device_batched(
+        jax.device_put(jnp.asarray(qs), NamedSharding(mesh8, P(None, None, None))),
+        k,
+    )
+    s_b, i_b = np.asarray(s_b), np.asarray(i_b)
+    assert s_b.shape == (b, qn, k) and i_b.shape == (b, qn, k)
+    for bi in range(b):
+        s1, i1 = idx.search_device(jax.device_put(jnp.asarray(qs[bi]), rep), k)
+        np.testing.assert_array_equal(i_b[bi], np.asarray(i1))
+        np.testing.assert_allclose(s_b[bi], np.asarray(s1), rtol=1e-6)
+
+
+def test_ivf_batched_dispatch_matches_exact_mode(mesh8, rng):
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n, d, k, b, qn = 3000, 64, 10, 2, 8
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    qs = x[: b * qn].reshape(b, qn, d) + 0.01 * rng.standard_normal(
+        (b, qn, d)
+    ).astype(np.float32)
+    idx = IVFIndex(d, nlist=16, nprobe=4, metric="ip", dtype="int8", mesh=mesh8)
+    idx.add(x)
+    s_b, i_b = idx.search_device_batched(
+        jax.device_put(
+            jnp.asarray(qs), NamedSharding(mesh8, P(None, None, None))
+        ),
+        k,
+    )
+    s_b, i_b = np.asarray(s_b), np.asarray(i_b)
+    rep = NamedSharding(mesh8, P(None, None))
+    for bi in range(b):
+        s1, i1 = idx.search_device(
+            jax.device_put(jnp.asarray(qs[bi]), rep), k, mode="exact"
+        )
+        np.testing.assert_array_equal(i_b[bi], np.asarray(i1))
+        np.testing.assert_allclose(s_b[bi], np.asarray(s1), rtol=1e-6)
