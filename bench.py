@@ -455,6 +455,30 @@ def main() -> None:
             f"p99={RES.extras['serving_p99_ms']}ms "
             f"(auto={RES.extras['serving_auto_mode']})")
 
+    def timed_qps_chunked_probe(secs, nprobe, chunk_b=16):
+        """Chained probing throughput at the serving batch size: B probe
+        steps per launch (mode="probe"). In probing's winning regime the
+        device step is far below the ~2-3 ms launch fee, so per-dispatch
+        numbers measure the launch, not the engine."""
+        qs_chunk = jnp.stack(
+            [serve_batches[i % len(serve_batches)] for i in range(chunk_b)]
+        )
+        np.asarray(
+            ivf.search_device_batched(qs_chunk, K, mode="probe",
+                                      nprobe=nprobe)[0]
+        )
+        t_start = time.perf_counter()
+        n_done = 0
+        while time.perf_counter() - t_start < secs:
+            outs = [
+                ivf.search_device_batched(qs_chunk, K, mode="probe",
+                                          nprobe=nprobe)
+                for _ in range(4)
+            ]
+            n_done += 4 * chunk_b * SERVE_BATCH
+            np.asarray(outs[-1][0])
+        return n_done / (time.perf_counter() - t_start)
+
     def sec_small_batch():
         # probing-vs-exact regime at the serving batch size; probing also at
         # nprobe=16 (the reference's Milvus default) where it reads 2x less
@@ -462,6 +486,12 @@ def main() -> None:
         qe, _, _ = timed_qps("exact", serve_batches, secs)
         qi32, _, _ = timed_qps("ivf", serve_batches, secs)
         qi16, _, _ = timed_qps("ivf", serve_batches, secs, nprobe=16)
+        try:
+            qi16c = timed_qps_chunked_probe(secs, nprobe=16)
+            RES.extras["small_batch_probing16_chunked_qps"] = round(qi16c, 1)
+            log(f"small-batch probing16 chunked (B=16/launch): {qi16c:.0f} QPS")
+        except Exception as exc:  # noqa: BLE001
+            log(f"chunked probing failed: {exc!r}")
         got = np.zeros((len(serve_batches) * SERVE_BATCH, K), dtype=np.int64)
         for bi, b in enumerate(serve_batches):
             _, ids = ivf.search_device(b, K, mode="ivf", nprobe=16)

@@ -997,31 +997,53 @@ class IVFIndex:
             )
         return scores[:, :k_eff], ids[:, :k_eff]
 
-    def search_device_batched(self, qs_dev, k: int, allow_tags=None):
-        """Exact-mirror search over B query batches in ONE device dispatch.
+    def search_device_batched(
+        self, qs_dev, k: int, allow_tags=None, mode: str = "exact",
+        nprobe: Optional[int] = None,
+    ):
+        """Search over B query batches in ONE device dispatch.
 
         ``qs_dev``: (B, Q, dim) replicated, metric-normalized. Identical math
-        to B ``search_device(mode="exact")`` calls; one launch instead of B
-        (the fixed launch fee dominates the scan's device time on
-        service-tunnel TPUs — see scan.exact_scan_batched). Probing mode is
-        not chunked: its winning regime is wide-row small-batch serving,
-        which is latency- not launch-bound.
+        to B ``search_device`` calls; one launch instead of B (the fixed
+        launch fee dominates the scan's device time on service-tunnel TPUs —
+        see scan.exact_scan_batched). ``mode``: "exact" scans the flat
+        mirror; "probe" chains the nprobe cluster-scan path — in its winning
+        regime (wide rows, small batch) a single probe step's device time is
+        far below the launch fee, so chunking multiplies measured throughput.
         """
         dev = self._ensure_device()
-        shard_rows = dev.fvecs.shape[0] // self.n_shards
-        k = min(k, shard_rows)
-        return exact_scan_batched(
-            self.mesh, dev.fvecs, dev.fnorms, dev.fvalid, dev.fscales,
-            dev.frescore, qs_dev, k,
-            self._fetch_width(k, shard_rows, dev.frescore),
-            self.metric, self._storage_name(), self._approx(),
-            self.approx_recall_target, None,
-            self._score_dtype(dev.frescore),
-            dev.ftags if allow_tags is not None else None,
-            jnp.asarray(pad_allow(allow_tags))
-            if allow_tags is not None
-            else None,
+        if allow_tags is not None:
+            mode = "exact"  # tag masking rides the flat mirror (see search())
+        if mode == "exact":
+            shard_rows = dev.fvecs.shape[0] // self.n_shards
+            k = min(k, shard_rows)
+            return exact_scan_batched(
+                self.mesh, dev.fvecs, dev.fnorms, dev.fvalid, dev.fscales,
+                dev.frescore, qs_dev, k,
+                self._fetch_width(k, shard_rows, dev.frescore),
+                self.metric, self._storage_name(), self._approx(),
+                self.approx_recall_target, None,
+                self._score_dtype(dev.frescore),
+                dev.ftags if allow_tags is not None else None,
+                jnp.asarray(pad_allow(allow_tags))
+                if allow_tags is not None
+                else None,
+            )
+        np_probe = min(nprobe or self.nprobe, dev.data.shape[0])
+        rows_total = dev.data.shape[0] * dev.data.shape[1]
+        fetch = max(4 * k, 64) if dev.frescore is not None else k
+        k_shard = min(
+            fetch, dev.data.shape[1] * np_probe, rows_total // self.n_shards
         )
+        k_eff = min(k, k_shard * self.n_shards)
+        scales = dev.scales if dev.scales is not None else dev.sqnorms
+        scores, ids = _ivf_probe_batched(
+            self.mesh, dev.data, dev.ids, dev.sqnorms, scales, dev.centroids,
+            dev.frescore, dev.fnorms, qs_dev, k_shard, np_probe, self.metric,
+            self._pallas_mode(), self._dtype == jnp.int8,
+            min(fetch, k_shard * self.n_shards),
+        )
+        return scores[:, :, :k_eff], ids[:, :, :k_eff]
 
     # -- maintenance / persistence -------------------------------------------------
 
@@ -1276,6 +1298,32 @@ def _resort(scores, ids):
     """Order (scores, ids) by descending score (post-rescore)."""
     s, pos = jax.lax.top_k(scores, scores.shape[1])
     return s, jnp.take_along_axis(ids, pos, axis=1)
+
+
+@partial(jax.jit, static_argnums=(0, 9, 10, 11, 12, 13, 14))
+def _ivf_probe_batched(mesh, data, ids, sqnorms, scales, centroids, frescore,
+                       fnorms, qs, k, nprobe, metric, pallas_mode, quantized,
+                       k_out):
+    """B probing searches (+ optional global f32 rescore) in ONE dispatch.
+
+    lax.scan over the leading axis of ``qs`` (B, Q, d); each iteration is
+    the same traced graph as `_ivf_search` (+ rescore_global + _resort) —
+    the nested jitted calls inline. See scan.exact_scan_batched for the
+    launch-fee economics this amortizes."""
+
+    def body(carry, q):
+        s, i = _ivf_search(
+            mesh, data, ids, sqnorms, scales, centroids, q, k, nprobe,
+            metric, pallas_mode, quantized, k_out,
+        )
+        if frescore is not None:
+            s, i = _resort(
+                rescore_global(mesh, frescore, fnorms, q, i, metric), i
+            )
+        return carry, (s, i)
+
+    _, (ss, ii) = jax.lax.scan(body, 0, qs)
+    return ss, ii
 
 
 @jax.jit

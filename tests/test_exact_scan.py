@@ -148,3 +148,33 @@ def test_ivf_batched_dispatch_matches_exact_mode(mesh8, rng):
         )
         np.testing.assert_array_equal(i_b[bi], np.asarray(i1))
         np.testing.assert_allclose(s_b[bi], np.asarray(s1), rtol=1e-6)
+
+
+def test_ivf_batched_probe_matches_per_batch(mesh8, rng):
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n, d, k, b, qn = 3000, 64, 10, 2, 8
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    qs = x[: b * qn].reshape(b, qn, d) + 0.01 * rng.standard_normal(
+        (b, qn, d)
+    ).astype(np.float32)
+    idx = IVFIndex(d, nlist=16, nprobe=8, metric="ip", dtype="int8", mesh=mesh8)
+    idx.add(x)
+    s_b, i_b = idx.search_device_batched(
+        jax.device_put(
+            jnp.asarray(qs), NamedSharding(mesh8, P(None, None, None))
+        ),
+        k,
+        mode="probe",
+    )
+    s_b, i_b = np.asarray(s_b), np.asarray(i_b)
+    rep = NamedSharding(mesh8, P(None, None))
+    for bi in range(b):
+        s1, i1 = idx.search_device(
+            jax.device_put(jnp.asarray(qs[bi]), rep), k, mode="ivf"
+        )
+        np.testing.assert_array_equal(i_b[bi], np.asarray(i1))
+        np.testing.assert_allclose(s_b[bi], np.asarray(s1), rtol=1e-6)
