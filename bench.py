@@ -728,7 +728,32 @@ def run_highdim() -> None:
     secs = max(3.0, min(TIMED_SECS / 4, remaining() / 20))
     qe8 = qps_of("exact", small, secs)
     qi8 = qps_of("ivf", small, secs, nprobe=16)
+    # chained probing at the serving batch: in THIS regime (wide rows,
+    # batch 8) the probe step's device time is far below the launch fee,
+    # so per-dispatch qi8 measures the launch; B=16 steps/launch measures
+    # the engine (see scan.exact_scan_batched)
+    qi8c = None
+    if remaining() > 120:
+        try:
+            qs_chunk = jnp.stack([small[i % len(small)] for i in range(16)])
+            np.asarray(hivf.search_device_batched(
+                qs_chunk, K, mode="probe", nprobe=16)[0])
+            t_s = time.perf_counter()
+            n_done = 0
+            while time.perf_counter() - t_s < secs:
+                outs = [hivf.search_device_batched(qs_chunk, K, mode="probe",
+                                                   nprobe=16)
+                        for _ in range(4)]
+                n_done += 4 * 16 * 8
+                np.asarray(outs[-1][0])
+            qi8c = n_done / (time.perf_counter() - t_s)
+            log(f"highdim probing16 chunked (B=16/launch): {qi8c:.0f} QPS")
+        except Exception as exc:  # noqa: BLE001
+            log(f"highdim chunked probing failed: {exc!r}")
     RES.extras.update(
+        d3072_small_batch_probing16_chunked_qps=(
+            round(qi8c, 1) if qi8c else None
+        ),
         d3072_build_s=round(build_s, 1),
         d3072_recall_at_10=round(rec, 4),
         d3072_qps=round(qps, 1),
