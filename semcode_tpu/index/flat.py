@@ -84,11 +84,14 @@ class FlatIndex:
         approx_recall_target: float = 0.95,
         score_dtype: str = "auto",  # auto | float32 | float16
         fetch_width: int = 0,  # 0 = auto (max(4k, 128)); rescore candidate pool
+        scan_impl: str = "auto",  # auto | xla | pallas (exact-scan kernel)
     ):
         if metric not in ("ip", "cosine", "l2"):
             raise ValueError(f"unknown metric: {metric}")
         if score_dtype not in ("auto", "float32", "float16"):
             raise ValueError(f"unknown score_dtype: {score_dtype}")
+        if scan_impl not in ("auto", "xla", "pallas"):
+            raise ValueError(f"unknown scan_impl: {scan_impl}")
         self.dim = int(dim)
         self.metric = metric
         self.mesh = mesh if mesh is not None else get_mesh()
@@ -101,6 +104,7 @@ class FlatIndex:
         self.approx_recall_target = float(approx_recall_target)
         self.score_dtype = score_dtype
         self.fetch_width = int(fetch_width)
+        self.scan_impl = scan_impl
         # rows must split evenly across shards AND stay lane-aligned
         import math
 
@@ -312,6 +316,17 @@ class FlatIndex:
         """approx_max_k only pays (and only lowers natively) on TPU."""
         return self.approx_topk and jax.default_backend() == "tpu"
 
+    def _scan_impl(self) -> str:
+        """Exact-scan kernel routing. 'auto' keeps the XLA path (it wins
+        the chained-dispatch measurements so far — docs/BENCHMARKS.md
+        dispatch-economics section); 'pallas' forces the fused top-2 kernel
+        (ops/scan_kernel2), via the interpreter off-TPU."""
+        if self.scan_impl != "pallas" or self.dim % 128 != 0:
+            return "xla"
+        return (
+            "pallas" if jax.default_backend() == "tpu" else "pallas-interpret"
+        )
+
     def _fetch_width(self, k: int, shard_rows: int, rescore) -> int:
         """Per-shard candidate width. With the fused rescore active we
         over-fetch so approx-selection/storage-precision misses are recovered
@@ -371,6 +386,7 @@ class FlatIndex:
             self._score_dtype(rescore),
             tags if allow_tags is not None else None,
             jnp.asarray(pad_allow(allow_tags)) if allow_tags is not None else None,
+            self._scan_impl(),
         )
         scores = np.asarray(scores[:n_q]).astype(np.float32)
         ids = np.asarray(ids[:n_q]).astype(np.int64)
@@ -411,6 +427,7 @@ class FlatIndex:
             self._score_dtype(rescore),
             tags if allow_tags is not None else None,
             jnp.asarray(pad_allow(allow_tags)) if allow_tags is not None else None,
+            self._scan_impl(),
         )
 
     def search_device_batched(self, qs_dev: jax.Array, k: int, allow_tags=None):
@@ -444,6 +461,7 @@ class FlatIndex:
             self._score_dtype(rescore),
             tags if allow_tags is not None else None,
             jnp.asarray(pad_allow(allow_tags)) if allow_tags is not None else None,
+            self._scan_impl(),
         )
 
     # -- maintenance ---------------------------------------------------------------

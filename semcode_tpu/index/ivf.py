@@ -134,6 +134,7 @@ class IVFIndex:
         device_rescore: Optional[bool] = None,  # None = auto by HBM budget
         score_dtype: str = "auto",  # auto | float32 | float16 (exact path)
         fetch_width: int = 0,  # 0 = auto (max(4k, 128)); rescore candidate pool
+        scan_impl: str = "auto",  # auto | xla | pallas (exact-scan kernel)
     ):
         if metric not in ("ip", "cosine", "l2"):
             raise ValueError(f"unknown metric: {metric}")
@@ -157,6 +158,7 @@ class IVFIndex:
         self.device_rescore = device_rescore
         self.score_dtype = score_dtype
         self.fetch_width = int(fetch_width)
+        self.scan_impl = scan_impl
         import math
 
         self._row_multiple = math.lcm(self.n_shards * 8, 128)
@@ -785,6 +787,14 @@ class IVFIndex:
             return self.score_dtype
         return "float32"
 
+    def _scan_impl(self) -> str:
+        """Exact-scan kernel routing (see FlatIndex._scan_impl)."""
+        if self.scan_impl != "pallas" or self.dim % 128 != 0:
+            return "xla"
+        return (
+            "pallas" if jax.default_backend() == "tpu" else "pallas-interpret"
+        )
+
     def _pallas_mode(self) -> str:
         """'off' | 'compiled' | 'interpret' (interpret covers CPU test meshes)."""
         if not self._pallas_eligible() or self.cmax % 128 != 0:
@@ -893,6 +903,7 @@ class IVFIndex:
                 jnp.asarray(pad_allow(allow_tags))
                 if allow_tags is not None
                 else None,
+                self._scan_impl(),
             )
         else:
             rows_total = dev.data.shape[0] * dev.data.shape[1]
@@ -965,6 +976,7 @@ class IVFIndex:
                 jnp.asarray(pad_allow(allow_tags))
                 if allow_tags is not None
                 else None,
+                self._scan_impl(),
             )
         rows_total = dev.data.shape[0] * dev.data.shape[1]
         fetch = max(4 * k, 64) if dev.frescore is not None else k
@@ -1028,6 +1040,7 @@ class IVFIndex:
                 jnp.asarray(pad_allow(allow_tags))
                 if allow_tags is not None
                 else None,
+                self._scan_impl(),
             )
         np_probe = min(nprobe or self.nprobe, dev.data.shape[0])
         rows_total = dev.data.shape[0] * dev.data.shape[1]

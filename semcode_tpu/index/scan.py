@@ -103,8 +103,19 @@ def _exact_scan_impl(
     score_dtype="float32",  # float32 | float16 for the (Q, R) score matrix
     tags=None,   # (R,) int32 row tags for device-side filtering, or None
     allow=None,  # (A,) int32 allowed tag values (pad with -1), with tags
+    scan_impl="xla",  # xla | pallas | pallas-interpret (kernel selection)
 ):
     """Fused: scan + select + (rescore) per shard, all-gather, global merge.
+
+    ``scan_impl="pallas"`` routes the per-shard score+select through
+    ``ops/scan_kernel2.top2_scan_shard``: the (Q, shard_rows) score matrix
+    never leaves VMEM and each 128-row block emits its top-2 (score, row);
+    the usual approx/exact top-k then runs on the 2*R/128-wide reduced
+    matrix and the fused f32 rescore re-orders exactly as in the XLA path.
+    Selection differs from approx_max_k only when >= 3 of the true top-k
+    share one 128-row block (P ~ 1e-5 per query at 1M rows).
+    "pallas-interpret" is the same math through the Pallas interpreter
+    (CPU test meshes).
 
     ``score_dtype="float16"`` is an experimental knob that emits the (Q, R)
     score matrix as fp16. Measured on a v5e chip (1M x 384, int8 + fused
@@ -134,10 +145,11 @@ def _exact_scan_impl(
     fetch = min(fetch, shard_rows)
     k = min(k, fetch)
     k_out = min(k_out, k * n_shards)
-    f16 = score_dtype == "float16"
+    f16 = score_dtype == "float16" and scan_impl == "xla"
     neg = _NEG_F16 if f16 else _NEG_INF
     has_resc = rescore is not None
     has_tags = tags is not None
+    use_pallas = scan_impl in ("pallas", "pallas-interpret")
 
     if storage == "int8":
         qq, q_scales = quantize_queries_device(q)
@@ -153,22 +165,59 @@ def _exact_scan_impl(
             vld = vld & (t[:, None] == alw[None, :]).any(axis=1)
         qq_s, q_f32 = next(it), next(it)
         base = linear_rank(mesh, axes) * shard_rows
-        scores = _score_block(qq_s, v, scl, storage, q_scales)
-        if metric == "l2":
-            scores = 2.0 * scores - nrm[None, :]
-        if f16:
-            # fused into the matmul epilogue: the big matrix hits HBM as fp16.
-            # clip first so un-normalized corpora can't overflow to inf (the
-            # clipped extremes tie, and the f32 rescore re-orders the fetch).
-            # the clip range stays strictly INSIDE the -6e4 mask sentinel so a
-            # legitimately-extreme negative score can never collide with the
-            # sentinel and be dropped by the `s > neg/2` validity test below
-            scores = jnp.clip(scores, -2.9e4, 6.0e4).astype(jnp.float16)
-        scores = jnp.where(vld[None, :], scores, neg)
-        if approx:
-            s, pos = jax.lax.approx_max_k(scores, fetch, recall_target=recall_target)
+        if use_pallas:
+            from ..ops.scan_kernel2 import top2_scan_shard
+
+            # fold metric/scale/mask terms into per-row mult/add vectors:
+            # kernel score = raw * q_scale * mult + add (see scan_kernel2)
+            mult = scl if storage == "int8" else jnp.ones_like(nrm)
+            if metric == "l2":
+                mult = 2.0 * mult
+            addv = jnp.where(vld, 0.0, _NEG_INF)
+            if metric == "l2":
+                addv = addv - nrm
+            qk = (qq_s if storage == "int8"
+                  else qq_s.astype(jnp.bfloat16))
+            qsc = (q_scales if storage == "int8"
+                   else jnp.ones((qq_s.shape[0],), jnp.float32))
+            bm, br = top2_scan_shard(
+                v, mult[None, :], addv[None, :], qk, qsc[:, None],
+                interpret=(scan_impl == "pallas-interpret"),
+            )
+            fetch_p = min(fetch, bm.shape[1])
+            # approx selection only pays on wide reduced matrices; exact
+            # top_k over a few thousand columns is already cheap
+            if approx and bm.shape[1] > 4 * fetch_p:
+                s, sel = jax.lax.approx_max_k(
+                    bm, fetch_p, recall_target=recall_target
+                )
+            else:
+                s, sel = jax.lax.top_k(bm, fetch_p)
+            pos = jnp.take_along_axis(br, sel, axis=1)
+            if s.shape[1] < k:  # tiny shards: keep downstream widths legal
+                pad = k - s.shape[1]
+                s = jnp.pad(s, ((0, 0), (0, pad)), constant_values=_NEG_INF)
+                pos = jnp.pad(pos, ((0, 0), (0, pad)))
         else:
-            s, pos = jax.lax.top_k(scores, fetch)  # (Q, fetch) local rows
+            scores = _score_block(qq_s, v, scl, storage, q_scales)
+            if metric == "l2":
+                scores = 2.0 * scores - nrm[None, :]
+            if f16:
+                # fused into the matmul epilogue: the big matrix hits HBM as
+                # fp16. clip first so un-normalized corpora can't overflow to
+                # inf (the clipped extremes tie, and the f32 rescore re-orders
+                # the fetch). the clip range stays strictly INSIDE the -6e4
+                # mask sentinel so a legitimately-extreme negative score can
+                # never collide with the sentinel and be dropped by the
+                # `s > neg/2` validity test below
+                scores = jnp.clip(scores, -2.9e4, 6.0e4).astype(jnp.float16)
+            scores = jnp.where(vld[None, :], scores, neg)
+            if approx:
+                s, pos = jax.lax.approx_max_k(
+                    scores, fetch, recall_target=recall_target
+                )
+            else:
+                s, pos = jax.lax.top_k(scores, fetch)  # (Q, fetch) local rows
         s = s.astype(jnp.float32)
         if resc is not None:
             # fused exact rescore: gather candidate rows from the f32 mirror.
@@ -221,11 +270,11 @@ def _exact_scan_impl(
 
 
 exact_scan = partial(
-    jax.jit, static_argnums=(0, 7, 8, 9, 10, 11, 12, 13, 14)
+    jax.jit, static_argnums=(0, 7, 8, 9, 10, 11, 12, 13, 14, 17)
 )(_exact_scan_impl)
 
 
-@partial(jax.jit, static_argnums=(0, 7, 8, 9, 10, 11, 12, 13, 14))
+@partial(jax.jit, static_argnums=(0, 7, 8, 9, 10, 11, 12, 13, 14, 17))
 def exact_scan_batched(
     mesh,
     vecs,
@@ -244,6 +293,7 @@ def exact_scan_batched(
     score_dtype="float32",
     tags=None,
     allow=None,
+    scan_impl="xla",
 ):
     """``exact_scan`` over B query batches in ONE dispatch (lax.scan).
 
@@ -261,7 +311,7 @@ def exact_scan_batched(
         s, i = _exact_scan_impl(
             mesh, vecs, norms, valid, scales, rescore, q, k, fetch,
             metric, storage, approx, recall_target, k_out, score_dtype,
-            tags, allow,
+            tags, allow, scan_impl,
         )
         return carry, (s, i)
 

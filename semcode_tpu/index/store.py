@@ -186,6 +186,7 @@ class VectorStore:
                     approx_recall_target=self.config.index_approx_recall_target,
                     score_dtype=self.config.index_score_dtype,
                     fetch_width=self.config.index_fetch_width,
+                    scan_impl=self.config.index_scan_impl,
                 )
             self._view = (index, row_to_id, row_meta, id_to_row)
         return index
@@ -203,6 +204,7 @@ class VectorStore:
             device_rescore=self.config.index_device_rescore,
             score_dtype=self.config.index_score_dtype,
             fetch_width=self.config.index_fetch_width,
+            scan_impl=self.config.index_scan_impl,
         )
 
     def _maybe_promote(self) -> None:
