@@ -401,3 +401,28 @@ def test_delete_where_and_list_chunks(tmp_path, mesh8, rng):
     assert store.count() == 18
     assert store.delete_where({"repo": "ra"}) == 8
     assert store.count() == 10
+
+
+def test_search_bulk_matches_search_batch(tmp_path, mesh8, rng):
+    """search_bulk (chunked dispatch) returns the same hits as the
+    per-batch path, including under filters and with a padded tail."""
+    store = VectorStore(_cfg(tmp_path), mesh=mesh8)
+    p1, v1 = _payloads(rng, 60, prefix="a", repo="r1")
+    p2, v2 = _payloads(rng, 40, prefix="b", repo="r2")
+    store.upsert_embeddings(p1)
+    store.upsert_embeddings(p2)
+    q = np.concatenate([v1[:7], v2[:6]])  # 13 queries: exercises 8-padding
+    bulk = store.search_bulk(q, top_k=3, batch_q=8, chunk_batches=2)
+    ref = store.search_batch(q, top_k=3)
+    assert len(bulk) == len(ref) == 13
+    for hb, hr in zip(bulk, ref):
+        assert [h.id for h in hb] == [h.id for h in hr]
+        np.testing.assert_allclose(
+            [h.score for h in hb], [h.score for h in hr], rtol=1e-5
+        )
+    # filtered: only r2 rows may appear
+    fb = store.search_bulk(q, top_k=3, filters={"repo": "r2"}, batch_q=8)
+    fr = store.search_batch(q, top_k=3, filters={"repo": "r2"})
+    for hb, hr in zip(fb, fr):
+        assert [h.id for h in hb] == [h.id for h in hr]
+        assert all(h.repo == "r2" for h in hb)
