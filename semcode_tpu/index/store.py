@@ -651,7 +651,7 @@ class VectorStore:
             return [[] for _ in range(m)]
         if self.metric == "cosine":
             q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
-        fetch_k = self._fetch_k(index, top_k * 4 if residual else top_k, residual)
+        fetch_k = self._fetch_k(index, top_k, residual)  # x4 applied inside
         bq = max(8, min(batch_q, ((m + 7) // 8) * 8))
         n_b = (m + bq - 1) // bq
         pad = n_b * bq - m
