@@ -121,6 +121,31 @@ def recall_of(got: np.ndarray, oracle: np.ndarray) -> float:
     )
 
 
+
+def chunked_qps(index, batches, k, secs, *, mode="exact", nprobe=None,
+                chunk_b=16):
+    """Chunked-dispatch throughput: B batches per device launch
+    (IVFIndex.search_device_batched). One shared implementation so the
+    warm-up/loop/sync methodology cannot drift between bench sections."""
+    import jax.numpy as jnp
+
+    qs_chunk = jnp.stack([batches[i % len(batches)] for i in range(chunk_b)])
+    bsz = int(batches[0].shape[0])
+    np.asarray(
+        index.search_device_batched(qs_chunk, k, mode=mode, nprobe=nprobe)[0]
+    )  # warm/compile
+    t_start = time.perf_counter()
+    n_done = 0
+    while time.perf_counter() - t_start < secs:
+        outs = [
+            index.search_device_batched(qs_chunk, k, mode=mode, nprobe=nprobe)
+            for _ in range(4)
+        ]
+        n_done += 4 * chunk_b * bsz
+        np.asarray(outs[-1][0])
+    return n_done / (time.perf_counter() - t_start)
+
+
 def main() -> None:
     log(f"corpus N={N} dim={DIM} nlist={NLIST} nprobe={NPROBE} {DTYPE} "
         f"budget={BUDGET_S:.0f}s")
@@ -274,24 +299,6 @@ def main() -> None:
             got[i : i + BATCH] = np.asarray(ids)
         return recall_of(got, oracle_ids)
 
-    def timed_qps_chunked(secs, chunk_b=16):
-        """Flagship throughput: B batches folded into ONE device dispatch
-        (scan.exact_scan_batched). The fixed per-dispatch fee (~2-3 ms on a
-        service-tunnel TPU — larger than the whole 1M x 384 scan's ~1.3 ms
-        of device time) otherwise caps batch-at-a-time serving; chunked
-        dispatch is how a real serving stack amortizes it."""
-        qs_chunk = jnp.stack(
-            [q_batches[i % len(q_batches)] for i in range(chunk_b)]
-        )
-        np.asarray(ivf.search_device_batched(qs_chunk, K)[0])  # warm/compile
-        t_start = time.perf_counter()
-        n_done = 0
-        while time.perf_counter() - t_start < secs:
-            outs = [ivf.search_device_batched(qs_chunk, K) for _ in range(4)]
-            n_done += 4 * chunk_b * BATCH
-            np.asarray(outs[-1][0])
-        return n_done / (time.perf_counter() - t_start)
-
     def timed_qps(mode, batches, secs, nprobe=None):
         np.asarray(ivf.search_device(batches[0], K, mode=mode,
                                      nprobe=nprobe)[0])  # warm
@@ -345,7 +352,9 @@ def main() -> None:
     qps = qps_single
     if remaining() > 120:
         try:
-            qps_chunk = timed_qps_chunked(min(TIMED_SECS, 20))
+            qps_chunk = chunked_qps(
+                ivf, q_batches, K, min(TIMED_SECS, 20)
+            )
             log(f"TPU exact scan, chunked dispatch (B=16 batches/launch): "
                 f"{qps_chunk:.0f} QPS")
             RES.extras["dispatch_chunked"] = True
@@ -455,30 +464,6 @@ def main() -> None:
             f"p99={RES.extras['serving_p99_ms']}ms "
             f"(auto={RES.extras['serving_auto_mode']})")
 
-    def timed_qps_chunked_probe(secs, nprobe, chunk_b=16):
-        """Chained probing throughput at the serving batch size: B probe
-        steps per launch (mode="probe"). In probing's winning regime the
-        device step is far below the ~2-3 ms launch fee, so per-dispatch
-        numbers measure the launch, not the engine."""
-        qs_chunk = jnp.stack(
-            [serve_batches[i % len(serve_batches)] for i in range(chunk_b)]
-        )
-        np.asarray(
-            ivf.search_device_batched(qs_chunk, K, mode="probe",
-                                      nprobe=nprobe)[0]
-        )
-        t_start = time.perf_counter()
-        n_done = 0
-        while time.perf_counter() - t_start < secs:
-            outs = [
-                ivf.search_device_batched(qs_chunk, K, mode="probe",
-                                          nprobe=nprobe)
-                for _ in range(4)
-            ]
-            n_done += 4 * chunk_b * SERVE_BATCH
-            np.asarray(outs[-1][0])
-        return n_done / (time.perf_counter() - t_start)
-
     def sec_small_batch():
         # probing-vs-exact regime at the serving batch size; probing also at
         # nprobe=16 (the reference's Milvus default) where it reads 2x less
@@ -487,7 +472,9 @@ def main() -> None:
         qi32, _, _ = timed_qps("ivf", serve_batches, secs)
         qi16, _, _ = timed_qps("ivf", serve_batches, secs, nprobe=16)
         try:
-            qi16c = timed_qps_chunked_probe(secs, nprobe=16)
+            qi16c = chunked_qps(
+                ivf, serve_batches, K, secs, mode="probe", nprobe=16
+            )
             RES.extras["small_batch_probing16_chunked_qps"] = round(qi16c, 1)
             log(f"small-batch probing16 chunked (B=16/launch): {qi16c:.0f} QPS")
         except Exception as exc:  # noqa: BLE001
@@ -735,18 +722,7 @@ def run_highdim() -> None:
     qi8c = None
     if remaining() > 120:
         try:
-            qs_chunk = jnp.stack([small[i % len(small)] for i in range(16)])
-            np.asarray(hivf.search_device_batched(
-                qs_chunk, K, mode="probe", nprobe=16)[0])
-            t_s = time.perf_counter()
-            n_done = 0
-            while time.perf_counter() - t_s < secs:
-                outs = [hivf.search_device_batched(qs_chunk, K, mode="probe",
-                                                   nprobe=16)
-                        for _ in range(4)]
-                n_done += 4 * 16 * 8
-                np.asarray(outs[-1][0])
-            qi8c = n_done / (time.perf_counter() - t_s)
+            qi8c = chunked_qps(hivf, small, K, secs, mode="probe", nprobe=16)
             log(f"highdim probing16 chunked (B=16/launch): {qi8c:.0f} QPS")
         except Exception as exc:  # noqa: BLE001
             log(f"highdim chunked probing failed: {exc!r}")

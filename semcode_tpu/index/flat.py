@@ -312,6 +312,14 @@ class FlatIndex:
             self._dtype, "float32"
         )
 
+    @property
+    def rows_allocated(self) -> int:
+        """Upper bound (exclusive) of valid row ids — INCLUDING tombstoned
+        rows. The id-validity bound for scrubbing device results; ``size``
+        happens to equal it here, but IVFIndex.size counts LIVE rows only,
+        so callers must use this property, not ``size``."""
+        return self.size
+
     def _approx(self) -> bool:
         """approx_max_k only pays (and only lowers natively) on TPU."""
         return self.approx_topk and jax.default_backend() == "tpu"
@@ -487,6 +495,7 @@ class FlatIndex:
             approx_recall_target=self.approx_recall_target,
             score_dtype=self.score_dtype,
             fetch_width=self.fetch_width,
+            scan_impl=self.scan_impl,
         )
         if live.size:
             # rows are already metric-normalized; add()'s re-normalization is

@@ -140,6 +140,8 @@ class IVFIndex:
             raise ValueError(f"unknown metric: {metric}")
         if score_dtype not in ("auto", "float32", "float16"):
             raise ValueError(f"unknown score_dtype: {score_dtype}")
+        if scan_impl not in ("auto", "xla", "pallas"):
+            raise ValueError(f"unknown scan_impl: {scan_impl}")
         self.dim = int(dim)
         self.metric = metric
         self.mesh = mesh if mesh is not None else get_mesh()
@@ -787,6 +789,13 @@ class IVFIndex:
             return self.score_dtype
         return "float32"
 
+    @property
+    def rows_allocated(self) -> int:
+        """Upper bound (exclusive) of valid row ids — INCLUDING tombstoned
+        rows (``size`` counts live rows only and SHRINKS on delete, so it is
+        NOT an id bound: after deletions, live rows carry ids >= size)."""
+        return self._n_rows
+
     def _scan_impl(self) -> str:
         """Exact-scan kernel routing (see FlatIndex._scan_impl)."""
         if self.scan_impl != "pallas" or self.dim % 128 != 0:
@@ -1023,6 +1032,12 @@ class IVFIndex:
         regime (wide rows, small batch) a single probe step's device time is
         far below the launch fee, so chunking multiplies measured throughput.
         """
+        if mode not in ("exact", "probe"):
+            raise ValueError(
+                f"search_device_batched mode must be 'exact' or 'probe', "
+                f"got {mode!r} (no 'auto' here: the chained launch commits "
+                f"all B batches to one path)"
+            )
         dev = self._ensure_device()
         if allow_tags is not None:
             mode = "exact"  # tag masking rides the flat mirror (see search())
@@ -1093,6 +1108,7 @@ class IVFIndex:
             device_rescore=self.device_rescore,
             score_dtype=self.score_dtype,
             fetch_width=self.fetch_width,
+            scan_impl=self.scan_impl,
         )
         new.centroids = (
             None if self.centroids is None else self.centroids.copy()

@@ -604,7 +604,7 @@ class VectorStore:
         # resurrect filtered-out rows into the results
         bad = (
             (ids < 0)
-            | (ids >= max(index.size, 1))
+            | (ids >= max(index.rows_allocated, 1))
             | ~np.isfinite(scores)
             | (scores <= _SCORE_SENTINEL / 2)
         )
@@ -652,19 +652,33 @@ class VectorStore:
         if self.metric == "cosine":
             q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
         fetch_k = self._fetch_k(index, top_k, residual)  # x4 applied inside
-        bq = max(8, min(batch_q, ((m + 7) // 8) * 8))
+        # batch sizes stay 8-aligned (search_device contract) and the chunk's
+        # BATCH-AXIS length stays constant (tail padded with zero batches):
+        # every launch reuses ONE compiled executable - an extra shape costs
+        # a fresh compile, which is minutes on a degraded service tunnel
+        bq = max(8, min(((batch_q + 7) // 8) * 8, ((m + 7) // 8) * 8))
         n_b = (m + bq - 1) // bq
+        chunk_b = min(chunk_batches, n_b)
         pad = n_b * bq - m
         if pad:
             q = np.concatenate([q, np.zeros((pad, q.shape[1]), np.float32)])
         qs = q.reshape(n_b, bq, -1)
         all_scores = np.full((n_b * bq, fetch_k), _SCORE_SENTINEL, np.float32)
         all_ids = np.full((n_b * bq, fetch_k), -1, np.int64)
-        for start in range(0, n_b, chunk_batches):
-            stack = jnp.asarray(qs[start : start + chunk_batches])
-            s, i = index.search_device_batched(stack, fetch_k, allow_tags=allow)
-            s = np.asarray(s, dtype=np.float32).reshape(-1, s.shape[-1])
-            i = np.asarray(i).astype(np.int64, copy=False).reshape(-1, i.shape[-1])
+        for start in range(0, n_b, chunk_b):
+            stack = qs[start : start + chunk_b]
+            n_real = stack.shape[0]
+            if n_real < chunk_b:  # pad batch axis: same executable
+                stack = np.concatenate(
+                    [stack, np.zeros((chunk_b - n_real, bq, q.shape[1]),
+                                     np.float32)]
+                )
+            s, i = index.search_device_batched(
+                jnp.asarray(stack), fetch_k, allow_tags=allow
+            )
+            s = np.asarray(s, dtype=np.float32)[:n_real].reshape(-1, s.shape[-1])
+            i = (np.asarray(i).astype(np.int64, copy=False)[:n_real]
+                 .reshape(-1, i.shape[-1]))
             lo = start * bq
             all_scores[lo : lo + s.shape[0], : s.shape[1]] = s
             all_ids[lo : lo + i.shape[0], : i.shape[1]] = i
@@ -673,7 +687,7 @@ class VectorStore:
         # (same contract as search_batch_device)
         bad = (
             (ids < 0)
-            | (ids >= max(index.size, 1))
+            | (ids >= max(index.rows_allocated, 1))
             | ~np.isfinite(scores)
             | (scores <= _SCORE_SENTINEL / 2)
         )

@@ -1,7 +1,9 @@
 """Fused exact-scan kernel, lane-oriented: top-2-per-128-row-block in VMEM.
 
-Second-generation layout of ``scan_kernel.blockmax_scan_shard``, designed
-from two chained-dispatch measurements (1M x 384 int8, batch 256, v5e,
+Second-generation layout of the fused-scan kernel (the first, a
+sublane-block design with per-row vectors as (T, 1) VMEM blocks, was
+dropped after losing on-chip - docs/BENCHMARKS.md dispatch-economics
+section records it), designed from two chained-dispatch measurements (1M x 384 int8, batch 256, v5e,
 lax.scan x16 inside one jit so the ~2-3 ms per-dispatch tunnel fee is
 amortized):
 

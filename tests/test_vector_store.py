@@ -426,3 +426,61 @@ def test_search_bulk_matches_search_batch(tmp_path, mesh8, rng):
     for hb, hr in zip(fb, fr):
         assert [h.id for h in hb] == [h.id for h in hr]
         assert all(h.repo == "r2" for h in hb)
+
+
+def test_device_paths_survive_deletions_on_ivf(tmp_path, mesh8, rng):
+    """Regression: IVFIndex.size counts LIVE rows (shrinks on delete) while
+    row ids range over all allocated rows — the device-path scrub must bound
+    ids by rows_allocated, not size, or live rows with id >= size are
+    silently dropped and wrong neighbors returned."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    store = VectorStore(
+        _cfg(tmp_path, index_kind="ivf", index_nlist=16, index_nprobe=16),
+        mesh=mesh8,
+    )
+    p1, v1 = _payloads(rng, 150, prefix="a", repo="r1")
+    p2, v2 = _payloads(rng, 250, prefix="b", repo="r2")
+    store.upsert_embeddings(p1)
+    store.upsert_embeddings(p2)
+    store.delete_repo("r1")  # live rows now all carry ids >= size? no:
+    # ids 150..399 remain live while size drops to 250
+    assert store.count() == 250
+    idx = store._view[0]
+    assert idx.rows_allocated > idx.size
+    # query rows whose ids (300..312) exceed the shrunken size (250): the
+    # buggy `ids >= size` scrub dropped exactly these
+    q = v2[150:163]
+    ref = store.search_batch(q, top_k=3)
+    assert all(h and h[0].id == f"b{150 + i}" for i, h in enumerate(ref))
+    bulk = store.search_bulk(q, top_k=3, batch_q=8, chunk_batches=2)
+    for hb, hr in zip(bulk, ref):
+        assert [h.id for h in hb] == [h.id for h in hr]
+    qd = jax.device_put(
+        jnp.asarray(np.pad(q, ((0, 3), (0, 0)))),
+        NamedSharding(mesh8, P(None, None)),
+    )
+    dev = store.search_batch_device(qd, top_k=3)
+    for hb, hr in zip(dev[:13], ref):
+        assert [h.id for h in hb] == [h.id for h in hr]
+
+
+def test_compacted_preserves_scan_impl(mesh8, rng):
+    from semcode_tpu.index.flat import FlatIndex
+    from semcode_tpu.index.ivf import IVFIndex
+
+    x = rng.standard_normal((600, 128)).astype(np.float32)
+    f = FlatIndex(128, metric="ip", dtype="int8", mesh=mesh8,
+                  scan_impl="pallas")
+    f.add(x)
+    f.remove(np.arange(100))
+    f2, _ = f.compacted()
+    assert f2.scan_impl == "pallas"
+    iv = IVFIndex(128, nlist=16, metric="ip", dtype="int8", mesh=mesh8,
+                  scan_impl="pallas")
+    iv.add(x)
+    iv.remove(np.arange(100))
+    iv2, _ = iv.compacted()
+    assert iv2.scan_impl == "pallas"
