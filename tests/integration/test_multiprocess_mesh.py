@@ -66,6 +66,19 @@ ivf.add(x)
 _, iids = ivf.search(q, k=5)
 assert np.array_equal(iids[:, 0], oracle[:, 0]), "ivf top-1 mismatch"
 
+# chunked dispatch across processes: lax.scan around the shard_map scan
+# step with cross-process collectives in the body; must equal per-batch
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+qs3 = jax.device_put(
+    jnp.asarray(np.stack([q, q[::-1]])), NamedSharding(mesh, P(None, None, None))
+)
+_, bids = ivf.search_device_batched(qs3, 5)
+bids = np.asarray(bids)
+assert np.array_equal(bids[0, :, 0], oracle[:, 0]), "batched top-1 mismatch"
+assert np.array_equal(bids[1, :, 0], oracle[::-1, 0]), "batched order mismatch"
+
 # DP x TP contrastive training step with cross-process GSPMD collectives
 # (incl. the in-batch-negatives all-gather); loss must agree bit-for-bit
 from semcode_tpu.models.encoder import EncoderConfig
