@@ -224,3 +224,39 @@ def test_pallas_scan_impl_l2_and_filters(mesh8, rng):
         np.testing.assert_array_equal(i1[:, 0], i2[:, 0])
         ov = np.mean([len(set(a) & set(b)) / k for a, b in zip(i1, i2)])
         assert ov >= 0.8, ov
+
+
+def test_pallas_kernel_dim_tiling_accumulates(monkeypatch, rng):
+    """Force n_dtiles > 1 (the wide-row path: partial dots accumulate in
+    scratch across dim tiles) and check against a dense reference."""
+    import jax.numpy as jnp
+    from semcode_tpu.ops import scan_kernel2 as sk
+
+    monkeypatch.setattr(sk, "VMEM_BUDGET", 2 * 1024 * 1024)
+    rs, d, n_q = 2048, 1024, 16
+    t, dtile = sk.pick_tiles(rs, d, n_q, 1)
+    assert d // dtile > 1, (t, dtile)
+    v = rng.standard_normal((rs, d)).astype(np.float32)
+    scl = np.maximum(np.abs(v).max(axis=1), 1e-9) / 127.0
+    vi = np.clip(np.round(v / scl[:, None]), -127, 127).astype(np.int8)
+    qf = rng.standard_normal((n_q, d)).astype(np.float32)
+    qscl = np.maximum(np.abs(qf).max(axis=1), 1e-9) / 127.0
+    qi = np.clip(np.round(qf / qscl[:, None]), -127, 127)
+    bm, br = sk.top2_scan_shard(
+        jnp.asarray(vi), jnp.asarray(scl[None, :].astype(np.float32)),
+        jnp.asarray(np.zeros((1, rs), np.float32)),
+        jnp.asarray(qi, dtype=jnp.bfloat16),
+        jnp.asarray(qscl[:, None].astype(np.float32)),
+        interpret=True,
+    )
+    bm, br = np.asarray(bm), np.asarray(br)
+    # dense reference in the same integer-exact arithmetic
+    scores = (qi.astype(np.float64) @ vi.astype(np.float64).T)
+    scores = scores * qscl[:, None] * scl[None, :]
+    nb = rs // 128
+    s3 = scores.reshape(n_q, nb, 128)
+    ref_m1 = s3.max(axis=2)
+    np.testing.assert_allclose(bm[:, :nb], ref_m1.astype(np.float32),
+                               rtol=1e-4, atol=1e-4)
+    o1 = s3.argmax(axis=2) + (np.arange(nb) * 128)[None, :]
+    np.testing.assert_array_equal(br[:, :nb], o1.astype(np.int32))
