@@ -63,6 +63,8 @@ BATCH = min(int(os.environ.get("BENCH_BATCH", 256)), N_QUERIES)
 SERVE_BATCH = int(os.environ.get("BENCH_SERVE_BATCH", 8))
 TIMED_SECS = float(os.environ.get("BENCH_SECS", 15))
 DTYPE = os.environ.get("BENCH_DTYPE", "int8")  # int8 | bfloat16 | float32
+# exact-scan kernel routing for diagnostics: auto | xla | pallas
+SCAN_IMPL = os.environ.get("BENCH_SCAN_IMPL", "auto")
 # wall-clock budget: optional sections are skipped once it runs out (the
 # driver kills the whole run at ~30 min; leave margin for slow hosts)
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 1350))
@@ -249,7 +251,7 @@ def main() -> None:
     t0 = time.perf_counter()
     ivf = IVFIndex(
         DIM, nlist=NLIST, nprobe=NPROBE, metric="ip", dtype=DTYPE,
-        kmeans_iters=10,
+        kmeans_iters=10, scan_impl=SCAN_IMPL,
         # at final scale the f32 mirror cannot fit: force it off up front so
         # the streamed build never allocates-then-drops it mid-growth
         device_rescore=(
