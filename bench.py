@@ -90,23 +90,47 @@ def remaining() -> float:
 
 
 class Result:
-    """Progressively-updated flagship JSON line (re-emitted per section)."""
+    """Progressively-updated flagship JSON line (re-emitted per section).
+
+    emit() is lock-guarded: a daemon heartbeat thread re-emits the current
+    state every 2 min so that even a hard driver kill during a blocked
+    device op (observed 2026-08-18: a full tunnel outage can block the
+    FIRST jax call indefinitely inside backend init) leaves the latest
+    measured state — with a stage marker explaining where it stood — as
+    the artifact's last JSON line instead of empty output."""
 
     def __init__(self):
         self.value = None
         self.metric = "incomplete: no QPS measurement yet"
         self.vs_baseline = None
         self.extras = {}
+        self._lock = threading.Lock()
 
     def emit(self):
-        payload = {
-            "metric": self.metric,
-            "value": self.value,
-            "unit": "qps",
-            "vs_baseline": self.vs_baseline,
-            "extras": dict(self.extras),
-        }
-        print(json.dumps(payload), flush=True)
+        with self._lock:
+            payload = {
+                "metric": self.metric,
+                "value": self.value,
+                "unit": "qps",
+                "vs_baseline": self.vs_baseline,
+                "extras": dict(self.extras),
+            }
+            print(json.dumps(payload), flush=True)
+
+    def stage(self, name: str) -> None:
+        """Record the section in flight (shows up in heartbeat re-emits)."""
+        with self._lock:
+            self.extras["stage"] = name
+            self.extras["elapsed_s"] = round(elapsed(), 1)
+
+    def start_heartbeat(self, period_s: float = 120.0) -> None:
+        def beat():
+            while True:
+                time.sleep(period_s)
+                self.extras["elapsed_s"] = round(elapsed(), 1)
+                self.emit()
+
+        threading.Thread(target=beat, daemon=True).start()
 
 
 RES = Result()
@@ -151,6 +175,13 @@ def chunked_qps(index, batches, k, secs, *, mode="exact", nprobe=None,
 def main() -> None:
     log(f"corpus N={N} dim={DIM} nlist={NLIST} nprobe={NPROBE} {DTYPE} "
         f"budget={BUDGET_S:.0f}s")
+    # a first line BEFORE any jax work + a heartbeat thereafter: a full
+    # tunnel outage can block the first device op (or even backend init)
+    # indefinitely, and the artifact must still carry a parseable line
+    # saying where the run stood when the driver killed it
+    RES.stage("jax_init")
+    RES.emit()
+    RES.start_heartbeat()
     import jax
     import jax.numpy as jnp
 
@@ -198,6 +229,7 @@ def main() -> None:
         )
         return q / jnp.maximum(jnp.linalg.norm(q, axis=1, keepdims=True), 1e-9)
 
+    RES.stage("corpus_gen")
     t0 = time.perf_counter()
     # in whole mode chunk 0 IS the corpus; in streamed mode it also seeds
     # the query sample (same distribution as every other chunk)
@@ -223,6 +255,7 @@ def main() -> None:
         )
         return jax.lax.top_k(s, K)
 
+    RES.stage("oracle")
     t0 = time.perf_counter()
     sub = max(8192, min(131072, (1 << 28) // (DIM * 4)))
     parts_s, parts_i = [], []
@@ -248,6 +281,7 @@ def main() -> None:
     # ---- IVF build (device-resident corpus, no host staging) ----------------
     from semcode_tpu.index.flat import DEVICE_RESCORE_MAX_BYTES
 
+    RES.stage("ivf_build")
     t0 = time.perf_counter()
     ivf = IVFIndex(
         DIM, nlist=NLIST, nprobe=NPROBE, metric="ip", dtype=DTYPE,
@@ -330,6 +364,7 @@ def main() -> None:
         )
 
     # ---- flagship: exact-path recall + QPS ----------------------------------
+    RES.stage("flagship")
     t0 = time.perf_counter()
     recall = measure_recall("exact")
     log(f"exact recall@10={recall:.4f} (first batch incl. compile; "
@@ -367,6 +402,7 @@ def main() -> None:
         log("skip chunked dispatch: budget low")
 
     # ---- CPU baseline (numpy IVF-equivalent, sampled + extrapolated) --------
+    RES.stage("cpu_baseline")
     base_qps = None
     try:
         counts = np.bincount(base_assign_live, minlength=ivf.nlist)
@@ -422,6 +458,7 @@ def main() -> None:
         if remaining() < min_secs:
             log(f"skip {name}: {remaining():.0f}s left < {min_secs}s")
             return
+        RES.stage(name)
         try:
             fn()
         except Exception as exc:  # noqa: BLE001 - keep the flagship line alive
@@ -598,6 +635,7 @@ def main() -> None:
 
         guard("highdim_3072", 420, sec_highdim)
 
+    RES.stage("done")
     log(f"done in {elapsed():.0f}s")
     RES.emit()
 
