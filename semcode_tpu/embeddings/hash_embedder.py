@@ -65,6 +65,11 @@ def _sign(feature: str) -> float:
 # stored vectors, and the native featurizer (native/featurizer.cpp)
 # mirrors it byte-for-byte — keep both in sync.
 STOP_FACTOR = 0.3
+# bump whenever the featurization changes meaning (tokens, weighting,
+# stop list, projection): v2 = round-3 stop-token downweighting. Part of
+# the provider signature, so stored vectors from another version are
+# detected as stale on re-ingest instead of being silently mixed.
+FEATURIZER_VERSION = 2
 STOP_TOKENS = frozenset(
     """the a an of to and or in on for is are was be as at by with from
     this that it if else elif return def class import none true false
@@ -112,11 +117,19 @@ class HashEmbeddings:
         self.max_features = int(max_features)
         self.batch_size = int(batch_size)
         self.use_native = use_native
+        self.seed = int(seed)
         # fixed projection matrix, generated on device once (never trained)
         key = jax.random.PRNGKey(seed)
         self._proj = jax.random.normal(
             key, (self.n_buckets, self.dim), dtype=jnp.bfloat16
         ) * np.float32(1.0 / np.sqrt(self.dim))
+
+    @property
+    def signature(self) -> str:
+        return (
+            f"hash-v{FEATURIZER_VERSION}:d{self.dim}"
+            f":b{self.n_buckets}:f{self.max_features}:s{self.seed}"
+        )
 
     # -- host featurization ----------------------------------------------------
 

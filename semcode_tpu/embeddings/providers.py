@@ -85,6 +85,27 @@ class _JinaEmbeddings(_OpenAICompatibleEmbeddings):
         )
 
 
+def provider_signature(emb) -> str:
+    """Stable identity of the vector definition a provider emits.
+
+    Stored per chunk (``embed_sig`` metadata) and compared on incremental
+    re-ingest: any change to the featurizer, checkpoint, hybrid weight or
+    doc-side expansion makes every stored chunk stale, forcing a clean
+    re-embed instead of silently mixing incompatible vector generations in
+    one index (scores across generations are not comparable)."""
+    sig = getattr(emb, "signature", None)
+    if sig is not None:
+        return f"{sig}|t{EMBED_TEXT_VERSION}"
+    model = getattr(emb, "model", type(emb).__name__)
+    dim = getattr(emb, "dim", "?")
+    return f"{model}:d{dim}|t{EMBED_TEXT_VERSION}"
+
+
+# version of the embedding_text() doc-side expansion below — part of every
+# provider signature, so changing the expansion invalidates stored vectors
+EMBED_TEXT_VERSION = 1
+
+
 def embedding_text(text: str, *, symbol=None, path=None) -> str:
     """Document-side expansion: the text EMBEDDED for a chunk prepends its
     defining symbol (twice — log-TF means a usage-heavy sibling chunk that
@@ -153,6 +174,14 @@ class HybridEmbeddings:
         self.hash = hash_emb
         self.encoder = encoder_emb
         self.dim = int(hash_emb.dim) + int(encoder_emb.dim)
+
+    @property
+    def signature(self) -> str:
+        # w is baked into DOC vectors (sqrt scaling), so it is part of the
+        # stored-vector definition; `adaptive` shapes only the query side
+        h = getattr(self.hash, "signature", type(self.hash).__name__)
+        e = getattr(self.encoder, "signature", type(self.encoder).__name__)
+        return f"hybrid:w{self.w:g}:[{h}]+[{e}]"
 
     def _concat(self, h, e, w: float):
         import numpy as np

@@ -252,6 +252,14 @@ class FlatIndex:
             self._materialize()  # eager: readers never materialize dirty state
         return rows
 
+    def gather_f32(self, rows: np.ndarray):
+        """Exact f32 values for the given row ids from the host buffer.
+        Returns ``(vals, ok)``; ``ok`` masks out-of-bounds ids (stale ids
+        racing a compaction). Same surface as ``IVFIndex.gather_f32``."""
+        rows = np.asarray(rows, dtype=np.int64)
+        ok = (rows >= 0) & (rows < self._host.shape[0])
+        return self._host[np.where(ok, rows, 0)], ok
+
     def update_rows(self, rows: np.ndarray, x: np.ndarray, tags=None) -> None:
         """Overwrite existing rows in place (upsert path)."""
         x = self._prepare(x)

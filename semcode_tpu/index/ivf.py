@@ -423,6 +423,26 @@ class IVFIndex:
             return _gather_dequant(mir.fvecs, mir.fscales, idx_dev)
         return _gather_f32(mir.fvecs, idx_dev)
 
+    def gather_f32(self, rows: np.ndarray):
+        """Exact f32 values for the given row ids, host-side, gathering ONLY
+        those rows (never the whole corpus — the ``_host`` property hydrates
+        O(N*dim) and exists for persistence/diagnostics, not the search
+        path). Returns ``(vals, ok)`` where ``ok`` marks in-bounds ids
+        (stale ids racing a compaction are masked, not dereferenced)."""
+        rows = np.asarray(rows, dtype=np.int64)
+        ok = (rows >= 0) & (rows < self._n_rows)
+        safe = np.where(ok, rows, 0)
+        if self._host_cache is not None:
+            return self._host_cache[safe], ok
+        if self._mir is None or self._n_rows == 0:
+            return np.zeros((rows.shape[0], self.dim), dtype=np.float32), ok
+        out = np.empty((rows.shape[0], self.dim), dtype=np.float32)
+        for lo in range(0, rows.shape[0], _CHUNK_ROWS):
+            hi = min(lo + _CHUNK_ROWS, rows.shape[0])
+            idx = jnp.asarray(safe[lo:hi].astype(np.int32))
+            out[lo:hi] = np.asarray(self._f32_chunk(idx))
+        return out, ok
+
     def _topm_rows(self, rows: np.ndarray, m: int) -> np.ndarray:
         """Per-row m nearest clusters, computed on device from the mirror."""
         cent = jnp.asarray(self.centroids, dtype=jnp.float32)
@@ -699,8 +719,10 @@ class IVFIndex:
             if quant
             else None
         )
-        # chunk so the transient (chunk, dim) gather stays bounded at high dim
-        chunk = max(8192, min(_CHUNK_ROWS, (256 << 20) // max(self.dim, 1)))
+        # chunk so the transient (chunk, dim) gather stays bounded at high
+        # dim — budget counts BYTES (the gather materializes f32 before the
+        # storage-dtype cast, so 4 B/element regardless of storage dtype)
+        chunk = max(8192, min(_CHUNK_ROWS, (256 << 20) // max(self.dim * 4, 1)))
         for lo in range(0, live.size, chunk):
             hi = min(lo + chunk, live.size)
             rows_d = jnp.asarray(live[lo:hi].astype(np.int32))

@@ -250,6 +250,30 @@ class VectorStore:
         total = len(payloads)
         done = 0
         with self._lock:
+            if total:
+                in_dim = len(payloads[0].vector)
+                if in_dim != self.dim:
+                    if self.count() == 0:
+                        # providers can emit a different width than the
+                        # configured hash dimension (tpu-hybrid concatenates
+                        # hash + encoder vectors; encoder checkpoints carry
+                        # their own output dim) — an EMPTY store adopts the
+                        # provider's width on first write instead of failing
+                        log.info(
+                            "store_dim_adopted",
+                            configured=self.dim,
+                            provider=in_dim,
+                        )
+                        self.dim = int(in_dim)
+                        self._view = (None, {}, {}, {})
+                    else:
+                        raise ValueError(
+                            f"embedding dim mismatch: provider emits {in_dim}-d "
+                            f"vectors but the index holds {self.dim}-d rows — "
+                            "the embedding configuration changed after data "
+                            "was indexed; re-ingest with --force (or restore "
+                            "the original [embeddings] settings)"
+                        )
             index = self._ensure_index()
             for start in range(0, total, batch):
                 chunk = payloads[start : start + batch]
@@ -483,6 +507,11 @@ class VectorStore:
                 return int(i._n_rows) if isinstance(i, IVFIndex) else int(i.size)
 
             before = allocated(idx)
+            if before - self.count() == 0:
+                # nothing tombstoned: skip the device re-pack entirely
+                # (compacted() would otherwise build a full new layout —
+                # minutes at 1M x 3072 — only to be discarded below)
+                return 0
             new_idx, remap = idx.compacted()
             reclaimed = before - allocated(new_idx)
             if reclaimed == 0:
@@ -547,6 +576,13 @@ class VectorStore:
         index = view[0]
         if index is None or self.count() == 0:
             return [[] for _ in range(q.shape[0])]
+        if q.shape[1] != index.dim:
+            raise ValueError(
+                f"embedding dim mismatch: query vectors are {q.shape[1]}-d "
+                f"but the index holds {index.dim}-d rows — the embedding "
+                "configuration changed after data was indexed; re-ingest "
+                "with --force (or restore the original [embeddings] settings)"
+            )
         allow, residual, empty = self._split_filters(filters)
         if empty:
             return [[] for _ in range(q.shape[0])]
@@ -585,6 +621,13 @@ class VectorStore:
         index = view[0]
         if index is None or self.count() == 0:
             return [[] for _ in range(n_q)]
+        if q_dev.shape[1] != index.dim:
+            raise ValueError(
+                f"embedding dim mismatch: query vectors are {q_dev.shape[1]}-d "
+                f"but the index holds {index.dim}-d rows — the embedding "
+                "configuration changed after data was indexed; re-ingest "
+                "with --force (or restore the original [embeddings] settings)"
+            )
         allow, residual, empty = self._split_filters(filters)
         if empty:
             return [[] for _ in range(n_q)]
@@ -646,6 +689,13 @@ class VectorStore:
         index = view[0]
         if index is None or self.count() == 0:
             return [[] for _ in range(m)]
+        if q.shape[1] != index.dim:
+            raise ValueError(
+                f"embedding dim mismatch: query vectors are {q.shape[1]}-d "
+                f"but the index holds {index.dim}-d rows — the embedding "
+                "configuration changed after data was indexed; re-ingest "
+                "with --force (or restore the original [embeddings] settings)"
+            )
         allow, residual, empty = self._split_filters(filters)
         if empty:
             return [[] for _ in range(m)]
@@ -774,22 +824,27 @@ class VectorStore:
             return scores, ids
         if getattr(index, "device_rescore_active", False):
             return scores, ids  # already exactly rescored in the scan step
-        host = getattr(index, "_host", None)
-        if host is None:
+        gather = getattr(index, "gather_f32", None)
+        if gather is None:
             return scores, ids
         scores = np.asarray(scores, dtype=np.float32).copy()
         ids = np.asarray(ids)
         if self.metric == "cosine":
             q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
-        # upper bound guards stale ids racing a compaction (host shrank)
-        mask = (ids >= 0) & (ids < host.shape[0])  # (Q, K)
-        safe_rows = np.where(mask, ids, 0)
-        # chunk queries to bound the gather footprint at high dim
-        # (Q*K*dim f32 would be ~1.3 GB at Q=256, K=400, d=3072)
-        chunk = max(1, int(8e6 // max(ids.shape[1] * host.shape[1], 1)))
+        # fetch ONLY the unique candidate rows (Q*K of them) — never a whole
+        # corpus mirror: gather_f32 reads the flat host buffer for FlatIndex
+        # and a chunked device-mirror gather for IVF (round-2's `_host`
+        # attribute became an O(N*dim) hydration property in round 3, which
+        # would have made every f32-IVF search fetch the full corpus)
+        uniq, inv = np.unique(np.maximum(ids, 0), return_inverse=True)
+        vals, ok = gather(uniq)  # (U, d) f32, (U,) in-bounds mask
+        mask = (ids >= 0) & ok[inv].reshape(ids.shape)  # (Q, K)
+        # chunk queries to bound the (q, K, d) einsum footprint at high dim
+        chunk = max(1, int(8e6 // max(ids.shape[1] * vals.shape[1], 1)))
+        inv = inv.reshape(ids.shape)
         for lo in range(0, ids.shape[0], chunk):
             hi = lo + chunk
-            x = host[safe_rows[lo:hi]]  # (q, K, d)
+            x = vals[inv[lo:hi]]  # (q, K, d)
             if self.metric == "l2":
                 s = -np.sum(
                     (x - q[lo:hi, None, :]) ** 2, axis=2, dtype=np.float32

@@ -218,7 +218,26 @@ class EncoderEmbeddings:
                 f"embedding_dimension={dim} but the encoder produces "
                 f"{self.dim}; set embedding.dimension = {self.dim}"
             )
+        self._ckpt_dir = None if self.random_init else Path(weights_path)
         self._apply = jax.jit(self.model.apply)
+
+    @property
+    def signature(self) -> str:
+        """Vector-definition identity: checkpoint fingerprint + output dim
+        (see providers.provider_signature; a retrained/replaced checkpoint
+        must invalidate stored vectors on incremental re-ingest)."""
+        if self._ckpt_dir is None:
+            return f"encoder:random:d{self.dim}"
+        import hashlib
+
+        h = hashlib.sha1()
+        for f in sorted(self._ckpt_dir.glob("*")):
+            if f.is_file():
+                h.update(f.name.encode())
+                h.update(str(f.stat().st_size).encode())
+                with open(f, "rb") as fh:  # first 4 MB: retrained params
+                    h.update(fh.read(4 << 20))  # differ from byte ~0
+        return f"encoder:{h.hexdigest()[:12]}:d{self.dim}"
 
     def _encode(self, texts: Sequence[str]) -> np.ndarray:
         lengths = max(len(t) // 3 + 2 for t in texts)  # rough token estimate

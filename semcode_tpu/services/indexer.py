@@ -210,6 +210,14 @@ class IndexerService:
             return [], 0, []
         incremental = getattr(self.config, "incremental_reindex", True)
         meta_of = getattr(self.vector_store, "get_metadata", lambda _pid: None)
+        # vector-generation gate: a stored chunk is only "fresh" if it was
+        # embedded under the SAME provider signature (featurizer version,
+        # checkpoint fingerprint, hybrid weight, doc expansion) — otherwise
+        # an incremental re-ingest would mix incomparable vector generations
+        # in one index (see providers.provider_signature)
+        from ..embeddings.providers import provider_signature
+
+        embed_sig = provider_signature(self.embeddings)
         span_seen: dict = {}
         entries = []  # (chunk, rel_path, id, content_sha, fresh)
         for chunk in chunks:
@@ -226,7 +234,11 @@ class IndexerService:
             fresh = False
             if incremental and self._store_available:
                 stored = meta_of(cid)
-                fresh = stored is not None and stored.get("content_sha") == sha
+                fresh = (
+                    stored is not None
+                    and stored.get("content_sha") == sha
+                    and stored.get("embed_sig") == embed_sig
+                )
             entries.append((chunk, rel_path, cid, sha, fresh))
 
         stale = [e for e in entries if not e[4]]
@@ -260,6 +272,7 @@ class IndexerService:
                         "end_line": chunk.end_line,
                         "symbol": chunk.symbol,
                         "content_sha": sha,
+                        "embed_sig": embed_sig,
                     },
                 )
             )
