@@ -159,6 +159,31 @@ def test_provider_signatures_are_distinct_and_stable():
     assert provider_signature(SigEmbedder("x")).startswith("x|")
 
 
+def test_hybrid_provider_end_to_end_ingest_and_query(tmp_path, mesh8, project):
+    """The REAL tpu-hybrid provider through the standard serving path:
+    its concat width (hash 32 + encoder 384) differs from the configured
+    dimension, which used to fail the first upsert. Loads the shipped
+    encoder checkpoint."""
+    cfg = AppSettings(
+        workspace_root=str(tmp_path / "ws"),
+        embedding_provider="tpu-hybrid",
+        embedding_dimension=32,
+        encoder_preset="mini",
+        embedding_max_tokens=32,
+        index_kind="flat",
+        index_dtype="float32",
+    )
+    store = VectorStore(cfg)
+    svc = IndexerService(config=cfg, vector_store=store, auto_connect=False)
+    r = svc.index_repository([project], "proj")
+    assert r.embedded_count == 2
+    assert store.dim == 32 + svc.embeddings.encoder.dim
+    q = np.asarray(svc.embeddings.embed_query("where is alpha defined"),
+                   dtype=np.float32)
+    hits = store.search(q, top_k=2, query_text="where is alpha defined")
+    assert hits and hits[0].path.endswith("alpha.py")
+
+
 # -- candidate-only f32 gather -------------------------------------------------
 
 
