@@ -59,13 +59,22 @@ def create_app(
         config=config, vector_store=indexer.vector_store
     )
     # durable by default: job state survives API restarts (journal replay
-    # marks mid-flight jobs 'interrupted' instead of silently dropping them)
+    # marks mid-flight jobs 'interrupted' instead of silently dropping them);
+    # workspace_root=None (ephemeral in-memory store) keeps jobs in memory
     job_manager = job_manager or JobLedger(
         Path(config.workspace_root) / "jobs.jsonl"
+        if config.workspace_root
+        else None
     )
     telemetry = telemetry or Telemetry()
     executor = ThreadPoolExecutor(
         max_workers=config.api_max_workers, thread_name_prefix="semcode"
+    )
+    # ingest jobs run for minutes-to-hours: give them their OWN worker so
+    # N concurrent ingests can never occupy every thread and starve /query
+    # traffic into 504s behind them (head-of-line blocking)
+    ingest_executor = ThreadPoolExecutor(
+        max_workers=1, thread_name_prefix="semcode-ingest"
     )
     batcher = None
     if config.api_batch_window_ms > 0:
@@ -96,6 +105,11 @@ def create_app(
 
     def _run_blocking(fn, *args):
         return asyncio.get_event_loop().run_in_executor(executor, fn, *args)
+
+    def _run_ingest_blocking(fn, *args):
+        return asyncio.get_event_loop().run_in_executor(
+            ingest_executor, fn, *args
+        )
 
     # -- helpers ---------------------------------------------------------------
 
@@ -200,7 +214,7 @@ def create_app(
         include_paths = _resolve_include_paths(payload["root"], payload["include"])
         start = time.time()
         try:
-            result = await _run_blocking(
+            result = await _run_ingest_blocking(
                 lambda: indexer.index_repository(
                     include_paths,
                     payload["name"],
@@ -315,7 +329,7 @@ def create_app(
         # reference's BackgroundTasks start only after the response is sent)
         response = _job_response(job)
         asyncio.get_event_loop().run_in_executor(
-            executor, _run_ingest_job, job.id, payload
+            ingest_executor, _run_ingest_job, job.id, payload
         )
         return web.json_response(response)
 

@@ -204,6 +204,10 @@ class HashEmbeddings:
     def embed_query(self, text: str) -> List[float]:
         return self.embed_documents([text])[0]
 
+    def embed_queries(self, texts: Sequence[str]) -> List[List[float]]:
+        # hashing featurizes queries and documents identically
+        return self.embed_documents(texts)
+
     def embed_query_device(self, text: str):
         """Device-resident query embedding: returns a padded (8, dim) jax
         array WITHOUT host sync, so the caller can chain straight into a

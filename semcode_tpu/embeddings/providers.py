@@ -215,6 +215,20 @@ class HybridEmbeddings:
             self._query_weight(text),
         ).tolist()
 
+    def embed_queries(self, texts):
+        """Batched query embedding: both parts embed as ONE batch each,
+        then every query gets its own adaptive weight (identifier-shaped
+        queries lean lexical, prose leans semantic) — exactly matching a
+        loop over embed_query, at batch cost."""
+        import numpy as np
+
+        h = np.asarray(self.hash.embed_queries(texts), dtype=np.float32)
+        e = np.asarray(self.encoder.embed_queries(texts), dtype=np.float32)
+        return [
+            self._concat(h[i], e[i], self._query_weight(t)).tolist()
+            for i, t in enumerate(texts)
+        ]
+
 
 class EmbeddingProviderFactory:
     """Create an embeddings provider from settings

@@ -178,13 +178,25 @@ def evaluate_store(
         queries = generate_queries(store.iter_payload_meta())
     if not queries:
         raise ValueError("no quality queries could be generated from the corpus")
+    # metrics are labelled @10: retrieve at least that deep so a caller
+    # passing k < 10 can't silently deflate recall@10/mrr@10
+    k = max(int(k), 10)
     ranks: List[float] = []  # 1-based rank of first relevant hit, inf if absent
     kinds: List[str] = []
+    # QUERY-side embeddings: providers may weight queries differently than
+    # documents (tpu-hybrid's adaptive mix) — the eval must measure the
+    # exact vectors the serving path produces
+    embed_queries = getattr(embeddings, "embed_queries", None)
     for lo in range(0, len(queries), batch):
         chunk = queries[lo : lo + batch]
-        vecs = np.asarray(
-            embeddings.embed_documents([q.text for q in chunk]), dtype=np.float32
-        )
+        texts = [q.text for q in chunk]
+        if embed_queries is not None:
+            qvecs = embed_queries(texts)
+        elif hasattr(embeddings, "embed_query"):
+            qvecs = [embeddings.embed_query(t) for t in texts]
+        else:
+            qvecs = embeddings.embed_documents(texts)
+        vecs = np.asarray(qvecs, dtype=np.float32)
         hits_batch = store.search_batch(
             vecs,
             top_k=k,

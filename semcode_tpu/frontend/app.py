@@ -16,7 +16,17 @@ from typing import Any, Dict, List, Optional
 
 import requests
 
-from ..settings import settings
+try:
+    from ..settings import settings
+except ImportError:
+    # ``streamlit run .../app.py`` executes this file as a path script with
+    # no package context, so the relative import has no parent package —
+    # bootstrap the repo root onto sys.path and import absolutely
+    import sys
+    from pathlib import Path as _Path
+
+    sys.path.insert(0, str(_Path(__file__).resolve().parents[2]))
+    from semcode_tpu.settings import settings
 
 HISTORY_LIMIT = 20
 
@@ -172,3 +182,18 @@ def run() -> None:  # pragma: no cover - requires streamlit
                 ),
                 language="diff",
             )
+
+
+def _run_if_under_streamlit() -> None:
+    """``streamlit run`` executes this file top-to-bottom and renders
+    whatever the script body draws — without this call the page would be
+    blank (run() alone just defines the UI)."""
+    try:
+        from streamlit.runtime.scriptrunner import get_script_run_ctx
+    except Exception:  # streamlit absent or private API moved
+        return
+    if get_script_run_ctx(suppress_warning=True) is not None:
+        run()
+
+
+_run_if_under_streamlit()

@@ -93,12 +93,20 @@ let browseOffset = 0;
 async function browseChunks(offset) {
   browseOffset = Math.max(0, offset);
   const repoSel = selected($('repoFilter'));
-  const params = new URLSearchParams({offset: browseOffset, limit: 50});
-  if (repoSel.length === 1) params.set('repo', repoSel[0]);
   try {
-    const r = await fetch(apiRoot() + '/chunks?' + params, {headers: headers()});
-    const rows = await r.json();
-    if (!r.ok) throw new Error(rows.detail || r.status);
+    // /chunks takes one scalar repo param: with a multi-select, fetch each
+    // selected repo and merge (never silently drop the filter)
+    const repos = repoSel.length ? repoSel : [null];
+    const per = Math.max(1, Math.floor(50 / repos.length));
+    let rows = [];
+    for (const repo of repos) {
+      const params = new URLSearchParams({offset: browseOffset, limit: per});
+      if (repo !== null) params.set('repo', repo);
+      const r = await fetch(apiRoot() + '/chunks?' + params, {headers: headers()});
+      const part = await r.json();
+      if (!r.ok) throw new Error(part.detail || r.status);
+      rows = rows.concat(part);
+    }
     let html = '<table style="width:100%;font-size:13px;border-collapse:collapse">' +
       '<tr class="ctx"><td>repo</td><td>path</td><td>lines</td><td>symbol</td></tr>';
     rows.forEach(c => {
@@ -110,8 +118,8 @@ async function browseChunks(offset) {
     $('browse').innerHTML = rows.length ? html :
       '<p class="ctx">No chunks' + (browseOffset ? ' at this offset' : '') + '.</p>';
     $('browsePrev').style.display = browseOffset > 0 ? '' : 'none';
-    $('browseNext').style.display = rows.length === 50 ? '' : 'none';
-  } catch (e) { $('browse').innerHTML = '<div class="warn">Browse failed: ' + e + '</div>'; }
+    $('browseNext').style.display = rows.length >= per ? '' : 'none';
+  } catch (e) { $('browse').innerHTML = '<div class="warn">Browse failed: ' + escapeHtml(String(e)) + '</div>'; }
 }
 
 function headers() {
@@ -184,7 +192,7 @@ async function runQuery() {
     if (!r.ok) throw new Error(data.detail || r.status);
     pushHistory(q);
     render(data);
-  } catch (e) { $('result').innerHTML = '<div class="warn">Query failed: ' + e + '</div>'; }
+  } catch (e) { $('result').innerHTML = '<div class="warn">Query failed: ' + escapeHtml(String(e)) + '</div>'; }
 }
 
 function render(data) {
@@ -195,11 +203,11 @@ function render(data) {
   lastSources = srcs;
   let html = '';
   if (data.meta && data.meta.fallback_used)
-    html += '<div class="warn">Fallback answer (' + (data.meta.reason || 'LLM unavailable') + ')</div>';
+    html += '<div class="warn">Fallback answer (' + escapeHtml(data.meta.reason || 'LLM unavailable') + ')</div>';
   html += '<div class="answer">' + escapeHtml(data.answer || '') + '</div>';
   srcs.forEach((s, i) => {
     html += '<div class="src"><header><span>' + (i + 1) + '. ' +
-      escapeHtml((s.repo || '') + '/' + (s.path || '')) + ' · ' + (s.language || '') +
+      escapeHtml((s.repo || '') + '/' + (s.path || '')) + ' · ' + escapeHtml(s.language || '') +
       '</span><span>score ' + (s.score == null ? '—' : s.score.toFixed(4)) +
       '</span></header><pre>' + escapeHtml(s.snippet || '') + '</pre></div>';
   });

@@ -323,3 +323,12 @@ class EncoderEmbeddings:
 
     def embed_query(self, text: str) -> List[float]:
         return self._encode([text])[0].tolist()
+
+    def embed_queries(self, texts: Sequence[str]) -> List[List[float]]:
+        """Batched query embedding: single-window like embed_query (queries
+        are short; the windowed length-weighted mean is a DOC-side scheme)."""
+        out: List[List[float]] = []
+        for i in range(0, len(texts), self.batch_size):
+            vecs = self._encode(list(texts[i : i + self.batch_size]))
+            out.extend(v.tolist() for v in vecs)
+        return out

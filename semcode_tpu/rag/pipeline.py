@@ -45,6 +45,8 @@ Answer:"""
 
 _SNIPPET_CHARS = 1000  # reference pipeline.py:196-197
 
+_LLM_UNSET = object()  # sentinel: LLM not constructed yet (None = no provider)
+
 
 class SemanticSearchPipeline:
     def __init__(
@@ -61,6 +63,11 @@ class SemanticSearchPipeline:
         self._cache: "OrderedDict" = OrderedDict()  # (q, k, filters) -> result
         # query() runs on the API's executor threads: guard cache mutations
         self._cache_lock = threading.Lock()
+        # the LLM is built ONCE and reused: provider tpu-lm loads a full
+        # decoder checkpoint in its constructor, so per-query create_llm()
+        # would reload weights for every answer (and N times per batch)
+        self._llm = _LLM_UNSET
+        self._llm_lock = threading.Lock()
 
     # lazy collaborators (reference connects lazily too, pipeline.py:94-101)
     @property
@@ -141,6 +148,76 @@ class SemanticSearchPipeline:
         documents = self._retrieve_documents(
             question, top_k=top_k, filters=filters, timer=timer
         )
+        return self._answer_from_documents(question, documents, timer=timer)
+
+    def query_batch(
+        self,
+        questions: List[str],
+        *,
+        top_k: Optional[int] = None,
+        filters: Optional[Dict[str, Any]] = None,
+    ) -> List[Dict[str, Any]]:
+        """Answer several questions with ONE embed step and ONE index scan.
+
+        The TPU engine's throughput comes from batching (SURVEY perf notes);
+        this is the primitive the API's dynamic micro-batcher uses to turn
+        concurrent requests into a single device batch. LLM synthesis (when
+        configured) still runs per question.
+        """
+        questions = [q.strip() for q in questions]
+        if not questions or any(not q for q in questions):
+            raise ValueError("Questions cannot be empty.")
+        k = top_k or self.config.rag_max_context_sources
+        try:
+            vectors = np.asarray(
+                self._embed_queries(questions), dtype=np.float32
+            )
+            hits_batch = self.vector_store.search_batch(
+                vectors, top_k=k, filters=filters, query_texts=questions
+            )
+        except Exception as exc:
+            log.warning("batch_retrieval_failed", error=str(exc))
+            hits_batch = [[] for _ in questions]
+        return [
+            self._answer_from_documents(q, docs, timer=StageTimer())
+            for q, docs in zip(questions, hits_batch)
+        ]
+
+    def _embed_queries(self, questions: List[str]) -> List[List[float]]:
+        """QUERY-side embeddings for a batch: providers may weight queries
+        differently than documents (tpu-hybrid's adaptive identifier/prose
+        mix), so batched requests must never silently get document vectors
+        — that made the same question rank differently under concurrent
+        load than alone."""
+        emb = self.embeddings
+        if hasattr(emb, "embed_queries"):
+            return emb.embed_queries(questions)
+        if hasattr(emb, "embed_query"):
+            return [emb.embed_query(q) for q in questions]
+        return emb.embed_documents(questions)
+
+    def _get_llm(self):
+        """Construct the LLM once and reuse it (tpu-lm loads a checkpoint).
+        A constructor EXCEPTION is not cached — transient failures retry on
+        the next query; a None result (no provider configured) is."""
+        with self._llm_lock:
+            if self._llm is _LLM_UNSET:
+                try:
+                    self._llm = create_llm(self.config)
+                except Exception as exc:
+                    log.warning("llm_create_failed", error=str(exc))
+                    return None
+            return self._llm
+
+    def _answer_from_documents(
+        self,
+        question: str,
+        documents: List[SearchHit],
+        *,
+        timer: Optional[StageTimer] = None,
+    ) -> Dict[str, Any]:
+        """Prompt/LLM/fallback stage shared by query() and query_batch()."""
+        timer = timer or StageTimer()
         if not documents:
             if self.config.rag_fallback_enabled:
                 return {
@@ -152,13 +229,8 @@ class SemanticSearchPipeline:
                     "meta": {"fallback_used": True, "reason": "no_results"},
                 }
             return {"answer": "", "sources": [], "meta": {"fallback_used": False}}
-
         sources = [self._hit_to_source(h) for h in documents]
-        llm = None
-        try:
-            llm = create_llm(self.config)
-        except Exception as exc:
-            log.warning("llm_create_failed", error=str(exc))
+        llm = self._get_llm()
         if llm is None:
             return {
                 "answer": self._summarize_documents(question, documents),
@@ -193,86 +265,6 @@ class SemanticSearchPipeline:
                     "reason": f"llm_error: {exc}",
                     "timings_ms": timer.as_dict(),
                 },
-            }
-
-    def query_batch(
-        self,
-        questions: List[str],
-        *,
-        top_k: Optional[int] = None,
-        filters: Optional[Dict[str, Any]] = None,
-    ) -> List[Dict[str, Any]]:
-        """Answer several questions with ONE embed step and ONE index scan.
-
-        The TPU engine's throughput comes from batching (SURVEY perf notes);
-        this is the primitive the API's dynamic micro-batcher uses to turn
-        concurrent requests into a single device batch. LLM synthesis (when
-        configured) still runs per question.
-        """
-        questions = [q.strip() for q in questions]
-        if not questions or any(not q for q in questions):
-            raise ValueError("Questions cannot be empty.")
-        k = top_k or self.config.rag_max_context_sources
-        try:
-            vectors = np.asarray(
-                self.embeddings.embed_documents(questions), dtype=np.float32
-            )
-            hits_batch = self.vector_store.search_batch(
-                vectors, top_k=k, filters=filters, query_texts=questions
-            )
-        except Exception as exc:
-            log.warning("batch_retrieval_failed", error=str(exc))
-            hits_batch = [[] for _ in questions]
-        return [
-            self._answer_from_documents(q, docs)
-            for q, docs in zip(questions, hits_batch)
-        ]
-
-    def _answer_from_documents(
-        self, question: str, documents: List[SearchHit]
-    ) -> Dict[str, Any]:
-        """Prompt/LLM/fallback stage shared by query() and query_batch()."""
-        if not documents:
-            if self.config.rag_fallback_enabled:
-                return {
-                    "answer": (
-                        "I could not find any indexed context matching the "
-                        "question. Try ingesting the relevant repository first."
-                    ),
-                    "sources": [],
-                    "meta": {"fallback_used": True, "reason": "no_results"},
-                }
-            return {"answer": "", "sources": [], "meta": {"fallback_used": False}}
-        sources = [self._hit_to_source(h) for h in documents]
-        llm = None
-        try:
-            llm = create_llm(self.config)
-        except Exception as exc:
-            log.warning("llm_create_failed", error=str(exc))
-        if llm is None:
-            return {
-                "answer": self._summarize_documents(question, documents),
-                "sources": sources,
-                "meta": {"fallback_used": True, "reason": "no_llm_configured"},
-            }
-        try:
-            prompt = self._render_prompt(question, documents)
-            answer = llm.chat(self.config.rag_system_prompt, prompt)
-            if not answer.strip():
-                raise ValueError("llm returned an empty answer")
-            return {
-                "answer": answer,
-                "sources": sources,
-                "meta": {"fallback_used": False},
-            }
-        except Exception as exc:
-            log.warning("llm_invoke_failed", error=str(exc))
-            if not self.config.rag_fallback_enabled:
-                raise
-            return {
-                "answer": self._summarize_documents(question, documents),
-                "sources": sources,
-                "meta": {"fallback_used": True, "reason": f"llm_error: {exc}"},
             }
 
     # -- retrieval ----------------------------------------------------------------

@@ -384,3 +384,30 @@ def test_chunks_listing_and_delete_endpoints(tmp_path):
             await client.close()
 
     asyncio.run(go())
+
+
+def test_create_app_ephemeral_workspace(tmp_path):
+    """workspace_root=None is the documented ephemeral in-memory mode: the
+    app must start (jobs stay in memory) instead of crashing on the
+    journal path."""
+    cfg = AppSettings(workspace_root=None, api_key="secret")
+    app = create_app(
+        config=cfg, indexer=StubIndexer(tmp_path), pipeline=StubPipeline()
+    )
+
+    async def go():
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            r = await client.get("/healthz")
+            assert r.status == 200
+            r = await client.post(
+                "/query",
+                json={"question": "hi"},
+                headers={"X-API-Key": "secret"},
+            )
+            assert r.status == 200
+        finally:
+            await client.close()
+
+    asyncio.run(go())

@@ -114,3 +114,25 @@ def test_encoder_windowed_long_doc_sees_tail():
     va, vb = (np.asarray(v) for v in emb.embed_documents([a, b]))
     assert not np.allclose(va, vb, atol=1e-5)
     assert abs(np.linalg.norm(va) - 1.0) < 1e-4
+
+
+def test_hybrid_embed_queries_matches_loop():
+    """Batched query embedding must equal a loop over embed_query exactly
+    (per-query adaptive weights applied within the batch)."""
+    import numpy as np
+
+    from semcode_tpu.embeddings import EmbeddingProviderFactory
+    from semcode_tpu.settings import AppSettings
+
+    cfg = AppSettings(
+        workspace_root=None,
+        embedding_provider="tpu-hybrid",
+        embedding_dimension=32,
+        encoder_preset="mini",
+        embedding_max_tokens=32,
+    )
+    emb = EmbeddingProviderFactory.create(cfg)
+    qs = ["parse config file", "where is parse_config_file defined"]
+    batched = np.asarray(emb.embed_queries(qs))
+    looped = np.asarray([emb.embed_query(q) for q in qs])
+    np.testing.assert_allclose(batched, looped, rtol=1e-5, atol=1e-6)

@@ -194,3 +194,90 @@ def test_transient_failure_results_not_cached():
     r2 = p.query("flaky question")  # must NOT be served from cache
     assert r2["meta"].get("cached") is None
     assert r2["sources"], "second attempt should succeed and return sources"
+
+
+def test_llm_constructed_once_and_reused(monkeypatch):
+    """provider=tpu-lm loads a full checkpoint in its constructor — the
+    pipeline must build the LLM once, not per query / per batch element."""
+    calls = {"n": 0}
+
+    class FakeLLM:
+        def chat(self, system, user):
+            return "answer"
+
+    def create(cfg):
+        calls["n"] += 1
+        return FakeLLM()
+
+    cfg = AppSettings(rag_provider="openai", rag_query_cache_size=0)
+    p = SemanticSearchPipeline(
+        config=cfg, vector_store=StubStore(_hits(2)), embeddings=StubEmbeddings()
+    )
+    monkeypatch.setattr("semcode_tpu.rag.pipeline.create_llm", create)
+    for _ in range(3):
+        p.query("q?")
+    assert calls["n"] == 1
+
+
+def test_llm_create_failure_not_cached(monkeypatch):
+    """A transient constructor failure must retry on the next query (only
+    a successful build — or a no-provider None — is cached)."""
+    calls = {"n": 0}
+
+    class FakeLLM:
+        def chat(self, system, user):
+            return "answer"
+
+    def flaky(cfg):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("transient")
+        return FakeLLM()
+
+    cfg = AppSettings(rag_provider="openai", rag_query_cache_size=0)
+    p = SemanticSearchPipeline(
+        config=cfg, vector_store=StubStore(_hits(1)), embeddings=StubEmbeddings()
+    )
+    monkeypatch.setattr("semcode_tpu.rag.pipeline.create_llm", flaky)
+    r1 = p.query("q?")
+    assert r1["meta"]["fallback_used"] is True  # failed build -> fallback
+    r2 = p.query("q?")
+    assert r2["answer"] == "answer" and calls["n"] == 2
+
+
+def test_query_batch_uses_query_side_embeddings():
+    """Batched requests must embed with the QUERY-side path: providers like
+    tpu-hybrid weight queries differently than documents, so a micro-batched
+    request must rank exactly like the same question sent alone."""
+
+    class RecordingEmbeddings:
+        def __init__(self):
+            self.calls = []
+
+        def embed_query(self, text):
+            self.calls.append(("query", text))
+            return [1.0, 0.0]
+
+        def embed_queries(self, texts):
+            self.calls.append(("queries", tuple(texts)))
+            return [[1.0, 0.0] for _ in texts]
+
+        def embed_documents(self, texts):
+            self.calls.append(("documents", tuple(texts)))
+            return [[0.0, 1.0] for _ in texts]
+
+    class BatchStore:
+        version = 0
+
+        def search_batch(self, vectors, top_k=10, filters=None, query_texts=None):
+            return [_hits(1) for _ in range(len(vectors))]
+
+    emb = RecordingEmbeddings()
+    cfg = AppSettings(rag_provider="fallback")
+    p = SemanticSearchPipeline(
+        config=cfg, vector_store=BatchStore(), embeddings=emb
+    )
+    out = p.query_batch(["q one", "q two"])
+    assert len(out) == 2
+    kinds = [c[0] for c in emb.calls]
+    assert "documents" not in kinds and "queries" in kinds
