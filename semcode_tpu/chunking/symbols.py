@@ -33,6 +33,7 @@ class SymbolDef:
     kind: str  # function | class | enum | namespace | method
     line: int  # 0-based
     indent: int
+    end: Optional[int] = None  # 0-based last line of the scope, if known
 
 
 def _scan_python_ast(text: str) -> Optional[List[SymbolDef]]:
@@ -64,7 +65,10 @@ def _scan_python_ast(text: str) -> Optional[List[SymbolDef]]:
                     else ("method" if in_class else "function")
                 )
                 name = qualprefix + child.name
-                out.append(SymbolDef(name, kind, line, child.col_offset))
+                end = (getattr(child, "end_lineno", None) or child.lineno) - 1
+                out.append(
+                    SymbolDef(name, kind, line, child.col_offset, end=end)
+                )
                 visit(child, name + ".", is_class)
 
     visit(tree, "", False)
@@ -120,8 +124,15 @@ def symbol_for_span(
     symbols: Sequence[SymbolDef], start: int, end: int
 ) -> Optional[str]:
     """Best symbol name covering the [start, end) line span: the last
-    top-level definition at or before the span start, else the first inside."""
-    covering = [s for s in symbols if s.line <= start]
+    definition at or before the span start whose scope still reaches it
+    (scanners that know scope ends — the Python AST scan — prune symbols
+    that closed before the span, so 150 lines of unrelated top-level code
+    after a class no longer get tagged with its last method), else the
+    first definition inside the span."""
+    covering = [
+        s for s in symbols
+        if s.line <= start and (s.end is None or start <= s.end)
+    ]
     if covering:
         return covering[-1].name
     inside = [s for s in symbols if start <= s.line < end]

@@ -318,8 +318,19 @@ class RepositoryIngestionManager:
             if fresh:
                 stats.reused += 1
                 continue
+            # a path can change TYPE between ingests (refactor turns file
+            # 'utils' into package 'utils/' or back): clear whatever blocks
+            # the destination, or copy2 would silently write INTO a stale
+            # directory / mkdir would raise on a stale file
+            if it.dst.is_dir():
+                shutil.rmtree(it.dst, ignore_errors=True)
             parent = it.dst.parent
             if parent not in made_dirs:
+                blocker = parent
+                while not blocker.exists() and blocker != target:
+                    blocker = blocker.parent
+                if blocker.is_file():
+                    blocker.unlink(missing_ok=True)
                 parent.mkdir(parents=True, exist_ok=True)
                 made_dirs.add(parent)
             shutil.copy2(it.src, it.dst)

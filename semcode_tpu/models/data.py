@@ -107,10 +107,11 @@ class PairBatcher:
             # out-of-distribution noise at serve time
             from ..embeddings.providers import embedding_text
 
-            kept_paths = (
-                [list(paths)[i] for i in keep] if paths is not None
-                else [None] * len(self.texts)
-            )
+            if paths is not None:
+                paths_list = list(paths)
+                kept_paths = [paths_list[i] for i in keep]
+            else:
+                kept_paths = [None] * len(self.texts)
             body_texts = [
                 embedding_text(t, symbol=s, path=p)
                 for t, s, p in zip(self.texts, self.symbols, kept_paths)

@@ -443,6 +443,10 @@ class CodeDecoderLM:
         seed: int = 0,
     ) -> str:
         ids = self.tokenizer.encode(prompt)
+        # clamp: max_new_tokens >= max_len (a raw settings knob) would make
+        # the prompt budget zero/negative — zero-width prompt arrays and a
+        # wrong-end slice. Always leave at least 16 prompt tokens.
+        max_new_tokens = max(1, min(int(max_new_tokens), self.cfg.max_len - 16))
         budget = self.cfg.max_len - max_new_tokens
         if len(ids) > budget:
             ids = ids[-budget:]  # keep the tail: question + nearest context

@@ -240,9 +240,13 @@ class EncoderEmbeddings:
         return f"encoder:{h.hexdigest()[:12]}:d{self.dim}"
 
     def _encode(self, texts: Sequence[str]) -> np.ndarray:
-        lengths = max(len(t) // 3 + 2 for t in texts)  # rough token estimate
-        bucket = _len_bucket(min(lengths, self.cfg.max_len), self.cfg.max_len)
-        ids, mask = self.tokenizer.encode_batch(texts, max_len=bucket)
+        # tokenize at FULL max_len first, then crop to the bucket of the
+        # longest ACTUAL row: a char-count estimate under-counts dense code
+        # (~1 token/char), silently truncating queries the window could hold
+        ids, mask = self.tokenizer.encode_batch(texts, max_len=self.cfg.max_len)
+        longest = int(mask.sum(axis=1).max()) if len(texts) else 1
+        bucket = _len_bucket(longest, self.cfg.max_len)
+        ids, mask = ids[:, :bucket], mask[:, :bucket]
         pad = -(-ids.shape[0] // 8) * 8
         if pad != ids.shape[0]:
             ids = np.pad(ids, ((0, pad - ids.shape[0]), (0, 0)))

@@ -220,7 +220,11 @@ def ivf_scan_shard(
         qq = q
         qscl = jnp.ones((n_q, PROBE_PAD), jnp.float32)
     ids3 = ids_s.reshape(nlist_s, 1, cmax)
-    if scales_s is None or not quantized:
+    if quantized and scales_s is None:
+        # silently zeroing the scale table would make every int8 score 0
+        # and return arbitrary rows as "nearest"
+        raise ValueError("int8 cluster data requires per-row scales")
+    if scales_s is None:
         scl3 = jnp.zeros((nlist_s, 1, cmax), jnp.float32)
     else:
         scl3 = scales_s.reshape(nlist_s, 1, cmax).astype(jnp.float32)

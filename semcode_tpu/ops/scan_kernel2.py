@@ -66,7 +66,9 @@ def _vmem_estimate(t: int, dtile: int, n_q: int, in_bytes: int,
 
 
 def pick_tiles(rs: int, d: int, n_q: int, in_bytes: int):
-    t = 4096
+    # never tile wider than the shard itself (lane-rounded): a 2k-row shard
+    # scanned with a 4096-row tile would DMA + matmul 50% padding per batch
+    t = min(4096, max(_LANE, -(-rs // _LANE) * _LANE))
     dtile = d
     while _vmem_estimate(t, dtile, n_q, in_bytes, d // dtile) > VMEM_BUDGET:
         if dtile % 2 == 0 and (dtile // 2) % 128 == 0 and dtile > 512:

@@ -12,12 +12,18 @@ corrupt files — with a different design:
   the operator rather than silently discarded;
 - unknown record keys are dropped on read (forward compatibility with newer
   writers) and each record carries an ``updated_at`` stamp;
-- mutations are serialized by a lock (API ingest jobs race CLI invocations)
-  and persisted via an atomic tmp-file replace.
+- mutations are serialized by a thread lock AND an OS file lock
+  (``registry.json.lock``): register/remove re-load the on-disk catalogue
+  under the lock, apply the mutation, and write atomically — so an API
+  server process and a concurrent CLI invocation can both register repos
+  without one whole-file write erasing the other's record. Reads
+  (``get``/``list``) serve the last state this process observed (refreshed
+  by every mutation); staleness is bounded and crash-free.
 """
 
 from __future__ import annotations
 
+import fcntl
 import json
 import threading
 import time
@@ -52,6 +58,26 @@ def _record_from(data: dict) -> RepositoryRecord:
     return RepositoryRecord(
         **{k: v for k, v in data.items() if k in _RECORD_FIELDS}
     )
+
+
+class _FileLock:
+    """Tiny flock(2) context manager (POSIX; the deployment targets are
+    Linux containers — see Dockerfile)."""
+
+    def __init__(self, path: Path):
+        self._path = path
+        self._fh = None
+
+    def __enter__(self):
+        self._fh = open(self._path, "a+")
+        fcntl.flock(self._fh.fileno(), fcntl.LOCK_EX)
+        return self
+
+    def __exit__(self, *exc):
+        fcntl.flock(self._fh.fileno(), fcntl.LOCK_UN)
+        self._fh.close()
+        self._fh = None
+        return False
 
 
 class RepositoryRegistry:
@@ -113,14 +139,23 @@ class RepositoryRegistry:
 
     # -- API ----------------------------------------------------------------
 
+    def _file_lock(self):
+        """Exclusive OS lock around read-merge-write mutations: a second
+        PROCESS (CLI racing the API server) blocks here instead of
+        replacing the file with its stale in-memory snapshot."""
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        return _FileLock(self.path.with_suffix(".json.lock"))
+
     def register(self, record: RepositoryRecord) -> None:
         record.updated_at = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
-        with self._lock:
+        with self._lock, self._file_lock():
+            self._records = self._read()  # merge concurrent writers' records
             self._records[record.name] = record
             self._write()
 
     def remove(self, name: str) -> bool:
-        with self._lock:
+        with self._lock, self._file_lock():
+            self._records = self._read()
             if name not in self._records:
                 return False
             del self._records[name]

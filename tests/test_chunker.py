@@ -183,3 +183,22 @@ def test_char_split_pieces_carry_real_line_ranges(tmp_path):
         first_piece_line = c.content.splitlines()[0]
         src_line = lines[c.start_line - 1]
         assert src_line.endswith(first_piece_line) or src_line == first_piece_line
+
+
+def test_symbol_span_respects_scope_end():
+    """A chunk of top-level code AFTER a class must not be tagged with the
+    class's last method (the AST scanner knows scope ends)."""
+    from semcode_tpu.chunking.symbols import scan_symbols, symbol_for_span
+
+    lines = (
+        "class A:\n"
+        "    def m(self):\n"
+        "        return 1\n"
+        + "\n" * 2
+        + "x = 1\n" * 60
+    ).splitlines()
+    syms = scan_symbols(lines, "python")
+    # span inside the class -> tagged with the method
+    assert symbol_for_span(syms, 1, 3) == "A.m"
+    # span far below the class body -> no stale 'A.m' tag
+    assert symbol_for_span(syms, 30, 50) is None

@@ -202,3 +202,18 @@ def test_tpu_local_chat_provider_wiring():
     cfg = AppSettings(rag_provider="nope")
     with pytest.raises(NotImplementedError):
         create_llm(cfg)
+
+
+def test_generate_clamps_oversized_max_new_tokens():
+    """rag_max_new_tokens >= max_len flows raw from settings: the prompt
+    budget must stay positive (zero/negative-width prompt arrays crash)."""
+    cfg = DecoderConfig(vocab_size=258, hidden=32, layers=2, heads=2,
+                        mlp_dim=128, max_len=64, dtype=jnp.float32)
+    lm = CodeDecoderLM.__new__(CodeDecoderLM)
+    lm.tokenizer = ByteTokenizer(max_len=64)
+    lm.cfg = cfg
+    lm.params = init_params(cfg, seed=0)
+    lm.random_init = True
+    for bad in (64, 100, 0, -5):
+        out = lm.generate("some question", max_new_tokens=bad)
+        assert isinstance(out, str)

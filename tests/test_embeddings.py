@@ -136,3 +136,25 @@ def test_hybrid_embed_queries_matches_loop():
     batched = np.asarray(emb.embed_queries(qs))
     looped = np.asarray([emb.embed_query(q) for q in qs])
     np.testing.assert_allclose(batched, looped, rtol=1e-5, atol=1e-6)
+
+
+def test_encoder_query_not_truncated_by_char_estimate(tmp_path):
+    """Dense code tokenizes at ~1 token/char-triplet DENSITY far above the
+    old len//3 estimate; the encode bucket must come from ACTUAL token
+    counts or the query's tail is silently dropped."""
+    import numpy as np
+
+    from semcode_tpu.models.encoder import EncoderEmbeddings
+
+    emb = EncoderEmbeddings(
+        preset="mini",
+        weights_path=tmp_path / "nope",  # force deterministic random init
+        max_tokens=512,
+        dtype="float32",
+    )
+    base = "a.b(c,d); " * 55  # ~440 code tokens from 550 chars
+    v1 = np.asarray(emb.embed_query(base + "zebra_function_one()"))
+    v2 = np.asarray(emb.embed_query(base + "other_thing_two()"))
+    # the differing tails are beyond the old 256-token bucket: if they were
+    # truncated away the two embeddings would be identical
+    assert not np.allclose(v1, v2)

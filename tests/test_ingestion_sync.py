@@ -108,3 +108,31 @@ def test_dir_symlink_skipped_file_symlink_materialized(mgr, tmp_path, src):
     meta = mgr.ingest_sources([src], "demo")
     copy = meta.path / "proj" / "pkg" / "link.py"
     assert copy.read_text() == "y = 2\n" and not copy.is_symlink()
+
+
+def test_path_type_change_file_to_dir_and_back(mgr, src):
+    """A refactor can turn file 'utils' into package 'utils/' (or back);
+    the mirror sync must replace the stale entry, not copy INTO a stale
+    directory or crash on mkdir over a stale file."""
+    (src / "pkg" / "utils.py").unlink(missing_ok=True)
+    (src / "utils").write_text("def u():\n    return 1\n")
+    meta = mgr.ingest_sources([src], "demo")
+    mirror = meta.path / "proj"
+    assert (mirror / "utils").is_file()
+
+    # file -> directory
+    (src / "utils").unlink()
+    (src / "utils").mkdir()
+    (src / "utils" / "__init__.py").write_text("def u2():\n    return 2\n")
+    meta = mgr.ingest_sources([src], "demo")
+    assert (mirror / "utils").is_dir()
+    assert (mirror / "utils" / "__init__.py").read_text().startswith("def u2")
+
+    # directory -> file again
+    import shutil as _sh
+
+    _sh.rmtree(src / "utils")
+    (src / "utils").write_text("def u3():\n    return 3\n")
+    meta = mgr.ingest_sources([src], "demo")
+    assert (mirror / "utils").is_file()
+    assert (mirror / "utils").read_text().startswith("def u3")

@@ -65,3 +65,19 @@ def test_register_stamps_updated_at(tmp_path):
     reg = RepositoryRegistry(tmp_path / "registry.json")
     reg.register(RepositoryRecord(name="r"))
     assert reg.get("r").updated_at and reg.get("r").updated_at.endswith("Z")
+
+
+def test_concurrent_writers_merge_not_clobber(tmp_path):
+    """Two registry instances (API server process + CLI process) loaded the
+    same file: each register() must re-load + merge under the OS file lock,
+    not replace the catalogue with its stale in-memory snapshot."""
+    path = tmp_path / "registry.json"
+    api = RepositoryRegistry(path)   # process 1
+    cli = RepositoryRegistry(path)   # process 2: loaded BEFORE any writes
+    api.register(RepositoryRecord(name="from-api", chunk_count=1))
+    cli.register(RepositoryRecord(name="from-cli", chunk_count=2))
+    names = [r.name for r in RepositoryRegistry(path).list()]
+    assert names == ["from-api", "from-cli"]
+    # remove also merges: cli removing its own repo must not resurrect state
+    assert cli.remove("from-api") is True
+    assert [r.name for r in RepositoryRegistry(path).list()] == ["from-cli"]
