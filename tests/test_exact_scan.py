@@ -260,3 +260,16 @@ def test_pallas_kernel_dim_tiling_accumulates(monkeypatch, rng):
                                rtol=1e-4, atol=1e-4)
     o1 = s3.argmax(axis=2) + (np.arange(nb) * 128)[None, :]
     np.testing.assert_array_equal(br[:, :nb], o1.astype(np.int32))
+
+
+def test_pick_tiles_clamps_to_shard_rows():
+    """The row tile must never exceed the shard (lane-rounded): a 2k-row
+    shard scanned with a 4096-row tile DMAs 50% padding every batch."""
+    from semcode_tpu.ops import scan_kernel2 as sk
+
+    t, _ = sk.pick_tiles(2048, 384, 256, 1)
+    assert t <= 2048
+    t, _ = sk.pick_tiles(100, 384, 8, 1)
+    assert t == 128  # lane-rounded up, not the 4096 default
+    t, _ = sk.pick_tiles(1_000_000 // 8, 384, 16, 1)
+    assert t == 4096  # large shards keep the full tile (VMEM permitting)
