@@ -239,3 +239,16 @@ def test_compact_noop_skips_rebuild(tmp_path, mesh8, rng):
 
     idx.compacted = boom
     assert store.compact() == 0  # no tombstones: no device re-pack
+
+
+def test_dim_mismatch_guard_on_bulk_and_device_paths(tmp_path, mesh8, rng):
+    import jax
+
+    store = VectorStore(_cfg(tmp_path), mesh=mesh8)
+    payloads, vecs = _payloads(rng, 32, dim=32)
+    store.upsert_embeddings(payloads)
+    bad = np.zeros((8, 48), dtype=np.float32)
+    with pytest.raises(ValueError, match="dim mismatch"):
+        store.search_bulk(bad, top_k=3)
+    with pytest.raises(ValueError, match="dim mismatch"):
+        store.search_batch_device(jax.device_put(bad), top_k=3)
