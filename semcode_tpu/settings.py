@@ -122,10 +122,11 @@ class AppSettings(BaseModel):
     # window of top_k*depth candidates is re-ordered by a blend of dense
     # score and window-BM25 over identifier-aware tokens. weight = lexical
     # share (0 disables); host cost is microseconds per query.
-    # defaults from the held-out sweep (docs/BENCHMARKS.md): weight 0.5 is
-    # within noise of the eval argmax (0.65) while leaning less on
-    # verbatim-quote queries; depth 10 buys +0.02 MRR over 5 at ~1 ms host
-    search_rerank_weight: float = 0.5
+    # defaults from the held-out sweep on the corrected query-side harness
+    # (docs/BENCHMARKS.md 2026-08-18): weight 0.8 improves EVERY query kind
+    # on BOTH held-out corpora vs 0.5 (incl. paraphrase — the kind the old
+    # 0.5 default was protecting); depth 10 buys +0.02 MRR over 5 at ~1 ms
+    search_rerank_weight: float = 0.8
     search_rerank_depth: int = 10
     # exact-path rescore candidate pool per shard; 0 = auto (max(4k, 128)).
     # The recall lever for lossy storage: a wider pool recovers more
