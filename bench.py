@@ -631,6 +631,16 @@ def main() -> None:
             import gc
 
             gc.collect()
+            # drop compiled executables too: jit caches pin closure-captured
+            # constants, and any residue shrinks the 3072 build's HBM headroom
+            jax.clear_caches()
+            gc.collect()
+            try:
+                live_b = sum(x.nbytes for x in jax.live_arrays())
+                log(f"highdim: {live_b / 2**30:.2f} GiB live on device "
+                    f"pre-build ({len(jax.live_arrays())} arrays)")
+            except Exception:  # noqa: BLE001 - diagnostics only
+                pass
             run_highdim()
 
         guard("highdim_3072", 420, sec_highdim)

@@ -373,6 +373,14 @@ class IVFIndex:
         cache = self._host_cache
         if isinstance(x, jax.Array):
             self._host_ingest_only = False
+        # exclusive bulk build with no reader snapshot: scatter in place
+        # (donated buffers) instead of double-buffering the whole mirror
+        donate = self._bulk and self._dev is None
+        scatter_q = _scatter_flat_q_donated if donate else _scatter_flat_q
+        scatter_f = _scatter_flat_donated if donate else _scatter_flat
+        scatter_r = (
+            _scatter_mirror_rows_donated if donate else _scatter_mirror_rows
+        )
         for lo in range(0, n, _CHUNK_ROWS):
             hi = min(lo + _CHUNK_ROWS, n)
             xc = x[lo:hi]
@@ -383,21 +391,25 @@ class IVFIndex:
             tags_d = jnp.asarray(tags[lo:hi])
             if self._dtype == jnp.int8:
                 qx, scl, nrm = _prep_rows_q(xd)
-                fvecs, fvalid, fnorms, fscales = _scatter_flat_q(
+                fvecs, fvalid, fnorms, fscales = scatter_q(
                     mir.fvecs, mir.fvalid, mir.fnorms, mir.fscales,
                     rows_d, qx, scl, nrm,
                 )
             else:
                 nrm = _row_norms(xd)
-                fvecs, fvalid, fnorms = _scatter_flat(
+                fvecs, fvalid, fnorms = scatter_f(
                     mir.fvecs, mir.fvalid, mir.fnorms, rows_d, xd, nrm
                 )
                 fscales = mir.fscales
             frescore = mir.frescore
             if frescore is not None:
-                frescore = _scatter_mirror_rows(frescore, rows_d, xd)
+                frescore = scatter_r(frescore, rows_d, xd)
             ftags = _scatter_mirror_tags(mir.ftags, rows_d, tags_d)
             mir = _Mirror(fvecs, fvalid, fnorms, fscales, frescore, ftags)
+            # rebind immediately: with donation the previous buffers are
+            # deleted, and an error later in the loop must not leave
+            # self._mir pointing at invalidated arrays
+            self._mir = mir
             if cache is not None:
                 if isinstance(xc, jax.Array):
                     # fetching every device chunk back to a throttled host
@@ -412,7 +424,6 @@ class IVFIndex:
                     )
                 else:
                     cache[rows[lo:hi]] = xc
-        self._mir = mir
 
     def _f32_chunk(self, idx_dev):
         """Gather f32 rows from the mirror by row id (on device)."""
@@ -1387,26 +1398,43 @@ def _scatter_mirror_tags(ftags, rows, t):
     return ftags.at[rows].set(t)
 
 
-@jax.jit
-def _scatter_mirror_rows(frescore, rows, x):
+def _scatter_mirror_rows_impl(frescore, rows, x):
     return frescore.at[rows].set(x.astype(jnp.float32))
 
 
-@jax.jit
-def _scatter_flat(fvecs, fvalid, fnorms, rows, x, norms):
+def _scatter_flat_impl(fvecs, fvalid, fnorms, rows, x, norms):
     fvecs = fvecs.at[rows].set(x.astype(fvecs.dtype))
     fvalid = fvalid.at[rows].set(True)
     fnorms = fnorms.at[rows].set(norms)
     return fvecs, fvalid, fnorms
 
 
-@jax.jit
-def _scatter_flat_q(fvecs, fvalid, fnorms, fscales, rows, qx, scales, norms):
+def _scatter_flat_q_impl(fvecs, fvalid, fnorms, fscales, rows, qx, scales,
+                         norms):
     fvecs = fvecs.at[rows].set(qx)
     fvalid = fvalid.at[rows].set(True)
     fnorms = fnorms.at[rows].set(norms)
     fscales = fscales.at[rows].set(scales)
     return fvecs, fvalid, fnorms, fscales
+
+
+_scatter_mirror_rows = jax.jit(_scatter_mirror_rows_impl)
+_scatter_flat = jax.jit(_scatter_flat_impl)
+_scatter_flat_q = jax.jit(_scatter_flat_q_impl)
+# donated variants for exclusive bulk builds: without donation every ingest
+# scatter double-buffers the whole mirror (old + new fvecs live across the
+# call), which alone is 2 x 3.07 GB at 1M x 3072 int8 and OOMs the 16 GB
+# chip once the corpus-generation chunk (2.5 GB) sits beside it. Donation
+# is ONLY safe when no reader snapshot can alias the mirror buffers
+# (self._dev is None inside bulk()); the streaming path keeps the
+# functional copies because _Dev shares the mirror arrays with readers.
+_scatter_mirror_rows_donated = jax.jit(
+    _scatter_mirror_rows_impl, donate_argnums=(0,)
+)
+_scatter_flat_donated = jax.jit(_scatter_flat_impl, donate_argnums=(0, 1, 2))
+_scatter_flat_q_donated = jax.jit(
+    _scatter_flat_q_impl, donate_argnums=(0, 1, 2, 3)
+)
 
 
 @partial(jax.jit, static_argnums=(0, 7, 8, 9, 10, 11, 12))

@@ -379,6 +379,34 @@ def test_ivf_bulk_search_guard(mesh8, rng):
     )
 
 
+def test_ivf_bulk_device_ingest_donated_matches_host(mesh8, rng):
+    """Device-array chunks inside bulk() (the benchmark's streamed build)
+    take the DONATED scatter path — in-place mirror updates with no reader
+    snapshot alive. Results must match the host-fed non-bulk build, and the
+    index must stay consistent for follow-up streaming adds and searches.
+    """
+    import jax.numpy as jnp
+
+    n, d, k = 2400, 64, 10
+    x = _clustered(rng, n, d)
+    q = _clustered(rng, 16, d)
+    ref = IVFIndex(d, nlist=32, nprobe=8, metric="ip", dtype="int8", mesh=mesh8)
+    ref.add(x)
+    idx = IVFIndex(d, nlist=32, nprobe=8, metric="ip", dtype="int8", mesh=mesh8)
+    with idx.bulk(expected_rows=n):
+        for lo in range(0, n, 500):
+            idx.add(jnp.asarray(x[lo : lo + 500]))  # device chunks -> donate
+    assert idx.size == n and not idx._dirty
+    _, ids = idx.search(q, k=k, mode="exact")
+    assert _recall(ids, _oracle_ids(x, q, k)) == 1.0
+    # post-bulk streaming add (non-donated path) still works on the same
+    # index: the donated build must leave a valid mirror behind
+    extra = _clustered(rng, 64, d)
+    idx.add(extra)
+    _, ids2 = idx.search(extra[:4], k=1, mode="exact")
+    assert all(i >= n for i in ids2.ravel())
+
+
 def test_ivf_pallas_dim_tiled_matches_xla(mesh8, rng, monkeypatch):
     """High dims split the kernel's cluster blocks into dim slabs to bound
     VMEM (the 1M x 3072 batch-256 compile overflowed scoped vmem). Force
