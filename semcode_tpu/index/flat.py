@@ -333,10 +333,13 @@ class FlatIndex:
         return self.approx_topk and jax.default_backend() == "tpu"
 
     def _scan_impl(self) -> str:
-        """Exact-scan kernel routing. 'auto' keeps the XLA path (it wins
-        the chained-dispatch measurements so far — docs/BENCHMARKS.md
-        dispatch-economics section); 'pallas' forces the fused top-2 kernel
-        (ops/scan_kernel2), via the interpreter off-TPU."""
+        """Exact-scan kernel routing. 'auto' keeps the XLA path — it never
+        loses on throughput (7.5x at 384 dims large batch; ties within 2%
+        at 3072 dims where XLA fuses the int8->bf16 convert into the dot;
+        docs/BENCHMARKS.md dispatch-economics A/B). 'pallas' forces the
+        fused top-2 kernel (ops/scan_kernel2) — same throughput at wide
+        dims but ~60x faster compile (3 s vs 200+ s chained), the
+        fast-warmup option; via the interpreter off-TPU."""
         if self.scan_impl != "pallas" or self.dim % 128 != 0:
             return "xla"
         return (

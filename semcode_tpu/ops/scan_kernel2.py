@@ -28,6 +28,15 @@ This version keeps rows on LANES so the per-row vectors are cheap:
   quality matches fetch-128 approx_max_k while reading 2x fewer bytes
   than the hoisted-bf16 XLA loop.
 
+Measured verdict (tools/scan_ab.py, chained, on chip): XLA keeps the
+throughput crown at every dim — 7.5x at 384 dims batch 256 (the in-VMEM
+top-2 selection serializes against the matmul; XLA overlaps selection
+with the next block's reads) and a 2% tie at 3072 dims (XLA fuses the
+int8->bf16 convert into the dot, erasing the bytes advantage). What this
+kernel wins is COMPILE time: 3 s vs 200+ s for the chained XLA scan at
+wide dims, so it ships as the opt-in fast-warmup path
+(`[index].scan_impl = "pallas"`), not the default.
+
 Outputs are already query-major ``(Q, 2 * R/128)`` — no transpose before
 the final ``approx_max_k`` over the reduced matrix.
 
@@ -102,10 +111,10 @@ def _kernel(
     add_ref,    # (1, T) f32 per-row additive (-3e38 = dead row)
     q_ref,      # (Q, dtile) bf16
     qsc_ref,    # (Q, 1) f32 per-query scale
-    m1_ref,     # (Q, T//128) f32 out
-    r1_ref,     # (Q, T//128) i32 out (global shard-local row ids)
-    m2_ref,     # (Q, T//128) f32 out
-    r2_ref,     # (Q, T//128) i32 out
+    m1_ref,     # (1, Q, T//128) f32 out (leading axis = grid step)
+    r1_ref,     # (1, Q, T//128) i32 out (global shard-local row ids)
+    m2_ref,     # (1, Q, T//128) f32 out
+    r2_ref,     # (1, Q, T//128) i32 out
     acc_ref,    # (Q, T) f32 scratch (or (8,128) dummy)
     *,
     rs: int,
@@ -143,10 +152,10 @@ def _kernel(
         nb = t // _LANE
         blk = jax.lax.broadcasted_iota(jnp.int32, (n_q, nb), 1)
         base = step * t + blk * _LANE
-        m1_ref[:] = m1
-        r1_ref[:] = base + o1
-        m2_ref[:] = m2
-        r2_ref[:] = base + o2
+        m1_ref[0, :, :] = m1
+        r1_ref[0, :, :] = base + o1
+        m2_ref[0, :, :] = m2
+        r2_ref[0, :, :] = base + o2
 
 
 def top2_scan_shard(
@@ -192,8 +201,13 @@ def top2_scan_shard(
             ),
         ],
         out_specs=[
+            # leading grid-step axis: the block's last dim equals the array
+            # dim (nb_tile may be < 128, which Mosaic rejects as a *blocked*
+            # minor dim but accepts when un-blocked)
             pl.BlockSpec(
-                (n_q, nb_tile), lambda s, dt: (0, s), memory_space=pltpu.VMEM
+                (1, n_q, nb_tile),
+                lambda s, dt: (s, 0, 0),
+                memory_space=pltpu.VMEM,
             )
             for _ in range(4)
         ],
@@ -207,10 +221,10 @@ def top2_scan_shard(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((n_q, nb_total), jnp.float32),
-            jax.ShapeDtypeStruct((n_q, nb_total), jnp.int32),
-            jax.ShapeDtypeStruct((n_q, nb_total), jnp.float32),
-            jax.ShapeDtypeStruct((n_q, nb_total), jnp.int32),
+            jax.ShapeDtypeStruct((n_steps, n_q, nb_tile), jnp.float32),
+            jax.ShapeDtypeStruct((n_steps, n_q, nb_tile), jnp.int32),
+            jax.ShapeDtypeStruct((n_steps, n_q, nb_tile), jnp.float32),
+            jax.ShapeDtypeStruct((n_steps, n_q, nb_tile), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * rs * d * n_q,
@@ -219,7 +233,12 @@ def top2_scan_shard(
         ),
         interpret=interpret,
     )(vecs, mult, add, qq, q_scales)
+
+    def fold(a):
+        # (n_steps, Q, nb_tile) -> (Q, n_steps * nb_tile)
+        return a.transpose(1, 0, 2).reshape(n_q, nb_total)
+
     return (
-        jnp.concatenate([m1, m2], axis=1),
-        jnp.concatenate([r1, r2], axis=1),
+        jnp.concatenate([fold(m1), fold(m2)], axis=1),
+        jnp.concatenate([fold(r1), fold(r2)], axis=1),
     )
