@@ -32,7 +32,6 @@ def main() -> None:
     secs = float(sys.argv[5]) if len(sys.argv) > 5 else 10.0
     k = 10
 
-    import jax
     import jax.numpy as jnp
 
     from semcode_tpu.index.flat import FlatIndex
