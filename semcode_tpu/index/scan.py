@@ -3,11 +3,14 @@
 TPU-first scoring design (round-2 engine core):
 
 - **int8 exact-integer arithmetic.** For ``int8`` storage the QUERIES are
-  also quantized (symmetric per-row, on device). Both operands are integers
-  ≤ 127; cast to bf16 they are exactly representable (8 mantissa bits), so
-  the MXU matmul with f32 accumulation computes the EXACT integer dot
-  product, rescaled by (query scale x row scale). Score error is just the
-  original quantization noise (std ≈ scale/sqrt(12) ~ 5e-4 for unit-norm
+  also quantized (symmetric per-row, on device) and the scan dot runs on
+  the MXU's NATIVE int8 x int8 -> int32 path (2x the bf16 MACs/s on v5e;
+  measured +18.7% chained scan QPS and ~3x faster XLA compiles vs the
+  earlier bf16-upcast dot, which was equally exact — ints ≤ 127 are
+  exactly representable in bf16 — but half the throughput). |raw| ≤
+  d x 127^2 fits int32 at any real dim; the int32 result is rescaled by
+  (query scale x row scale) in f32. Score error is just the original
+  quantization noise (std ≈ scale/sqrt(12) ~ 5e-4 for unit-norm
   embeddings) — ~5x tighter than bf16 scoring, whose 2^-8 epsilon ties
   hundreds of clustered near-duplicates, at HALF the HBM traffic.
   (Measured on chip: bf16 scoring caps recall@10 vs an f32 oracle at 0.986
