@@ -402,6 +402,11 @@ def main() -> None:
         log("skip chunked dispatch: budget low")
 
     # ---- CPU baseline (numpy IVF-equivalent, sampled + extrapolated) --------
+    # median-of-3 timing passes: the shared build host throttles
+    # unpredictably, which swung the advertised vs_baseline ratio 214x-518x
+    # across same-engine runs (VERDICT round-3 weak 4). The absolute QPS is
+    # the headline; the ratio is informational and now at least robust to a
+    # single throttled pass.
     RES.stage("cpu_baseline")
     base_qps = None
     try:
@@ -418,25 +423,34 @@ def main() -> None:
                 ivf._f32_chunk(jnp.asarray(rows_idx.astype(np.int32)))
             )
         qv = queries[0]
-        t0 = time.perf_counter()
-        reps = 0
-        while time.perf_counter() - t0 < 3.0:
-            s = sample @ qv
-            kk = min(K, len(s))
-            np.argpartition(-s, kk - 1)[:kk]
-            reps += 1
-        per_row = (time.perf_counter() - t0) / max(reps * len(sample), 1)
-        t0 = time.perf_counter()
-        creps = 0
-        while time.perf_counter() - t0 < 1.0:
-            cq = cent @ qv
-            np.argpartition(-cq, NPROBE)[:NPROBE]
-            creps += 1
-        centroid_s = (time.perf_counter() - t0) / max(creps, 1)
+        per_rows, cent_ss = [], []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            reps = 0
+            while time.perf_counter() - t0 < 2.0:
+                s = sample @ qv
+                kk = min(K, len(s))
+                np.argpartition(-s, kk - 1)[:kk]
+                reps += 1
+            per_rows.append(
+                (time.perf_counter() - t0) / max(reps * len(sample), 1)
+            )
+            t0 = time.perf_counter()
+            creps = 0
+            while time.perf_counter() - t0 < 0.7:
+                cq = cent @ qv
+                np.argpartition(-cq, NPROBE)[:NPROBE]
+                creps += 1
+            cent_ss.append((time.perf_counter() - t0) / max(creps, 1))
+        per_row = float(np.median(per_rows))
+        centroid_s = float(np.median(cent_ss))
         per_query = centroid_s + per_row * NPROBE * mean_rows
         base_qps = 1.0 / per_query
-        log(f"CPU IVF-equivalent baseline: {base_qps:.1f} QPS "
-            f"({per_row*1e9:.1f} ns/row x {NPROBE}x{mean_rows:.0f} rows)")
+        spread = max(per_rows) / max(min(per_rows), 1e-12)
+        RES.extras["cpu_baseline_pass_spread"] = round(spread, 2)
+        log(f"CPU IVF-equivalent baseline (median of 3): {base_qps:.1f} QPS "
+            f"({per_row*1e9:.1f} ns/row x {NPROBE}x{mean_rows:.0f} rows, "
+            f"pass spread {spread:.2f}x)")
     except Exception as exc:  # noqa: BLE001 - baseline must never kill bench
         log(f"CPU baseline failed: {exc!r}")
 
@@ -539,6 +553,35 @@ def main() -> None:
         _, f_ids = ivf.search_device(q_batches[0], K, allow_tags=allow)
         f_ids = np.asarray(f_ids)
         ok = bool((f_ids >= 0).all() and (row_tags[f_ids.ravel()] == 1).all())
+        # recall@10 against the FILTERED-SUBSET oracle (VERDICT round-3
+        # item 6): exact HIGHEST-precision top-k over just the tagged rows,
+        # compared with the engine's device-masked results
+        try:
+            tag_idx = np.flatnonzero(row_tags[:N])
+            if whole:
+                sub = x_dev[jnp.asarray(tag_idx.astype(np.int32))]
+            else:
+                parts = []
+                for gi in range(n_gen_chunks):
+                    base = gi * gchunk
+                    loc = tag_idx[(tag_idx >= base) & (tag_idx < base + gchunk)]
+                    xc = chunk_i(gi)
+                    parts.append(
+                        np.asarray(xc[jnp.asarray((loc - base).astype(np.int32))])
+                    )
+                    del xc
+                sub = jnp.asarray(np.concatenate(parts))
+            _, o_loc = oracle_chunk(sub, q_dev)
+            f_oracle = tag_idx[np.asarray(o_loc)]
+            got = np.zeros((N_QUERIES, K), dtype=np.int64)
+            for bi, i in enumerate(range(0, N_QUERIES, BATCH)):
+                _, ids = ivf.search_device(q_batches[bi], K, allow_tags=allow)
+                got[i : i + BATCH] = np.asarray(ids)
+            f_rec = recall_of(got, f_oracle)
+            RES.extras["filtered_recall_at_10"] = round(f_rec, 4)
+            log(f"filtered recall@10 vs filtered-subset oracle: {f_rec:.4f}")
+        except Exception as exc:  # noqa: BLE001 - recall is additive info
+            log(f"filtered-oracle recall failed: {exc!r}")
         t_s = time.perf_counter()
         n_done = 0
         while time.perf_counter() - t_s < max(3.0, min(5.0, remaining() / 20)):

@@ -26,9 +26,11 @@ from .scan import exact_scan, exact_scan_batched
 
 _NEG_INF = np.float32(-3.0e38)
 
-# above this f32-mirror footprint the fused device rescore is disabled by
-# default and the store falls back to host rescoring (HBM budget guard)
+# above this f32-mirror footprint the fused device rescore falls back to the
+# two-level int8 residual mirror (auto mode), and above the residual budget
+# to host rescoring (HBM budget guards)
 DEVICE_RESCORE_MAX_BYTES = 4 << 30
+RESIDUAL_RESCORE_MAX_BYTES = 6 << 30
 
 
 def _storage_dtype(name: str):
@@ -44,6 +46,31 @@ def quantize_rows(x: np.ndarray):
     scale = np.maximum(np.abs(x).max(axis=-1), 1e-12) / 127.0
     q = np.clip(np.rint(x / scale[..., None]), -127, 127).astype(np.int8)
     return q, scale.astype(np.float32)
+
+
+def quantize_residual(x: np.ndarray, qx: np.ndarray, scales: np.ndarray):
+    """Second-level int8 quantization of the reconstruction residual.
+
+    ``r = x - qx * scale`` has |r| <= scale/2, so its own per-row scale is
+    ~1/254 of the first level: the two-level reconstruction carries ~16
+    bits of mantissa (per-element error <= scale/508 ~ 1e-6 relative for
+    unit-norm rows) — rank-exact for the rescore stage at HALF the gather
+    bytes of an f32 mirror. Returns (int8 residual, f32 residual scales).
+    """
+    r = x - qx.astype(np.float32) * scales[..., None]
+    rs = np.maximum(np.abs(r).max(axis=-1), 1e-20) / 127.0
+    rq = np.clip(np.rint(r / rs[..., None]), -127, 127).astype(np.int8)
+    return rq, rs.astype(np.float32)
+
+
+def split_rescore(payload):
+    """Normalize a rescore payload (None | f32 mirror | (resid, rscales))
+    into the (rescore, resid, rscales) operand triple scan.exact_scan takes."""
+    if payload is None:
+        return None, None, None
+    if isinstance(payload, tuple):
+        return None, payload[0], payload[1]
+    return payload, None, None
 
 
 def pad_allow(allow) -> np.ndarray:
@@ -85,6 +112,7 @@ class FlatIndex:
         score_dtype: str = "auto",  # auto | float32 | float16
         fetch_width: int = 0,  # 0 = auto (max(4k, 128)); rescore candidate pool
         scan_impl: str = "auto",  # auto | xla | pallas (exact-scan kernel)
+        rescore_mode: str = "auto",  # auto | f32 | residual | off
     ):
         if metric not in ("ip", "cosine", "l2"):
             raise ValueError(f"unknown metric: {metric}")
@@ -92,6 +120,8 @@ class FlatIndex:
             raise ValueError(f"unknown score_dtype: {score_dtype}")
         if scan_impl not in ("auto", "xla", "pallas"):
             raise ValueError(f"unknown scan_impl: {scan_impl}")
+        if rescore_mode not in ("auto", "f32", "residual", "off"):
+            raise ValueError(f"unknown rescore_mode: {rescore_mode}")
         self.dim = int(dim)
         self.metric = metric
         self.mesh = mesh if mesh is not None else get_mesh()
@@ -100,6 +130,7 @@ class FlatIndex:
         self.n_shards = int(np.prod([sizes[a] for a in self._row_axes]))
         self._dtype = _storage_dtype(dtype)
         self._device_rescore = device_rescore
+        self.rescore_mode = rescore_mode
         self.approx_topk = bool(approx_topk)
         self.approx_recall_target = float(approx_recall_target)
         self.score_dtype = score_dtype
@@ -142,19 +173,42 @@ class FlatIndex:
             return self.score_dtype
         return "float32"
 
-    def _rescore_enabled(self) -> bool:
-        """Fused f32 device rescore: on for lossy storage when the mirror
-        fits the HBM budget (or forced via the constructor flag)."""
+    def _rescore_kind(self) -> str:
+        """Fused device-rescore policy: 'f32' (exact mirror), 'residual'
+        (two-level int8, int8 storage only), or 'none'.
+
+        Explicit ``rescore_mode`` wins; otherwise the legacy tri-state
+        ``device_rescore`` flag; otherwise auto by HBM budget: f32 mirror if
+        it fits DEVICE_RESCORE_MAX_BYTES, else the residual mirror (1/4 the
+        footprint) if IT fits — so 1M x 3072 keeps exact-grade final
+        ordering on one 16 GB chip instead of dropping to raw int8 order."""
         if self._dtype == jnp.float32:
-            return False  # storage is already exact
-        if self._device_rescore is not None:
-            return bool(self._device_rescore)
-        return self.capacity * self.dim * 4 <= DEVICE_RESCORE_MAX_BYTES
+            return "none"  # storage is already exact
+        if self.rescore_mode == "off":
+            return "none"
+        if self.rescore_mode == "f32":
+            return "f32"
+        if self.rescore_mode == "residual":
+            # residual reconstruction needs the int8 corpus + scales
+            return "residual" if self._dtype == jnp.int8 else "f32"
+        if self._device_rescore is False:
+            return "none"
+        if self._device_rescore is True:
+            return "f32"
+        if self.capacity * self.dim * 4 <= DEVICE_RESCORE_MAX_BYTES:
+            return "f32"
+        if (
+            self._dtype == jnp.int8
+            and self.capacity * (self.dim + 4) <= RESIDUAL_RESCORE_MAX_BYTES
+        ):
+            return "residual"
+        return "none"
 
     def _materialize(self) -> tuple:
         """Push the host buffer to (sharded) device arrays."""
         host = self._host
         scales_dev = None
+        scales = None
         if self._dtype == jnp.int8:
             host, scales = quantize_rows(host)
             scales_dev = jax.device_put(scales, self._norm_sharding())
@@ -168,11 +222,17 @@ class FlatIndex:
             self._norm_sharding(),
         )
         valid = jax.device_put(self._alive, self._norm_sharding())
-        rescore = (
-            jax.device_put(self._host, self._vec_sharding())
-            if self._rescore_enabled()
-            else None
-        )
+        kind = self._rescore_kind()
+        if kind == "f32":
+            rescore = jax.device_put(self._host, self._vec_sharding())
+        elif kind == "residual":
+            rq, rs = quantize_residual(self._host, host, scales)
+            rescore = (
+                jax.device_put(rq, self._vec_sharding()),
+                jax.device_put(rs, self._norm_sharding()),
+            )
+        else:
+            rescore = None
         tags = jax.device_put(self._tags, self._norm_sharding())
         dev = (vecs, norms, valid, scales_dev, rescore, tags)
         self._dev = dev  # single atomic swap
@@ -181,12 +241,13 @@ class FlatIndex:
 
     @property
     def device_rescore_active(self) -> bool:
-        """True when searches already return exact-f32-rescored results
-        (the store then skips its host-side rescore)."""
+        """True when searches already return exact-grade rescored results
+        — via the f32 mirror or the two-level int8 residual — so the store
+        skips its host-side rescore."""
         dev = self._dev
         if dev is not None:
             return dev[4] is not None
-        return self._rescore_enabled()
+        return self._rescore_kind() != "none"
 
     def _ensure_device(self) -> tuple:
         """Reader-side snapshot. Materialization is a WRITER responsibility
@@ -291,11 +352,18 @@ class FlatIndex:
             return  # will materialize lazily before the next search
         rows_d = jnp.asarray(rows, dtype=jnp.int32)
         rescore = dev[4]
-        if rescore is not None:  # keep the f32 mirror in lockstep
+        if rescore is not None and not isinstance(rescore, tuple):
+            # keep the f32 mirror in lockstep
             rescore = _scatter_mirror(rescore, rows_d, jnp.asarray(x))
         tags_dev = _scatter_tags(dev[5], rows_d, jnp.asarray(tags))
         if self._dtype == jnp.int8:
             qx, scales = quantize_rows(x)
+            if isinstance(rescore, tuple):  # residual mirror in lockstep
+                rq, rs = quantize_residual(x, qx, scales)
+                rescore = (
+                    _scatter_mirror(rescore[0], rows_d, jnp.asarray(rq)),
+                    _scatter_tags(rescore[1], rows_d, jnp.asarray(rs)),
+                )
             vecs, norms, valid, scl = _scatter_rows_q(
                 dev[0],
                 dev[1],
@@ -387,13 +455,14 @@ class FlatIndex:
         shard_rows = vecs.shape[0] // self.n_shards
         k_shard = min(k, shard_rows)
         k_eff = min(k, k_shard * self.n_shards)
+        resc_f32, resid, rscl = split_rescore(rescore)
         scores, ids = exact_scan(
             self.mesh,
             vecs,
             norms,
             valid,
             scales if scales is not None else norms,
-            rescore,
+            resc_f32,
             jax.device_put(q, NamedSharding(self.mesh, P(None, None))),
             k_shard,
             self._fetch_width(k, shard_rows, rescore),
@@ -406,6 +475,8 @@ class FlatIndex:
             tags if allow_tags is not None else None,
             jnp.asarray(pad_allow(allow_tags)) if allow_tags is not None else None,
             self._scan_impl(),
+            resid,
+            rscl,
         )
         scores = np.asarray(scores[:n_q]).astype(np.float32)
         ids = np.asarray(ids[:n_q]).astype(np.int64)
@@ -428,13 +499,14 @@ class FlatIndex:
         vecs, norms, valid, scales, rescore, tags = self._ensure_device()
         shard_rows = vecs.shape[0] // self.n_shards
         k = min(k, shard_rows)
+        resc_f32, resid, rscl = split_rescore(rescore)
         return exact_scan(
             self.mesh,
             vecs,
             norms,
             valid,
             scales if scales is not None else norms,
-            rescore,
+            resc_f32,
             q_dev,
             k,
             self._fetch_width(k, shard_rows, rescore),
@@ -447,6 +519,8 @@ class FlatIndex:
             tags if allow_tags is not None else None,
             jnp.asarray(pad_allow(allow_tags)) if allow_tags is not None else None,
             self._scan_impl(),
+            resid,
+            rscl,
         )
 
     def search_device_batched(self, qs_dev: jax.Array, k: int, allow_tags=None):
@@ -462,13 +536,14 @@ class FlatIndex:
         vecs, norms, valid, scales, rescore, tags = self._ensure_device()
         shard_rows = vecs.shape[0] // self.n_shards
         k = min(k, shard_rows)
+        resc_f32, resid, rscl = split_rescore(rescore)
         return exact_scan_batched(
             self.mesh,
             vecs,
             norms,
             valid,
             scales if scales is not None else norms,
-            rescore,
+            resc_f32,
             qs_dev,
             k,
             self._fetch_width(k, shard_rows, rescore),
@@ -481,6 +556,8 @@ class FlatIndex:
             tags if allow_tags is not None else None,
             jnp.asarray(pad_allow(allow_tags)) if allow_tags is not None else None,
             self._scan_impl(),
+            resid,
+            rscl,
         )
 
     # -- maintenance ---------------------------------------------------------------
@@ -507,6 +584,7 @@ class FlatIndex:
             score_dtype=self.score_dtype,
             fetch_width=self.fetch_width,
             scan_impl=self.scan_impl,
+            rescore_mode=self.rescore_mode,
         )
         if live.size:
             # rows are already metric-normalized; add()'s re-normalization is

@@ -52,8 +52,18 @@ from ..parallel.mesh import (
     round_up,
     row_axes,
 )
-from .flat import DEVICE_RESCORE_MAX_BYTES, pad_allow
-from .scan import exact_scan, exact_scan_batched, rescore_global
+from .flat import (
+    DEVICE_RESCORE_MAX_BYTES,
+    RESIDUAL_RESCORE_MAX_BYTES,
+    pad_allow,
+    split_rescore,
+)
+from .scan import (
+    exact_scan,
+    exact_scan_batched,
+    rescore_global,
+    rescore_global_residual,
+)
 
 log = get_logger("index.ivf")
 
@@ -135,6 +145,7 @@ class IVFIndex:
         score_dtype: str = "auto",  # auto | float32 | float16 (exact path)
         fetch_width: int = 0,  # 0 = auto (max(4k, 128)); rescore candidate pool
         scan_impl: str = "auto",  # auto | xla | pallas (exact-scan kernel)
+        rescore_mode: str = "auto",  # auto | f32 | residual | off
     ):
         if metric not in ("ip", "cosine", "l2"):
             raise ValueError(f"unknown metric: {metric}")
@@ -142,6 +153,8 @@ class IVFIndex:
             raise ValueError(f"unknown score_dtype: {score_dtype}")
         if scan_impl not in ("auto", "xla", "pallas"):
             raise ValueError(f"unknown scan_impl: {scan_impl}")
+        if rescore_mode not in ("auto", "f32", "residual", "off"):
+            raise ValueError(f"unknown rescore_mode: {rescore_mode}")
         self.dim = int(dim)
         self.metric = metric
         self.mesh = mesh if mesh is not None else get_mesh()
@@ -158,6 +171,7 @@ class IVFIndex:
         self.approx_recall_target = float(approx_recall_target)
         self._dtype = _storage_dtype(dtype)
         self.device_rescore = device_rescore
+        self.rescore_mode = rescore_mode
         self.score_dtype = score_dtype
         self.fetch_width = int(fetch_width)
         self.scan_impl = scan_impl
@@ -217,13 +231,7 @@ class IVFIndex:
         for lo in range(0, n, _CHUNK_ROWS):
             hi = min(lo + _CHUNK_ROWS, n)
             idx = jnp.arange(lo, hi, dtype=jnp.int32)
-            if mir.frescore is not None:
-                chunk = _gather_f32(mir.frescore, idx)
-            elif self._dtype == jnp.int8:
-                chunk = _gather_dequant(mir.fvecs, mir.fscales, idx)
-            else:
-                chunk = _gather_f32(mir.fvecs, idx)
-            out[lo:hi] = np.asarray(chunk)
+            out[lo:hi] = np.asarray(self._f32_chunk(idx))
         return out
 
     def _check_vectors(self, x, *, device_ok: bool = True):
@@ -293,14 +301,32 @@ class IVFIndex:
     def _zeros(self, shape, dtype, sharding):
         return _zeros_fn(shape, dtype, sharding)()
 
-    def _rescore_enabled(self, mirror_rows: int) -> bool:
-        """Fused f32 device rescore: on for lossy storage when the mirror
-        fits the HBM budget (or forced via the constructor flag)."""
+    def _rescore_kind(self, mirror_rows: int) -> str:
+        """Fused device-rescore policy: 'f32', 'residual' (two-level int8,
+        int8 storage only) or 'none' — see FlatIndex._rescore_kind. The
+        residual tier keeps exact-grade final ordering at footprints where
+        the f32 mirror cannot fit (1M x 3072 = 12.3 GB f32 vs 3.5 GB
+        residual on a 16 GB chip)."""
         if self._dtype == jnp.float32:
-            return False  # storage is already exact
-        if self.device_rescore is not None:
-            return bool(self.device_rescore)
-        return mirror_rows * self.dim * 4 <= DEVICE_RESCORE_MAX_BYTES
+            return "none"  # storage is already exact
+        if self.rescore_mode == "off":
+            return "none"
+        if self.rescore_mode == "f32":
+            return "f32"
+        if self.rescore_mode == "residual":
+            return "residual" if self._dtype == jnp.int8 else "f32"
+        if self.device_rescore is False:
+            return "none"
+        if self.device_rescore is True:
+            return "f32"
+        if mirror_rows * self.dim * 4 <= DEVICE_RESCORE_MAX_BYTES:
+            return "f32"
+        if (
+            self._dtype == jnp.int8
+            and mirror_rows * (self.dim + 4) <= RESIDUAL_RESCORE_MAX_BYTES
+        ):
+            return "residual"
+        return "none"
 
     def _ensure_mirror(self, need_rows: int) -> None:
         """Create or grow the device mirror to hold ``need_rows`` rows."""
@@ -308,21 +334,28 @@ class IVFIndex:
             return
         mcap = self._mirror_target_cap(need_rows)
         s2, s1 = self._shard2(), self._shard1()
+
+        def _fresh_rescore(kind):
+            if kind == "f32":
+                return self._zeros((mcap, self.dim), jnp.float32, s2)
+            if kind == "residual":
+                return (
+                    self._zeros((mcap, self.dim), jnp.int8, s2),
+                    self._zeros((mcap,), jnp.float32, s1),
+                )
+            return None
+
         if self._mir is None:
-            want_rescore = self._rescore_enabled(mcap)
+            kind = self._rescore_kind(mcap)
             self._mir = _Mirror(
                 fvecs=self._zeros((mcap, self.dim), self._dtype, s2),
                 fvalid=self._zeros((mcap,), jnp.bool_, s1),
                 fnorms=self._zeros((mcap,), jnp.float32, s1),
                 fscales=self._zeros((mcap,), jnp.float32, s1),
-                frescore=(
-                    self._zeros((mcap, self.dim), jnp.float32, s2)
-                    if want_rescore
-                    else None
-                ),
+                frescore=_fresh_rescore(kind),
                 ftags=self._zeros((mcap,), jnp.int32, s1),
             )
-            if not want_rescore and self._dtype != jnp.float32:
+            if kind == "none" and self._dtype != jnp.float32:
                 # the store's host rescore needs f32 somewhere: keep it on host
                 self._host_cache = np.zeros(
                     (max(self._meta_cap, 1024), self.dim), dtype=np.float32
@@ -330,8 +363,12 @@ class IVFIndex:
             self._mirror_cap = mcap
             return
         mir = self._mir
-        keep_rescore = mir.frescore is not None and self._rescore_enabled(mcap)
-        if mir.frescore is not None and not keep_rescore:
+        new_kind = self._rescore_kind(mcap) if mir.frescore is not None else "none"
+        is_resid = isinstance(mir.frescore, tuple)
+        old_kind = "none" if mir.frescore is None else (
+            "residual" if is_resid else "f32"
+        )
+        if old_kind != "none" and new_kind == "none":
             log.warning("frescore_dropped_on_growth", rows=need_rows)
             if self._host_ingest_only:
                 # host-fed store: back-fill the host cache before dropping
@@ -343,16 +380,33 @@ class IVFIndex:
             # device-fed corpora skip the back-fill (fetching GBs to a
             # throttled host would undo the device-resident build); final
             # ordering falls back to exact-integer int8 scoring
+        if old_kind == "f32" and new_kind == "f32":
+            frescore = jax.device_put(_pad_rows(mir.frescore, mcap), s2)
+        elif old_kind == "residual" and new_kind in ("residual", "f32"):
+            # an existing residual never upgrades to f32 on growth (the
+            # dropped bits are gone); pad it in place
+            frescore = (
+                jax.device_put(_pad_rows(mir.frescore[0], mcap), s2),
+                jax.device_put(_pad_rows(mir.frescore[1], mcap), s1),
+            )
+        elif old_kind == "f32" and new_kind == "residual":
+            # downgrade across the HBM budget: requantize the residual FROM
+            # the f32 mirror on device, then free the mirror — exact-grade
+            # ordering survives growth past DEVICE_RESCORE_MAX_BYTES
+            log.info("frescore_downgraded_to_residual", rows=need_rows)
+            rq, rs = _requantize_residual(mir.frescore, mir.fvecs, mir.fscales)
+            frescore = (
+                jax.device_put(_pad_rows(rq, mcap), s2),
+                jax.device_put(_pad_rows(rs, mcap), s1),
+            )
+        else:
+            frescore = None
         grown = _Mirror(
             fvecs=jax.device_put(_pad_rows(mir.fvecs, mcap), s2),
             fvalid=jax.device_put(_pad_rows(mir.fvalid, mcap), s1),
             fnorms=jax.device_put(_pad_rows(mir.fnorms, mcap), s1),
             fscales=jax.device_put(_pad_rows(mir.fscales, mcap), s1),
-            frescore=(
-                jax.device_put(_pad_rows(mir.frescore, mcap), s2)
-                if keep_rescore
-                else None
-            ),
+            frescore=frescore,
             ftags=jax.device_put(_pad_rows(mir.ftags, mcap), s1),
         )
         self._mir = grown
@@ -381,6 +435,7 @@ class IVFIndex:
         scatter_r = (
             _scatter_mirror_rows_donated if donate else _scatter_mirror_rows
         )
+        scatter_r2 = _scatter_resid_donated if donate else _scatter_resid
         for lo in range(0, n, _CHUNK_ROWS):
             hi = min(lo + _CHUNK_ROWS, n)
             xc = x[lo:hi]
@@ -389,8 +444,12 @@ class IVFIndex:
                 xd = _normalize_rows(xd)
             rows_d = jnp.asarray(rows[lo:hi].astype(np.int32))
             tags_d = jnp.asarray(tags[lo:hi])
+            rq = rs = None
             if self._dtype == jnp.int8:
-                qx, scl, nrm = _prep_rows_q(xd)
+                if isinstance(mir.frescore, tuple):
+                    qx, scl, nrm, rq, rs = _prep_rows_q2(xd)
+                else:
+                    qx, scl, nrm = _prep_rows_q(xd)
                 fvecs, fvalid, fnorms, fscales = scatter_q(
                     mir.fvecs, mir.fvalid, mir.fnorms, mir.fscales,
                     rows_d, qx, scl, nrm,
@@ -402,7 +461,11 @@ class IVFIndex:
                 )
                 fscales = mir.fscales
             frescore = mir.frescore
-            if frescore is not None:
+            if isinstance(frescore, tuple):
+                frescore = scatter_r2(
+                    frescore[0], frescore[1], rows_d, rq, rs
+                )
+            elif frescore is not None:
                 frescore = scatter_r(frescore, rows_d, xd)
             ftags = _scatter_mirror_tags(mir.ftags, rows_d, tags_d)
             mir = _Mirror(fvecs, fvalid, fnorms, fscales, frescore, ftags)
@@ -426,8 +489,16 @@ class IVFIndex:
                     cache[rows[lo:hi]] = xc
 
     def _f32_chunk(self, idx_dev):
-        """Gather f32 rows from the mirror by row id (on device)."""
+        """Gather f32(-grade) rows from the mirror by row id (on device).
+        With the residual mirror the reconstruction carries ~16 bits of
+        mantissa (see flat.quantize_residual) — exact enough for k-means
+        samples, host rescores and persistence round trips."""
         mir = self._mir
+        if isinstance(mir.frescore, tuple):
+            return _gather_dequant2(
+                mir.fvecs, mir.fscales, mir.frescore[0], mir.frescore[1],
+                idx_dev,
+            )
         if mir.frescore is not None:
             return _gather_f32(mir.frescore, idx_dev)
         if self._dtype == jnp.int8:
@@ -765,12 +836,13 @@ class IVFIndex:
 
     @property
     def device_rescore_active(self) -> bool:
-        """True when exact-path searches already return f32-rescored results
-        (the store then skips its host-side rescore)."""
+        """True when exact-path searches already return exact-grade rescored
+        results — via the f32 mirror or the two-level int8 residual — so the
+        store skips its host-side rescore."""
         mir = self._mir
         if mir is not None:
             return mir.frescore is not None
-        return self._rescore_enabled(max(self._n_rows, 1))
+        return self._rescore_kind(max(self._n_rows, 1)) != "none"
 
     def _ensure_device(self) -> tuple:
         """Reader-side snapshot. Materialization is a WRITER responsibility
@@ -934,9 +1006,10 @@ class IVFIndex:
             shard_rows = dev.fvecs.shape[0] // self.n_shards
             k_shard = min(k, shard_rows)
             k_eff = min(k, k_shard * self.n_shards)
+            resc_f32, resid, rscl = split_rescore(dev.frescore)
             scores, ids = exact_scan(
                 self.mesh, dev.fvecs, dev.fnorms, dev.fvalid, dev.fscales,
-                dev.frescore, q_dev, k_shard,
+                resc_f32, q_dev, k_shard,
                 self._fetch_width(k, shard_rows, dev.frescore),
                 self.metric, self._storage_name(), self._approx(),
                 self.approx_recall_target, k_eff,
@@ -946,6 +1019,8 @@ class IVFIndex:
                 if allow_tags is not None
                 else None,
                 self._scan_impl(),
+                resid,
+                rscl,
             )
         else:
             rows_total = dev.data.shape[0] * dev.data.shape[1]
@@ -974,14 +1049,7 @@ class IVFIndex:
                 quantized,
                 min(fetch, k_shard * self.n_shards),
             )
-            if dev.frescore is not None:
-                scores, ids = _resort(
-                    rescore_global(
-                        self.mesh, dev.frescore, dev.fnorms, q_dev, ids,
-                        self.metric,
-                    ),
-                    ids,
-                )
+            scores, ids = self._rescore_merged(dev, q_dev, scores, ids)
             scores, ids = scores[:, :k_eff], ids[:, :k_eff]
         scores = np.asarray(scores[:n_q]).astype(np.float32)
         ids = np.asarray(ids[:n_q]).astype(np.int64)
@@ -992,6 +1060,23 @@ class IVFIndex:
             scores = np.pad(scores, ((0, 0), (0, k - k_eff)), constant_values=_NEG_INF)
             ids = np.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=-1)
         return scores, ids
+
+    def _rescore_merged(self, dev, q_dev, scores, ids):
+        """Post-merge exact re-ranking of probing-path candidates via the
+        f32 mirror (rescore_global) or the two-level int8 residual
+        (rescore_global_residual); no-op when no device rescore is active."""
+        if dev.frescore is None:
+            return scores, ids
+        if isinstance(dev.frescore, tuple):
+            exact = rescore_global_residual(
+                self.mesh, dev.fvecs, dev.fscales, dev.frescore[0],
+                dev.frescore[1], dev.fnorms, q_dev, ids, self.metric,
+            )
+        else:
+            exact = rescore_global(
+                self.mesh, dev.frescore, dev.fnorms, q_dev, ids, self.metric
+            )
+        return _resort(exact, ids)
 
     def search_device(
         self, q_dev, k: int, nprobe: Optional[int] = None, mode: str = "auto",
@@ -1007,9 +1092,10 @@ class IVFIndex:
         if mode == "exact":
             shard_rows = dev.fvecs.shape[0] // self.n_shards
             k = min(k, shard_rows)
+            resc_f32, resid, rscl = split_rescore(dev.frescore)
             return exact_scan(
                 self.mesh, dev.fvecs, dev.fnorms, dev.fvalid, dev.fscales,
-                dev.frescore, q_dev, k,
+                resc_f32, q_dev, k,
                 self._fetch_width(k, shard_rows, dev.frescore),
                 self.metric, self._storage_name(), self._approx(),
                 self.approx_recall_target, None,
@@ -1019,6 +1105,8 @@ class IVFIndex:
                 if allow_tags is not None
                 else None,
                 self._scan_impl(),
+                resid,
+                rscl,
             )
         rows_total = dev.data.shape[0] * dev.data.shape[1]
         fetch = max(4 * k, 64) if dev.frescore is not None else k
@@ -1042,13 +1130,7 @@ class IVFIndex:
             self._dtype == jnp.int8,
             min(fetch, k_shard * self.n_shards),
         )
-        if dev.frescore is not None:
-            scores, ids = _resort(
-                rescore_global(
-                    self.mesh, dev.frescore, dev.fnorms, q_dev, ids, self.metric
-                ),
-                ids,
-            )
+        scores, ids = self._rescore_merged(dev, q_dev, scores, ids)
         return scores[:, :k_eff], ids[:, :k_eff]
 
     def search_device_batched(
@@ -1077,9 +1159,10 @@ class IVFIndex:
         if mode == "exact":
             shard_rows = dev.fvecs.shape[0] // self.n_shards
             k = min(k, shard_rows)
+            resc_f32, resid, rscl = split_rescore(dev.frescore)
             return exact_scan_batched(
                 self.mesh, dev.fvecs, dev.fnorms, dev.fvalid, dev.fscales,
-                dev.frescore, qs_dev, k,
+                resc_f32, qs_dev, k,
                 self._fetch_width(k, shard_rows, dev.frescore),
                 self.metric, self._storage_name(), self._approx(),
                 self.approx_recall_target, None,
@@ -1089,6 +1172,8 @@ class IVFIndex:
                 if allow_tags is not None
                 else None,
                 self._scan_impl(),
+                resid,
+                rscl,
             )
         np_probe = min(nprobe or self.nprobe, dev.data.shape[0])
         rows_total = dev.data.shape[0] * dev.data.shape[1]
@@ -1098,11 +1183,13 @@ class IVFIndex:
         )
         k_eff = min(k, k_shard * self.n_shards)
         scales = dev.scales if dev.scales is not None else dev.sqnorms
+        resc_f32, resid, rscl = split_rescore(dev.frescore)
         scores, ids = _ivf_probe_batched(
             self.mesh, dev.data, dev.ids, dev.sqnorms, scales, dev.centroids,
-            dev.frescore, dev.fnorms, qs_dev, k_shard, np_probe, self.metric,
+            resc_f32, dev.fnorms, qs_dev, k_shard, np_probe, self.metric,
             self._pallas_mode(), self._dtype == jnp.int8,
             min(fetch, k_shard * self.n_shards),
+            dev.fvecs, dev.fscales, resid, rscl,
         )
         return scores[:, :, :k_eff], ids[:, :, :k_eff]
 
@@ -1142,6 +1229,7 @@ class IVFIndex:
             score_dtype=self.score_dtype,
             fetch_width=self.fetch_width,
             scan_impl=self.scan_impl,
+            rescore_mode=self.rescore_mode,
         )
         new.centroids = (
             None if self.centroids is None else self.centroids.copy()
@@ -1173,9 +1261,28 @@ class IVFIndex:
                 fscales = new_mir.fscales
             frescore = new_mir.frescore
             if frescore is not None and mir.frescore is not None:
-                frescore = _scatter_mirror_rows(
-                    frescore, dst, mir.frescore[src]
-                )
+                old_resid = isinstance(mir.frescore, tuple)
+                if isinstance(frescore, tuple):
+                    if old_resid:
+                        rq, rs = mir.frescore[0][src], mir.frescore[1][src]
+                    else:  # auto-kind flip across the rebuild: re-derive
+                        rq, rs = _requantize_residual(
+                            mir.frescore[src], mir.fvecs[src],
+                            mir.fscales[src],
+                        )
+                    frescore = _scatter_resid(
+                        frescore[0], frescore[1], dst, rq, rs
+                    )
+                else:
+                    xs = (
+                        _gather_dequant2(
+                            mir.fvecs, mir.fscales, mir.frescore[0],
+                            mir.frescore[1], src,
+                        )
+                        if old_resid
+                        else mir.frescore[src]
+                    )
+                    frescore = _scatter_mirror_rows(frescore, dst, xs)
             ftags = _scatter_mirror_tags(new_mir.ftags, dst, tags_d)
             new_mir = _Mirror(fvecs, fvalid, fnorms, fscales, frescore, ftags)
             if cache is not None:
@@ -1292,6 +1399,42 @@ def _prep_rows_q(x):
 
 
 @jax.jit
+def _prep_rows_q2(x):
+    """_prep_rows_q + second-level residual quantization, one device pass.
+
+    Matches flat.quantize_residual (host): the int8 residual carries ~8 more
+    mantissa bits, so the two-level reconstruction is rank-exact for the
+    fused rescore at half the gather bytes of an f32 mirror."""
+    x = x.astype(jnp.float32)
+    norms = jnp.sum(x * x, axis=1)
+    scale = jnp.maximum(jnp.max(jnp.abs(x), axis=1), 1e-12) / 127.0
+    qx = jnp.clip(jnp.round(x / scale[:, None]), -127, 127).astype(jnp.int8)
+    r = x - qx.astype(jnp.float32) * scale[:, None]
+    rs = jnp.maximum(jnp.max(jnp.abs(r), axis=1), 1e-20) / 127.0
+    rq = jnp.clip(jnp.round(r / rs[:, None]), -127, 127).astype(jnp.int8)
+    return qx, scale.astype(jnp.float32), norms, rq, rs.astype(jnp.float32)
+
+
+@jax.jit
+def _requantize_residual(frescore, fvecs, fscales):
+    """Residual re-quantization FROM the f32 mirror (device pass), used when
+    mirror growth crosses the f32 HBM budget and downgrades to residual."""
+    r = frescore - fvecs.astype(jnp.float32) * fscales[:, None]
+    rs = jnp.maximum(jnp.max(jnp.abs(r), axis=1), 1e-20) / 127.0
+    rq = jnp.clip(jnp.round(r / rs[:, None]), -127, 127).astype(jnp.int8)
+    return rq, rs.astype(jnp.float32)
+
+
+@jax.jit
+def _gather_dequant2(fvecs, fscales, fresid, frscl, idx):
+    """Two-level dequantizing gather: corpus int8 + residual int8 -> ~f32."""
+    return (
+        fvecs[idx].astype(jnp.float32) * fscales[idx][:, None]
+        + fresid[idx].astype(jnp.float32) * frscl[idx][:, None]
+    )
+
+
+@jax.jit
 def _gather_f32(src, idx):
     return src[idx].astype(jnp.float32)
 
@@ -1365,13 +1508,14 @@ def _resort(scores, ids):
 @partial(jax.jit, static_argnums=(0, 9, 10, 11, 12, 13, 14))
 def _ivf_probe_batched(mesh, data, ids, sqnorms, scales, centroids, frescore,
                        fnorms, qs, k, nprobe, metric, pallas_mode, quantized,
-                       k_out):
-    """B probing searches (+ optional global f32 rescore) in ONE dispatch.
+                       k_out, fvecs=None, fscales=None, fresid=None,
+                       frscl=None):
+    """B probing searches (+ optional global exact rescore) in ONE dispatch.
 
     lax.scan over the leading axis of ``qs`` (B, Q, d); each iteration is
-    the same traced graph as `_ivf_search` (+ rescore_global + _resort) —
-    the nested jitted calls inline. See scan.exact_scan_batched for the
-    launch-fee economics this amortizes."""
+    the same traced graph as `_ivf_search` (+ rescore_global[_residual] +
+    _resort) — the nested jitted calls inline. See scan.exact_scan_batched
+    for the launch-fee economics this amortizes."""
 
     def body(carry, q):
         s, i = _ivf_search(
@@ -1381,6 +1525,13 @@ def _ivf_probe_batched(mesh, data, ids, sqnorms, scales, centroids, frescore,
         if frescore is not None:
             s, i = _resort(
                 rescore_global(mesh, frescore, fnorms, q, i, metric), i
+            )
+        elif fresid is not None:
+            s, i = _resort(
+                rescore_global_residual(
+                    mesh, fvecs, fscales, fresid, frscl, fnorms, q, i, metric
+                ),
+                i,
             )
         return carry, (s, i)
 
@@ -1428,6 +1579,10 @@ _scatter_flat_q = jax.jit(_scatter_flat_q_impl)
 # is ONLY safe when no reader snapshot can alias the mirror buffers
 # (self._dev is None inside bulk()); the streaming path keeps the
 # functional copies because _Dev shares the mirror arrays with readers.
+def _scatter_resid_impl(fresid, frscl, rows, rq, rs):
+    return fresid.at[rows].set(rq), frscl.at[rows].set(rs)
+
+
 _scatter_mirror_rows_donated = jax.jit(
     _scatter_mirror_rows_impl, donate_argnums=(0,)
 )
@@ -1435,6 +1590,8 @@ _scatter_flat_donated = jax.jit(_scatter_flat_impl, donate_argnums=(0, 1, 2))
 _scatter_flat_q_donated = jax.jit(
     _scatter_flat_q_impl, donate_argnums=(0, 1, 2, 3)
 )
+_scatter_resid = jax.jit(_scatter_resid_impl)
+_scatter_resid_donated = jax.jit(_scatter_resid_impl, donate_argnums=(0, 1))
 
 
 @partial(jax.jit, static_argnums=(0, 7, 8, 9, 10, 11, 12))

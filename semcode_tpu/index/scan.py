@@ -70,9 +70,12 @@ def _score_block(qq, vecs, scales_rows, storage, q_scales=None):
     if storage == "int8":
         # native int8 x int8 -> int32 MXU dot (v5e: 2x the bf16 MACs/s,
         # measured ~9% faster per dispatch at 1M x 384 and ~10x faster to
-        # COMPILE than the bf16-upcast dot it replaces). Exactness is
-        # unchanged: quantized values are ≤127 so both paths are
-        # integer-exact; |raw| ≤ d * 127^2 fits int32 for any real dim.
+        # COMPILE than the bf16-upcast dot it replaces). The int32
+        # accumulation is exact (|raw| ≤ d * 127^2 fits int32 at any real
+        # dim), but the f32 rescale below rounds integer magnitudes above
+        # 2^24 (reachable only for adversarially correlated rows at d >
+        # ~1000) — same f32-accumulation limit the bf16-upcast dot had.
+        # Final ordering is guaranteed by the fused f32 rescore, not here.
         raw = jax.lax.dot_general(
             qq.astype(jnp.int8),
             vecs,
@@ -111,6 +114,8 @@ def _exact_scan_impl(
     tags=None,   # (R,) int32 row tags for device-side filtering, or None
     allow=None,  # (A,) int32 allowed tag values (pad with -1), with tags
     scan_impl="xla",  # xla | pallas | pallas-interpret (kernel selection)
+    resid=None,    # (R, d) int8 second-level residual mirror, or None
+    rscales=None,  # (R,) f32 residual row scales, with resid
 ):
     """Fused: scan + select + (rescore) per shard, all-gather, global merge.
 
@@ -142,6 +147,16 @@ def _exact_scan_impl(
     unlike host post-filtering, which can exhaust its over-fetched candidates
     on a 1%-selectivity filter. Cost: one (R,) int32 read + an (R, A)
     broadcast compare — negligible next to the (Q, R) matmul.
+
+    ``resid``/``rscales`` (int8 storage only, mutually exclusive with
+    ``rescore``) enable the TWO-LEVEL int8 rescore: the rescore stage
+    gathers candidate rows from the int8 corpus AND an int8 residual
+    mirror (r = x - dequant(int8(x)), quantized per-row at ~1/254 of the
+    first-level scale) and re-scores the ~16-bit reconstruction at HIGHEST
+    precision. Per-element reconstruction error ≤ scale/508 — ~1e-6
+    relative for unit-norm rows, far below the tie spacing the f32 rescore
+    exists to separate — at HALF the gather bytes of the f32 mirror (2
+    int8 rows vs one f32 row) and 1/2 the HBM residency.
     """
     if k_out is None:
         k_out = k
@@ -155,6 +170,12 @@ def _exact_scan_impl(
     f16 = score_dtype == "float16" and scan_impl == "xla"
     neg = _NEG_F16 if f16 else _NEG_INF
     has_resc = rescore is not None
+    has_resid = resid is not None
+    if has_resid and (has_resc or storage != "int8"):
+        raise ValueError(
+            "residual rescore requires int8 storage and excludes the f32 "
+            "mirror"
+        )
     has_tags = tags is not None
     use_pallas = scan_impl in ("pallas", "pallas-interpret")
 
@@ -167,6 +188,8 @@ def _exact_scan_impl(
         it = iter(ops)
         v, nrm, vld, scl = next(it), next(it), next(it), next(it)
         resc = next(it) if has_resc else None
+        rsd = next(it) if has_resid else None
+        rscl = next(it) if has_resid else None
         if has_tags:
             t, alw = next(it), next(it)
             vld = vld & (t[:, None] == alw[None, :]).any(axis=1)
@@ -226,15 +249,23 @@ def _exact_scan_impl(
             else:
                 s, pos = jax.lax.top_k(scores, fetch)  # (Q, fetch) local rows
         s = s.astype(jnp.float32)
-        if resc is not None:
-            # fused exact rescore: gather candidate rows from the f32 mirror.
+        if resc is not None or rsd is not None:
+            # fused exact rescore: gather candidate rows from the f32 mirror
+            # (or reconstruct them from corpus + residual int8 at ~16-bit
+            # precision — half the gather bytes, see module docstring).
             # precision=HIGHEST is load-bearing: the TPU MXU's DEFAULT f32
             # matmul rounds INPUTS to bf16, which re-ties the tie-dense
             # candidates this rescore exists to separate (measured 1M x 384:
             # default-precision rescore caps recall@10 at ~0.986 vs a host
             # f32 oracle; HIGHEST matches it 1.0000). Cost is confined to the
             # tiny (Q, fetch, d) gather, not the corpus scan.
-            cand = resc[pos]  # (Q, fetch, d)
+            if resc is not None:
+                cand = resc[pos]  # (Q, fetch, d)
+            else:
+                cand = (
+                    v[pos].astype(jnp.float32) * scl[pos][:, :, None]
+                    + rsd[pos].astype(jnp.float32) * rscl[pos][:, :, None]
+                )
             exact = jnp.einsum(
                 "qfd,qd->qf", cand, q_f32, preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
@@ -256,6 +287,9 @@ def _exact_scan_impl(
     if has_resc:
         in_specs.append(P(axes, None))
         operands.append(rescore)
+    if has_resid:
+        in_specs += [P(axes, None), P(axes)]
+        operands += [resid, rscales]
     if has_tags:
         in_specs += [P(axes), P(None)]
         operands += [tags, allow]
@@ -301,6 +335,8 @@ def exact_scan_batched(
     tags=None,
     allow=None,
     scan_impl="xla",
+    resid=None,
+    rscales=None,
 ):
     """``exact_scan`` over B query batches in ONE dispatch (lax.scan).
 
@@ -318,7 +354,7 @@ def exact_scan_batched(
         s, i = _exact_scan_impl(
             mesh, vecs, norms, valid, scales, rescore, q, k, fetch,
             metric, storage, approx, recall_target, k_out, score_dtype,
-            tags, allow, scan_impl,
+            tags, allow, scan_impl, resid, rscales,
         )
         return carry, (s, i)
 
@@ -371,6 +407,58 @@ def rescore_global(mesh, frescore, fnorms, q, ids, metric):
         ),
         out_specs=P(None, None),
     )(frescore, fnorms, q, ids)
+    if metric == "l2":
+        qnorm = jnp.sum(q.astype(jnp.float32) ** 2, axis=1, keepdims=True)
+        exact = exact - qnorm
+    return jnp.where(ids >= 0, exact, _NEG_INF)
+
+
+@partial(jax.jit, static_argnums=(0, 8))
+def rescore_global_residual(
+    mesh, fvecs, fscales, fresid, frscales, fnorms, q, ids, metric
+):
+    """``rescore_global`` for the two-level int8 mirror (no f32 mirror in
+    HBM): candidate rows are reconstructed from the int8 corpus + int8
+    residual (~16-bit precision, see exact_scan's resid docs) and re-scored
+    at HIGHEST precision after the global merge. Same traffic shape as
+    rescore_global — Q x k rows — at half the bytes."""
+    axes = row_axes(mesh)
+    n_shards = int(np.prod([dict(zip(mesh.axis_names, mesh.devices.shape))[a]
+                            for a in axes]))
+    shard_rows = fvecs.shape[0] // n_shards
+
+    def shard_fn(v, scl, rsd, rscl, nrm, qq, ids_rep):
+        base = linear_rank(mesh, axes) * shard_rows
+        local = ids_rep.astype(jnp.int32) - base
+        mine = (ids_rep >= 0) & (local >= 0) & (local < shard_rows)
+        li = jnp.clip(local, 0, shard_rows - 1)
+        cand = (
+            v[li].astype(jnp.float32) * scl[li][:, :, None]
+            + rsd[li].astype(jnp.float32) * rscl[li][:, :, None]
+        )  # (Q, k, d)
+        exact = jnp.einsum(
+            "qkd,qd->qk", cand, qq, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        if metric == "l2":
+            exact = 2.0 * exact - nrm[li]
+        part = jnp.where(mine, exact, 0.0)
+        return jax.lax.psum(part, axes)
+
+    exact = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(
+            P(axes, None),
+            P(axes),
+            P(axes, None),
+            P(axes),
+            P(axes),
+            P(None, None),
+            P(None, None),
+        ),
+        out_specs=P(None, None),
+    )(fvecs, fscales, fresid, frscales, fnorms, q, ids)
     if metric == "l2":
         qnorm = jnp.sum(q.astype(jnp.float32) ** 2, axis=1, keepdims=True)
         exact = exact - qnorm

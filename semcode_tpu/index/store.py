@@ -183,6 +183,7 @@ class VectorStore:
                     mesh=self._mesh,
                     capacity=self.config.index_capacity,
                     device_rescore=self.config.index_device_rescore,
+                    rescore_mode=self.config.index_rescore_mode,
                     approx_recall_target=self.config.index_approx_recall_target,
                     score_dtype=self.config.index_score_dtype,
                     fetch_width=self.config.index_fetch_width,
@@ -202,6 +203,7 @@ class VectorStore:
             kmeans_iters=self.config.index_kmeans_iters,
             approx_recall_target=self.config.index_approx_recall_target,
             device_rescore=self.config.index_device_rescore,
+            rescore_mode=self.config.index_rescore_mode,
             score_dtype=self.config.index_score_dtype,
             fetch_width=self.config.index_fetch_width,
             scan_impl=self.config.index_scan_impl,

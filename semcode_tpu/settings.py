@@ -113,6 +113,9 @@ class AppSettings(BaseModel):
     # fused f32 device rescore: None = auto (on while the f32 mirror fits
     # the HBM budget), True/False to force
     index_device_rescore: Optional[bool] = None
+    # device rescore tier: auto (f32 mirror if it fits, else two-level int8
+    # residual at 1/4 the footprint), or force f32 | residual | off
+    index_rescore_mode: str = "auto"
     # exact-path (Q, rows) score-matrix dtype. Experimental: fp16 measured
     # QPS-neutral on a v5e chip (XLA fuses selection into the matmul without
     # materializing the score matrix), so auto resolves to float32
@@ -268,6 +271,7 @@ _SECTION_FIELDS: Dict[str, Dict[str, str]] = {
         "rerank_depth": "search_rerank_depth",
         "approx_recall_target": "index_approx_recall_target",
         "device_rescore": "index_device_rescore",
+        "rescore_mode": "index_rescore_mode",
         "score_dtype": "index_score_dtype",
         "fetch_width": "index_fetch_width",
         "scan_impl": "index_scan_impl",

@@ -273,3 +273,101 @@ def test_pick_tiles_clamps_to_shard_rows():
     assert t == 128  # lane-rounded up, not the 4096 default
     t, _ = sk.pick_tiles(1_000_000 // 8, 384, 16, 1)
     assert t == 4096  # large shards keep the full tile (VMEM permitting)
+
+
+# -- two-level int8 residual rescore (round 4) -------------------------------
+
+
+def test_flat_residual_rescore_matches_f32_oracle(mesh8, rng):
+    n, d, k = 3000, 64, 10
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    q = x[:16] + 0.02 * rng.standard_normal((16, d)).astype(np.float32)
+    idx = FlatIndex(d, metric="ip", dtype="int8", mesh=mesh8,
+                    rescore_mode="residual")
+    idx.add(x)
+    assert idx.device_rescore_active
+    assert isinstance(idx._dev[4], tuple)  # residual payload, no f32 mirror
+    s, ids = idx.search(q, k=k)
+    ref_s, ref_ids = _oracle(x, q, k)
+    np.testing.assert_array_equal(ids, ref_ids)
+    # two-level reconstruction carries ~16 bits: scores agree to ~1e-5
+    np.testing.assert_allclose(s, ref_s, rtol=0, atol=5e-5)
+
+
+def test_flat_residual_streaming_scatter_keeps_lockstep(mesh8, rng):
+    d, k = 32, 5
+    idx = FlatIndex(d, metric="ip", dtype="int8", mesh=mesh8,
+                    rescore_mode="residual")
+    x1 = rng.standard_normal((1024, d)).astype(np.float32)
+    idx.add(x1)
+    _ = idx.search(x1[:1], k=1)  # materialize
+    x2 = rng.standard_normal((256, d)).astype(np.float32)
+    idx.add(x2)  # streaming scatter must update BOTH residual arrays
+    allx = np.concatenate([x1, x2])
+    q = x2[:8] + 0.01 * rng.standard_normal((8, d)).astype(np.float32)
+    s, ids = idx.search(q, k=k)
+    ref_s, ref_ids = _oracle(allx, q, k)
+    np.testing.assert_array_equal(ids, ref_ids)
+    # rows here are NOT unit-norm (norms ~ 5.6): tolerance is relative
+    np.testing.assert_allclose(s, ref_s, rtol=1e-4, atol=1e-4)
+
+
+def test_ivf_residual_exact_and_probing_match_oracle(mesh8, rng):
+    n, d, k = 4000, 64, 10
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    q = x[rng.choice(n, 16, replace=False)] + 0.02 * rng.standard_normal(
+        (16, d)
+    ).astype(np.float32)
+    idx = IVFIndex(d, nlist=32, nprobe=32, metric="ip", dtype="int8",
+                   mesh=mesh8, rescore_mode="residual")
+    idx.add(x)
+    assert idx.device_rescore_active
+    assert isinstance(idx._mir.frescore, tuple)
+    ref_s, ref_ids = _oracle(x, q, k)
+    s, ids = idx.search(q, k=k, mode="exact")
+    np.testing.assert_array_equal(ids, ref_ids)
+    np.testing.assert_allclose(s, ref_s, rtol=0, atol=5e-5)
+    # probing at nprobe=nlist covers every cluster: the post-merge residual
+    # rescore (rescore_global_residual) must deliver oracle order too
+    s, ids = idx.search(q, k=k, mode="ivf")
+    np.testing.assert_array_equal(ids, ref_ids)
+    np.testing.assert_allclose(s, ref_s, rtol=0, atol=5e-5)
+
+
+def test_ivf_residual_hydrate_and_compact_roundtrip(mesh8, rng):
+    d = 32
+    x = rng.standard_normal((900, d)).astype(np.float32)
+    idx = IVFIndex(d, nlist=8, nprobe=8, metric="ip", dtype="int8",
+                   mesh=mesh8, rescore_mode="residual")
+    idx.add(x)
+    # hydrate reconstructs through the residual: ~16-bit agreement
+    # (rows are not unit-norm here, so the tolerance is scaled by |x|)
+    np.testing.assert_allclose(idx.hydrate_host(), x, rtol=0, atol=3e-4)
+    idx.remove(np.arange(0, 900, 3))
+    new, remap = idx.compacted()
+    assert isinstance(new._mir.frescore, tuple)
+    live = np.flatnonzero(remap >= 0)
+    q = x[live[:8]]
+    s, ids = new.search(q, k=1)
+    got = remap[live[:8]]
+    np.testing.assert_array_equal(ids[:, 0], got)
+
+
+def test_flat_residual_batched_matches_single(mesh8, rng):
+    import jax.numpy as jnp
+
+    n, d, k = 2048, 64, 8
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    idx = FlatIndex(d, metric="ip", dtype="int8", mesh=mesh8,
+                    rescore_mode="residual")
+    idx.add(x)
+    q = rng.standard_normal((3, 8, d)).astype(np.float32)
+    qs = jnp.asarray(q)
+    sb, ib = idx.search_device_batched(qs, k)
+    for b in range(3):
+        s1, i1 = idx.search_device(qs[b], k)
+        np.testing.assert_array_equal(np.asarray(ib[b]), np.asarray(i1))
+        np.testing.assert_allclose(np.asarray(sb[b]), np.asarray(s1),
+                                   rtol=1e-6)

@@ -54,6 +54,11 @@ def main() -> None:
     q = q / np.linalg.norm(q, axis=1, keepdims=True)
     qs = jnp.stack([jnp.asarray(q)] * chunk_b)
 
+    # warm the device state BEFORE the impl loop: staging/quantizing the
+    # corpus and building the f32 mirror is one-time work that would
+    # otherwise inflate the first impl's compile_s (advisor round-3 finding)
+    idx._ensure_device()
+
     out = {"n": n, "dim": dim, "batch": batch, "chunk_b": chunk_b}
     ids_by_impl = {}
     for impl in ("xla", "pallas"):
