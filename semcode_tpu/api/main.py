@@ -486,8 +486,19 @@ def create_app(
         except Exception as exc:
             _record_query(start, ok=False, fallback=False)
             return web.json_response({"detail": str(exc)}, status=502)
-        fallback = bool(result.get("meta", {}).get("fallback_used"))
+        meta = result.get("meta", {}) or {}
+        fallback = bool(meta.get("fallback_used"))
         _record_query(start, ok=True, fallback=fallback)
+        if telemetry_enabled(config) and not meta.get("cached"):
+            # per-stage serving attribution (embed/search_device/rerank/...):
+            # batch-level timings land once per executed batch — the batcher
+            # stamps identical dicts on every result of a batch, so only the
+            # de-duplicating first-of-batch share is recorded via batch_size
+            stages = meta.get("batch_timings_ms") or meta.get("timings_ms")
+            bs = int(meta.get("batch_size") or 1)
+            telemetry.record_query_stages(
+                stages, batch_size=bs if meta.get("batch_timings_ms") else 1
+            )
         return web.json_response(
             {
                 "answer": result.get("answer", ""),

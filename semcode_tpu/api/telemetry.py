@@ -38,6 +38,28 @@ class Telemetry:
         self._ingest = IngestStats()
         self._query = QueryStats()
         self._events: deque = deque(maxlen=max_events)
+        # per-stage serving-path attribution (embed/search/rerank/answer...):
+        # totals are per BATCH (the micro-batcher executes one device batch
+        # for many requests), so the snapshot reports both per-batch and
+        # per-query averages
+        self._stage_totals: Dict[str, float] = {}
+        self._stage_batches: int = 0
+        self._stage_queries: int = 0
+
+    def record_query_stages(
+        self, timings_ms: Optional[Dict[str, float]], batch_size: int = 1
+    ) -> None:
+        """Accumulate per-stage timings from one executed query batch."""
+        if not timings_ms:
+            return
+        with self._lock:
+            self._stage_batches += 1
+            self._stage_queries += max(int(batch_size), 1)
+            for k, v in timings_ms.items():
+                try:
+                    self._stage_totals[k] = self._stage_totals.get(k, 0.0) + float(v)
+                except (TypeError, ValueError):
+                    continue
 
     def record_ingest(
         self,
@@ -108,4 +130,20 @@ class Telemetry:
                     "last_timestamp": qry.last_timestamp,
                 },
                 "recent_events": list(self._events),
+                "query_stages": {
+                    "batches": self._stage_batches,
+                    "queries": self._stage_queries,
+                    "avg_ms_per_batch": {
+                        k: round(v / self._stage_batches, 3)
+                        for k, v in self._stage_totals.items()
+                    }
+                    if self._stage_batches
+                    else {},
+                    "avg_ms_per_query": {
+                        k: round(v / self._stage_queries, 3)
+                        for k, v in self._stage_totals.items()
+                    }
+                    if self._stage_queries
+                    else {},
+                },
             }

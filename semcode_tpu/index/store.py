@@ -32,6 +32,7 @@ import numpy as np
 from ..logger import get_logger
 from ..parallel.mesh import get_mesh
 from ..settings import AppSettings, settings as default_settings
+from ..utils.tracing import StageTimer
 from .flat import FlatIndex, _NEG_INF as _SCORE_SENTINEL
 from .ivf import IVFIndex
 from .rerank import rerank_hits
@@ -570,8 +571,10 @@ class VectorStore:
         nprobe: Optional[int] = None,
         filters: Optional[Dict[str, Any]] = None,
         query_texts: Optional[Sequence[Optional[str]]] = None,
+        timer=None,  # optional StageTimer: per-stage serving attribution
     ) -> List[List[SearchHit]]:
         self.connect()
+        timer = timer or StageTimer()
         top_k = validate_top_k(top_k, self.config.search_top_k_max)
         q = np.ascontiguousarray(np.atleast_2d(vectors), dtype=np.float32)
         view = self._view  # lock-free read: snapshot the view tuple once
@@ -590,19 +593,22 @@ class VectorStore:
             return [[] for _ in range(q.shape[0])]
         window = self._rerank_window(top_k, query_texts)
         fetch_k = self._fetch_k(index, window, residual)
-        if isinstance(index, IVFIndex):
-            scores, ids = index.search(
-                q, k=fetch_k, nprobe=nprobe, allow_tags=allow
+        with timer.stage("search_device"):
+            if isinstance(index, IVFIndex):
+                scores, ids = index.search(
+                    q, k=fetch_k, nprobe=nprobe, allow_tags=allow
+                )
+            else:
+                scores, ids = index.search(q, k=fetch_k, allow_tags=allow)
+            scores, ids = self._rescore_host(index, q, scores, ids)
+        with timer.stage("assemble"):
+            hits = self._hits_from(
+                view, scores, ids,
+                self._limits(q.shape[0], top_k, window, query_texts),
+                residual,
             )
-        else:
-            scores, ids = index.search(q, k=fetch_k, allow_tags=allow)
-        scores, ids = self._rescore_host(index, q, scores, ids)
-        hits = self._hits_from(
-            view, scores, ids,
-            self._limits(q.shape[0], top_k, window, query_texts),
-            residual,
-        )
-        return self._apply_rerank(hits, query_texts, top_k)
+        with timer.stage("rerank"):
+            return self._apply_rerank(hits, query_texts, top_k)
 
     def search_batch_device(
         self,
@@ -612,11 +618,13 @@ class VectorStore:
         nprobe: Optional[int] = None,
         filters: Optional[Dict[str, Any]] = None,
         query_texts: Optional[Sequence[Optional[str]]] = None,
+        timer=None,  # optional StageTimer: per-stage serving attribution
     ) -> List[List[SearchHit]]:
         """Search with an already-on-device, already-normalized query batch
         (Q multiple of 8). Saves a host->device round trip on the serving
         path; the single host sync happens when results transfer back."""
         self.connect()
+        timer = timer or StageTimer()
         top_k = validate_top_k(top_k, self.config.search_top_k_max)
         n_q = q_dev.shape[0]
         view = self._view  # lock-free read: snapshot the view tuple once
@@ -635,14 +643,25 @@ class VectorStore:
             return [[] for _ in range(n_q)]
         window = self._rerank_window(top_k, query_texts)
         fetch_k = self._fetch_k(index, window, residual)
-        if isinstance(index, IVFIndex):
-            scores, ids = index.search_device(
-                q_dev, fetch_k, nprobe=nprobe, allow_tags=allow
-            )
-        else:
-            scores, ids = index.search_device(q_dev, fetch_k, allow_tags=allow)
-        scores = np.asarray(scores, dtype=np.float32)
-        ids = np.asarray(ids).astype(np.int64, copy=False)
+        with timer.stage("search_device"):
+            if isinstance(index, IVFIndex):
+                scores, ids = index.search_device(
+                    q_dev, fetch_k, nprobe=nprobe, allow_tags=allow
+                )
+            else:
+                scores, ids = index.search_device(
+                    q_dev, fetch_k, allow_tags=allow
+                )
+            # the host fetch below is the device sync point: its wall time
+            # includes the scan itself, so "search_device" is the honest
+            # engine stage. ONE device_get for both arrays: two sequential
+            # np.asarray fetches pay two service-tunnel round trips per
+            # batch (~30 ms each), dominating the whole serving stage
+            import jax
+
+            scores, ids = jax.device_get((scores, ids))
+            scores = np.asarray(scores, dtype=np.float32)
+            ids = np.asarray(ids).astype(np.int64, copy=False)
         # scrub sentinel-scored slots (tag-masked or padded rows) exactly
         # like the index host paths do: without this, _rescore_host would
         # overwrite the -3e38 filter sentinel with the row's TRUE score and
@@ -658,11 +677,14 @@ class VectorStore:
         scores, ids = self._rescore_host(
             index, np.asarray(q_dev, dtype=np.float32), scores, ids
         )
-        hits = self._hits_from(
-            view, scores, ids, self._limits(n_q, top_k, window, query_texts),
-            residual,
-        )
-        return self._apply_rerank(hits, query_texts, top_k)
+        with timer.stage("assemble"):
+            hits = self._hits_from(
+                view, scores, ids,
+                self._limits(n_q, top_k, window, query_texts),
+                residual,
+            )
+        with timer.stage("rerank"):
+            return self._apply_rerank(hits, query_texts, top_k)
 
     def search_bulk(
         self,

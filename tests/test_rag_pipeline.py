@@ -269,7 +269,7 @@ def test_query_batch_uses_query_side_embeddings():
     class BatchStore:
         version = 0
 
-        def search_batch(self, vectors, top_k=10, filters=None, query_texts=None):
+        def search_batch(self, vectors, top_k=10, filters=None, query_texts=None, **kw):
             return [_hits(1) for _ in range(len(vectors))]
 
     emb = RecordingEmbeddings()

@@ -118,17 +118,34 @@ async def _drive(app, config, concurrency: float, secs: float):
     stop_at = time.perf_counter() + secs
     done = 0
 
+    stage_ms: dict = {}
+    stage_q = 0
+    cached = 0
+
     async def worker(wid: int):
-        nonlocal done
+        nonlocal done, stage_q, cached
         i = wid
         while time.perf_counter() < stop_at:
-            body = {"question": _QUESTIONS[i % len(_QUESTIONS)], "top_k": 10}
+            # UNIQUE question per request: with the pipeline's per-question
+            # LRU cache (which query_batch now honors too) a small repeated
+            # pool would measure the cache path, not the engine
+            q = f"{_QUESTIONS[i % len(_QUESTIONS)]} variant {wid}-{i}"
+            body = {"question": q, "top_k": 10}
             t0 = time.perf_counter()
             async with client.post("/query", json=body) as resp:
-                await resp.json()
+                j = await resp.json()
                 assert resp.status == 200, resp.status
             lat.append((time.perf_counter() - t0) * 1000)
             done += 1
+            meta = (j or {}).get("meta") or {}
+            if meta.get("cached"):
+                cached += 1
+            bt = meta.get("batch_timings_ms")
+            if bt:
+                bs = max(int(meta.get("batch_size") or 1), 1)
+                stage_q += 1
+                for k, v in bt.items():
+                    stage_ms[k] = stage_ms.get(k, 0.0) + float(v) / bs
             i += 1
 
     t0 = time.perf_counter()
@@ -141,6 +158,12 @@ async def _drive(app, config, concurrency: float, secs: float):
         "p99_ms": round(float(np.percentile(lat, 99)), 1),
         "requests": done,
         "concurrency": int(concurrency),
+        "cached": cached,
+        # mean per-QUERY stage cost (batch timings / batch size), ms —
+        # the attribution table for the engine-vs-host question
+        "stage_ms": {
+            k: round(v / stage_q, 2) for k, v in stage_ms.items()
+        } if stage_q else {},
     }
 
 
