@@ -333,7 +333,7 @@ def cmd_eval(args) -> int:
     configure_logging()
     from .embeddings import EmbeddingProviderFactory
     from .embeddings.providers import EmbeddingPayload
-    from .eval import evaluate_store, generate_queries
+    from .eval import evaluate_store, generate_queries, load_frozen_queries
     from .index.store import VectorStore
     from .settings import settings
 
@@ -352,6 +352,10 @@ def cmd_eval(args) -> int:
         print(f"no chunks found for repo {args.repo!r}", file=sys.stderr)
         return 1
     queries = generate_queries(metas, max_per_kind=args.max_per_kind)
+    if getattr(args, "frozen", None):
+        # hand-labelled path-relevance queries: scanner-independent numbers,
+        # reported separately as by_kind["frozen"] in the output
+        queries = queries + load_frozen_queries(args.frozen)
     providers = args.provider or [settings.embedding_provider]
     results = []
     for name in providers:
@@ -613,6 +617,18 @@ def build_parser() -> argparse.ArgumentParser:
         help="Embedding provider(s) to score (default: configured provider)",
     )
     p.add_argument("--max-per-kind", type=int, default=150)
+    p.add_argument(
+        "--frozen",
+        nargs="?",
+        const=str(
+            Path(__file__).resolve().parents[1]
+            / "tests" / "fixtures" / "frozen_queries.json"
+        ),
+        help="Also score a frozen hand-labelled query set (JSON with "
+        "file-path relevance; default: the in-repo fixture). Its metrics "
+        "appear under by_kind['frozen'] and are comparable across "
+        "chunker/scanner generations.",
+    )
     p.set_defaults(func=cmd_eval)
 
     p = sub.add_parser(

@@ -119,3 +119,69 @@ def test_perfect_provider_gets_perfect_score(mesh8):
     ]
     report = evaluate_store(store, emb, queries=queries, provider_name="oracle")
     assert report.mrr_at_10 == 1.0 and report.recall_at_1 == 1.0
+
+
+def test_frozen_fixture_schema_and_paths():
+    # every labelled path must point at a real file in this repo — a rename
+    # that invalidates a label should fail loudly here, not silently zero
+    # the frozen MRR
+    import json
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[1]
+    fixture = root / "tests" / "fixtures" / "frozen_queries.json"
+    data = json.loads(fixture.read_text())
+    assert len(data["queries"]) >= 100
+    texts = [e["query"] for e in data["queries"]]
+    assert len(set(texts)) == len(texts), "duplicate frozen queries"
+    for entry in data["queries"]:
+        assert entry["query"].strip()
+        assert entry["relevant_paths"], entry["query"]
+        for p in entry["relevant_paths"]:
+            assert (root / p).is_file(), f"missing labelled path: {p}"
+
+
+def test_load_frozen_queries_and_path_matching(mesh8):
+    from pathlib import Path
+
+    from semcode_tpu.eval import load_frozen_queries
+    from semcode_tpu.index.store import SearchHit
+
+    root = Path(__file__).resolve().parents[1]
+    queries = load_frozen_queries(
+        root / "tests" / "fixtures" / "frozen_queries.json"
+    )
+    assert all(q.kind == "frozen" and q.relevant_paths for q in queries)
+    q = next(
+        x for x in queries
+        if "semcode_tpu/index/rerank.py" in x.relevant_paths
+    )
+    # suffix matching: ingested paths may carry a workspace prefix
+    assert q.matches(SearchHit(id="x", score=0.0,
+                               path="semcode_tpu/index/rerank.py"))
+    assert q.matches(SearchHit(id="x", score=0.0,
+                               path="/ws/repo/semcode_tpu/index/rerank.py"))
+    # but never a mere basename collision from another tree
+    assert not q.matches(SearchHit(id="x", score=0.0,
+                                   path="other/index/rerank.py"))
+    assert not q.matches(SearchHit(id="x", score=0.0, path=None))
+
+
+def test_frozen_queries_scored_by_path(mesh8):
+    # a frozen-style query whose relevance is path-labelled must score
+    # through evaluate_store without any payload-id overlap
+    from semcode_tpu.eval import QualityQuery
+
+    emb = HashEmbeddings(dim=384)
+    store = _store(mesh8)
+    _populate(store, emb)
+    queries = [
+        QualityQuery(
+            text="parse the toml configuration file",
+            relevant=set(),
+            kind="frozen",
+            relevant_paths={"src/mod0.py"},
+        )
+    ]
+    report = evaluate_store(store, emb, queries=queries, provider_name="hash")
+    assert report.by_kind["frozen"]["recall@10"] == 1.0

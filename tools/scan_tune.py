@@ -28,7 +28,7 @@ BATCH = int(os.environ.get("BATCH", 256))
 CHUNK_B = int(os.environ.get("CHUNK_B", 16))
 SECS = float(os.environ.get("SECS", 8.0))
 K = 10
-N_Q = 512
+N_Q = max(int(os.environ.get("N_Q", 512)), BATCH)
 
 
 def main() -> None:
@@ -131,7 +131,7 @@ def main() -> None:
             np.asarray(outs[-1][0])
         qps = n_done / (time.perf_counter() - t0)
         print(json.dumps({
-            "mode": mode, "fetch": fetch, "rt": rt,
+            "mode": mode, "fetch": fetch, "rt": rt, "batch": BATCH,
             "recall_at_10": round(rec, 4), "qps": round(qps, 1),
             "ms_per_batch": round(1000.0 * BATCH / qps, 3),
             "build_s": round(build_s, 1), "compile_s": round(compile_s, 1),
