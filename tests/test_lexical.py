@@ -1,0 +1,237 @@
+"""Device lexical rerank (index/lexical.py): featurization, sharded gather,
+BM25 blend parity with the host reranker."""
+
+import numpy as np
+import pytest
+
+from semcode_tpu.index import rerank as rr
+from semcode_tpu.index.lexical import (
+    DEFAULT_KTERMS,
+    LexicalFingerprints,
+    bm25_blend,
+    featurize_doc,
+    featurize_docs,
+    featurize_queries,
+    gather_fingerprints,
+    rerank_device,
+    term_hash,
+)
+
+
+class Hit:
+    def __init__(self, id, score, text, symbol=None, path=None):
+        self.id = id
+        self.score = score
+        self.text = text
+        self.metadata = {"symbol": symbol} if symbol else {}
+        self.path = path
+
+
+def test_featurize_doc_boosted_fields_survive():
+    ids, w, length = featurize_doc(
+        "def parse_config(path):\n    return read_toml(path)",
+        symbol="parse_config",
+        path="semcode/settings.py",
+    )
+    assert ids.shape == (DEFAULT_KTERMS,)
+    assert w.dtype == np.float16
+    # the symbol's subtokens are boosted 3x (plus body occurrences), so they
+    # must hold top fingerprint slots
+    sym = term_hash("parse_config")
+    assert sym in ids.tolist()
+    idx = ids.tolist().index(sym)
+    assert float(w[idx]) >= 3.0
+    # file stem boosted 2x
+    assert term_hash("settings") in ids.tolist()
+    assert length >= float(np.asarray(w, np.float32).sum()) - 1e-3
+
+
+def test_featurize_doc_empty():
+    ids, w, length = featurize_doc(None)
+    assert (ids == -1).all() and (np.asarray(w) == 0).all()
+    assert length == 1.0
+
+
+def test_featurize_queries_padding():
+    q = featurize_queries(["where is parse_config defined", None, ""])
+    assert q.shape[0] == 3
+    assert (q[1] == -1).all() and (q[2] == -1).all()
+    assert term_hash("parse_config") in q[0].tolist()
+
+
+def test_gather_fingerprints_by_global_row(mesh8):
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rng = np.random.default_rng(0)
+    R, K = 64, 8
+    fp_ids = rng.integers(0, 1 << 30, (R, K)).astype(np.int32)
+    fp_ids[5, 3:] = -1  # padding must survive the psum
+    fp_w = rng.random((R, K)).astype(np.float16)
+    fp_len = rng.random(R).astype(np.float32) + 1.0
+    ids = np.array([[0, 5, 63, -1], [17, 17, 2, 40]], dtype=np.int32)
+    s2 = NamedSharding(mesh8, P("data", None))
+    s1 = NamedSharding(mesh8, P("data"))
+    g_ids, g_w, g_len = gather_fingerprints(
+        mesh8,
+        jax.device_put(fp_ids, s2),
+        jax.device_put(fp_w, s2),
+        jax.device_put(fp_len, s1),
+        np.asarray(ids),
+    )
+    g_ids, g_w, g_len = map(np.asarray, (g_ids, g_w, g_len))
+    for qi in range(2):
+        for wi in range(4):
+            r = ids[qi, wi]
+            if r < 0:
+                assert (g_ids[qi, wi] == -1).all()
+                assert (g_w[qi, wi] == 0).all()
+            else:
+                np.testing.assert_array_equal(g_ids[qi, wi], fp_ids[r])
+                np.testing.assert_allclose(
+                    g_w[qi, wi], fp_w[r].astype(np.float32), rtol=1e-3
+                )
+                assert g_len[qi, wi] == pytest.approx(float(fp_len[r]))
+
+
+def _np_bm25_blend(g_ids, g_w, g_len, dense, q_ids, weight, k1=1.2, b=0.75):
+    """Independent numpy reference of the device math."""
+    Q, W, K = g_ids.shape
+    live = dense > -1.5e38
+    out_final = np.zeros((Q, W))
+    out_order = np.zeros((Q, W), dtype=np.int64)
+    for qi in range(Q):
+        qid = q_ids[qi][q_ids[qi] >= 0]
+        tf = np.zeros((W, qid.size))
+        for wi in range(W):
+            for t, ti in enumerate(qid.tolist()):
+                tf[wi, t] = g_w[qi, wi][g_ids[qi, wi] == ti].sum()
+        n = live[qi].sum()
+        df = ((tf > 0) & live[qi][:, None]).sum(axis=0)
+        idf = np.log1p((n - df + 0.5) / (df + 0.5))
+        lens = np.maximum(g_len[qi], 1.0)
+        avg = lens[live[qi]].mean() if n else 1.0
+        denom = tf + k1 * (1 - b + b * lens[:, None] / max(avg, 1e-9))
+        lex = (idf[None, :] * tf * (k1 + 1) / np.maximum(denom, 1e-9)).sum(1)
+        lex = np.where(live[qi], lex, 0.0)
+
+        def mm(x):
+            xl = x[live[qi]]
+            if xl.size == 0 or xl.max() - xl.min() <= 1e-12:
+                return np.zeros_like(x)
+            out = np.zeros_like(x)
+            out[live[qi]] = (xl - xl.min()) / (xl.max() - xl.min())
+            return out
+
+        final = (1 - weight) * mm(dense[qi]) + weight * mm(lex)
+        final = np.where(live[qi], final, -np.inf)
+        out_final[qi] = final
+        out_order[qi] = np.lexsort((-lex, -final))
+    return out_final, out_order
+
+
+def test_bm25_blend_matches_numpy_reference():
+    rng = np.random.default_rng(1)
+    Q, W, K, T = 3, 12, 6, 5
+    vocab = np.arange(100, 130, dtype=np.int32)
+    g_ids = rng.choice(vocab, (Q, W, K)).astype(np.int32)
+    g_w = (rng.random((Q, W, K)) * 5).astype(np.float32)
+    g_len = (rng.random((Q, W)) * 50 + 10).astype(np.float32)
+    dense = rng.random((Q, W)).astype(np.float32)
+    dense[0, -2:] = -3.0e38  # dead slots
+    q_ids = rng.choice(vocab, (Q, T)).astype(np.int32)
+    q_ids[1, 3:] = -1
+    final, order = bm25_blend(
+        g_ids, g_w, g_len, dense, q_ids, np.float32(0.8)
+    )
+    ref_final, ref_order = _np_bm25_blend(
+        g_ids, g_w, g_len, dense, q_ids, 0.8
+    )
+    live = dense > -1.5e38
+    np.testing.assert_allclose(
+        np.asarray(final)[live], ref_final[live], rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(order), ref_order)
+
+
+def test_rerank_device_matches_host_rerank(mesh8):
+    """End-to-end parity: small docs (every term fits the fingerprint), so
+    the device blend must reproduce rerank_hits' ordering exactly."""
+    rng = np.random.default_rng(2)
+    docs = [
+        ("connect to the server", "open_connection", "net/client.py"),
+        ("parse the config file", "parse_config", "settings.py"),
+        ("read toml settings", "read_toml", "settings.py"),
+        ("send an http request", "do_request", "net/http.py"),
+        ("retry failed requests", "retry_request", "net/retry.py"),
+        ("close the connection", "close", "net/client.py"),
+        ("hash a password", "hash_pw", "auth.py"),
+        ("validate the session token", "check_token", "auth.py"),
+    ]
+    hits = [
+        Hit(f"id{i}", float(s), t, sym, p)
+        for i, ((t, sym, p), s) in enumerate(
+            zip(docs, rng.random(len(docs)))
+        )
+    ]
+    hits.sort(key=lambda h: -h.score)
+
+    fps = LexicalFingerprints(mesh8, row_multiple=64, kterms=32)
+    metas = [
+        {"text": h.text, "symbol": h.metadata.get("symbol"), "path": h.path}
+        for h in hits
+    ]
+    fps.set_rows(np.arange(len(hits)), metas)
+
+    query = "how do I parse the config settings"
+    for weight in (0.8, 0.5):
+        expected = rr.rerank_hits(query, hits, 5, weight=weight)
+        dense = np.asarray(
+            [[h.score for h in hits]], dtype=np.float32
+        )
+        ids = np.arange(len(hits), dtype=np.int32)[None, :]
+        q_ids = featurize_queries([query])
+        _, new_ids = rerank_device(
+            mesh8,
+            fps.device_arrays(len(hits)),
+            dense,
+            ids,
+            q_ids,
+            weight=weight,
+        )
+        got = [hits[r] for r in np.asarray(new_ids)[0][:5]]
+        assert [h.id for h in got] == [h.id for h in expected], (
+            f"weight={weight}"
+        )
+
+
+def test_fingerprints_remap_and_growth(mesh8):
+    fps = LexicalFingerprints(mesh8, row_multiple=16, kterms=8)
+    metas = [
+        {"text": f"term{i} unique{i}", "symbol": f"sym{i}", "path": "a.py"}
+        for i in range(10)
+    ]
+    fps.set_rows(np.arange(10), metas)
+    before = fps._ids[:10].copy()
+    # drop even rows, renumber odds densely
+    remap = np.full(10, -1, dtype=np.int64)
+    remap[1::2] = np.arange(5)
+    fps.remap(remap)
+    np.testing.assert_array_equal(fps._ids[:5], before[1::2])
+    # growth keeps existing rows
+    fps.set_rows(np.asarray([100]), [metas[0]])
+    np.testing.assert_array_equal(fps._ids[100], before[0])
+    np.testing.assert_array_equal(fps._ids[:5], before[1::2])
+
+
+def test_fingerprints_state_roundtrip(mesh8):
+    fps = LexicalFingerprints(mesh8, row_multiple=16, kterms=8)
+    fps.set_rows(
+        np.arange(3),
+        [{"text": "alpha beta", "symbol": "s", "path": "p.py"}] * 3,
+    )
+    state = fps.state_dict()
+    back = LexicalFingerprints.from_state(state, mesh8, 16)
+    np.testing.assert_array_equal(back._ids[:3], fps._ids[:3])
+    np.testing.assert_array_equal(back._w[:3], fps._w[:3])
+    np.testing.assert_array_equal(back._len[:3], fps._len[:3])

@@ -60,8 +60,10 @@ def main() -> None:
     rng = np.random.default_rng(0)
     n_centers = max(64, N // 1000)
     centers = rng.standard_normal((n_centers, DIM), dtype=np.float32)
+    # rescore tier resolves by HBM budget exactly as production auto does:
+    # f32 mirror at 1M x 384, two-level int8 residual at 1M x 3072
     idx = FlatIndex(DIM, metric="cosine", dtype="int8", capacity=N,
-                    device_rescore=True, approx_recall_target=RT)
+                    rescore_mode="auto", approx_recall_target=RT)
     step = 250_000
     for i in range(0, N, step):
         m = min(step, N - i)
@@ -129,6 +131,39 @@ def main() -> None:
         return jax.lax.scan(body, 0, (qsb, posb))[1]
 
     @jax.jit
+    def run_gather_residual(v, scl, rsd, rscl, qsb, posb):
+        """Isolated two-level reconstruction gather (the residual tier's
+        rescore stage): TWO int8 gathers + reconstruction + HIGHEST einsum."""
+        def body(c, op):
+            qb, pp = op
+            cand = (
+                v[pp].astype(jnp.float32) * scl[pp][:, :, None]
+                + rsd[pp].astype(jnp.float32) * rscl[pp][:, :, None]
+            )
+            exact = jnp.einsum(
+                "qfd,qd->qf", cand, qb,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            return c, jnp.max(exact, axis=1)
+        return jax.lax.scan(body, 0, (qsb, posb))[1]
+
+    @jax.jit
+    def run_gather_resid_only(rsd, rscl, qsb, posb):
+        """ONE int8 gather (residual rows only) + einsum — the floor for a
+        query-side-exact residual correction scheme."""
+        def body(c, op):
+            qb, pp = op
+            cand = rsd[pp].astype(jnp.float32) * rscl[pp][:, :, None]
+            exact = jnp.einsum(
+                "qfd,qd->qf", cand, qb,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            return c, jnp.max(exact, axis=1)
+        return jax.lax.scan(body, 0, (qsb, posb))[1]
+
+    @jax.jit
     def run_gather_vpu(resc, qsb, posb):
         def body(c, op):
             qb, pp = op
@@ -177,9 +212,26 @@ def main() -> None:
             idx.fetch_width = FETCH
             timed(lambda: idx.search_device_batched(qs, K)[0], "full")
         elif mode == "gather":
-            timed(lambda: run_gather(rescore, qs, pos_dev), "gather")
+            if isinstance(rescore, tuple):
+                timed(
+                    lambda: run_gather_residual(
+                        vecs, scales, rescore[0], rescore[1], qs, pos_dev
+                    ),
+                    "gather_residual",
+                )
+                timed(
+                    lambda: run_gather_resid_only(
+                        rescore[0], rescore[1], qs, pos_dev
+                    ),
+                    "gather_resid_only",
+                )
+            else:
+                timed(lambda: run_gather(rescore, qs, pos_dev), "gather")
         elif mode == "gather_vpu":
-            timed(lambda: run_gather_vpu(rescore, qs, pos_dev), "gather_vpu")
+            if not isinstance(rescore, tuple):
+                timed(
+                    lambda: run_gather_vpu(rescore, qs, pos_dev), "gather_vpu"
+                )
         else:
             print(json.dumps({"mode": mode, "error": "unknown"}), flush=True)
 
