@@ -35,6 +35,7 @@ from ..settings import AppSettings, settings as default_settings
 from ..utils.tracing import StageTimer
 from .flat import FlatIndex, _NEG_INF as _SCORE_SENTINEL
 from .ivf import IVFIndex
+from .lexical import LexicalFingerprints, featurize_queries, rerank_device
 from .rerank import rerank_hits
 
 log = get_logger("index.store")
@@ -108,6 +109,14 @@ class VectorStore:
         # table; rows tagged under a brand-new pair become filterable as soon
         # as the reader re-snapshots.
         self._pair_ids: Dict[tuple, int] = {}
+        # per-row lexical fingerprints for the ON-DEVICE second-stage rerank
+        # (index/lexical.py). Maintained by writers in lockstep with
+        # row_meta; None until the first post-construction mutation (loads
+        # leave it None — it rebuilds from row_meta on the next upsert, and
+        # searches fall back to the host scorer meanwhile). Readers only
+        # snapshot its immutable device tuple: bounded staleness, same
+        # contract as the index's own device state.
+        self._lex: Optional[LexicalFingerprints] = None
 
     # Convenience accessors into the current view (writers hold the lock, so
     # in-place dict mutation through these is safe; readers must instead
@@ -230,6 +239,10 @@ class VectorStore:
         # search never maps flat row numbers through IVF-numbered dicts.
         old_meta = self._row_meta
         id_to_row = {k: remap[v] for k, v in self._id_to_row.items()}
+        if self._lex is not None:
+            remap_arr = np.full(max(idx.size, 1), -1, dtype=np.int64)
+            remap_arr[live] = new_rows
+            self._lex.remap(remap_arr)
         self._view = (
             ivf,
             {r: i for i, r in id_to_row.items()},
@@ -284,21 +297,26 @@ class VectorStore:
                 new_mask = [p.id not in self._id_to_row for p in chunk]
                 new_items = [p for p, m in zip(chunk, new_mask) if m]
                 old_items = [p for p, m in zip(chunk, new_mask) if not m]
+                lex = self._ensure_lex()
                 if new_items:
                     new_vecs = vecs[np.asarray(new_mask)]
+                    new_metas = [self._payload_meta(p) for p in new_items]
                     new_tags = np.asarray(
-                        [self._tag_for(self._payload_meta(p)) for p in new_items],
+                        [self._tag_for(m) for m in new_metas],
                         dtype=np.int32,
                     )
                     rows = index.add(new_vecs, new_tags)
-                    for p, r in zip(new_items, rows):
+                    for p, r, m in zip(new_items, rows, new_metas):
                         self._id_to_row[p.id] = int(r)
                         self._row_to_id[int(r)] = p.id
-                        self._row_meta[int(r)] = self._payload_meta(p)
+                        self._row_meta[int(r)] = m
+                    if lex is not None:
+                        lex.set_rows(rows, new_metas)
                 if old_items:
                     old_vecs = vecs[~np.asarray(new_mask)]
+                    old_metas = [self._payload_meta(p) for p in old_items]
                     old_tags = np.asarray(
-                        [self._tag_for(self._payload_meta(p)) for p in old_items],
+                        [self._tag_for(m) for m in old_metas],
                         dtype=np.int32,
                     )
                     rows = np.asarray(
@@ -308,19 +326,21 @@ class VectorStore:
                         # IVF slots are cluster-addressed: tombstone + re-add
                         index.remove(rows)
                         new_rows = index.add(old_vecs, old_tags)
-                        for p, r in zip(old_items, new_rows):
+                        for p, r, m in zip(old_items, new_rows, old_metas):
                             old_row = self._id_to_row[p.id]
                             self._row_meta.pop(old_row, None)
                             self._row_to_id.pop(old_row, None)
                             self._id_to_row[p.id] = int(r)
                             self._row_to_id[int(r)] = p.id
-                            self._row_meta[int(r)] = self._payload_meta(p)
+                            self._row_meta[int(r)] = m
+                        if lex is not None:
+                            lex.set_rows(new_rows, old_metas)
                     else:
                         index.update_rows(rows, old_vecs, old_tags)
-                        for p in old_items:
-                            self._row_meta[self._id_to_row[p.id]] = (
-                                self._payload_meta(p)
-                            )
+                        for p, m in zip(old_items, old_metas):
+                            self._row_meta[self._id_to_row[p.id]] = m
+                        if lex is not None:
+                            lex.set_rows(rows, old_metas)
                 done += len(chunk)
                 if progress is not None:
                     progress(done, total)
@@ -334,6 +354,36 @@ class VectorStore:
         meta = dict(p.metadata or {})
         meta.setdefault("text", p.text)
         return meta
+
+    # -- lexical fingerprints (device rerank) --------------------------------
+
+    def _lex_enabled(self) -> bool:
+        return (
+            self.config.search_rerank_weight > 0.0
+            and self.config.search_rerank_impl in ("auto", "device")
+        )
+
+    def _ensure_lex(self) -> Optional[LexicalFingerprints]:
+        """Writer-side: the fingerprint table, created (and back-filled from
+        row_meta, e.g. after a snapshot load) on first use."""
+        if not self._lex_enabled():
+            return None
+        if self._lex is None:
+            import math
+
+            sizes = dict(zip(self._mesh.axis_names, self._mesh.devices.shape))
+            from ..parallel.mesh import row_axes
+
+            n_shards = int(
+                np.prod([sizes[a] for a in row_axes(self._mesh)])
+            )
+            lex = LexicalFingerprints(
+                self._mesh, math.lcm(n_shards * 8, 128)
+            )
+            if self._row_meta:
+                lex.rebuild(self._row_meta)
+            self._lex = lex
+        return self._lex
 
     def _tag_for(self, meta: Dict[str, Any]) -> int:
         """Assign/look up the (repo, language) tag id for a row (writer-side,
@@ -525,6 +575,8 @@ class VectorStore:
                 for pid, r in self._id_to_row.items()
                 if r < len(remap) and remap[r] >= 0
             }
+            if self._lex is not None:
+                self._lex.remap(remap)
             self._view = (
                 new_idx,
                 {r: p for p, r in id_to_row.items()},
@@ -593,6 +645,7 @@ class VectorStore:
             return [[] for _ in range(q.shape[0])]
         window = self._rerank_window(top_k, query_texts)
         fetch_k = self._fetch_k(index, window, residual)
+        use_dev = self._use_device_rerank(index, query_texts, residual)
         with timer.stage("search_device"):
             if isinstance(index, IVFIndex):
                 scores, ids = index.search(
@@ -600,14 +653,21 @@ class VectorStore:
                 )
             else:
                 scores, ids = index.search(q, k=fetch_k, allow_tags=allow)
+            if use_dev:
+                scores, ids = self._device_rerank_np(
+                    scores, ids, query_texts
+                )
             scores, ids = self._rescore_host(index, q, scores, ids)
         with timer.stage("assemble"):
             hits = self._hits_from(
                 view, scores, ids,
-                self._limits(q.shape[0], top_k, window, query_texts),
+                [top_k] * q.shape[0] if use_dev
+                else self._limits(q.shape[0], top_k, window, query_texts),
                 residual,
             )
         with timer.stage("rerank"):
+            if use_dev:
+                return hits  # blended on device inside the search stage
             return self._apply_rerank(hits, query_texts, top_k)
 
     def search_batch_device(
@@ -643,6 +703,7 @@ class VectorStore:
             return [[] for _ in range(n_q)]
         window = self._rerank_window(top_k, query_texts)
         fetch_k = self._fetch_k(index, window, residual)
+        use_dev = self._use_device_rerank(index, query_texts, residual)
         with timer.stage("search_device"):
             if isinstance(index, IVFIndex):
                 scores, ids = index.search_device(
@@ -651,6 +712,12 @@ class VectorStore:
             else:
                 scores, ids = index.search_device(
                     q_dev, fetch_k, allow_tags=allow
+                )
+            if use_dev:
+                # second-stage blend chained on device: no host round trip
+                # between the scan and the rerank
+                scores, ids = self._device_rerank_dispatch(
+                    scores, ids, query_texts, n_q
                 )
             # the host fetch below is the device sync point: its wall time
             # includes the scan itself, so "search_device" is the honest
@@ -680,10 +747,13 @@ class VectorStore:
         with timer.stage("assemble"):
             hits = self._hits_from(
                 view, scores, ids,
-                self._limits(n_q, top_k, window, query_texts),
+                [top_k] * n_q if use_dev
+                else self._limits(n_q, top_k, window, query_texts),
                 residual,
             )
         with timer.stage("rerank"):
+            if use_dev:
+                return hits  # blended on device inside the search stage
             return self._apply_rerank(hits, query_texts, top_k)
 
     def search_bulk(
@@ -824,6 +894,63 @@ class VectorStore:
             )
             for i, hits in enumerate(hits_batch)
         ]
+
+    def _use_device_rerank(self, index, query_texts, residual) -> bool:
+        """Route the second-stage blend on device (index/lexical.py)?
+
+        Requires: fingerprints exist (writer-maintained), at least one query
+        carries text, lexical weight > 0, impl not forced to host, no
+        residual host-side filters (those drop hits AFTER assembly, which
+        would starve a pre-assembled blended top_k), and dense scores that
+        are already FINAL on device (fused rescore active, or no rescore
+        configured) — the blend must never be re-sorted afterwards."""
+        if residual:
+            return False
+        if self.config.search_rerank_impl == "host":
+            return False
+        if not query_texts or not any(query_texts):
+            return False
+        if self.config.search_rerank_weight <= 0.0:
+            return False
+        if self._lex is None:
+            return False
+        if self.config.index_rescore > 0 and not getattr(
+            index, "device_rescore_active", False
+        ):
+            return False
+        return True
+
+    def _device_rerank_dispatch(self, scores, ids, query_texts, n_q: int):
+        """Chain the device blend onto in-flight (scores, ids) device
+        arrays; returns device arrays (no sync)."""
+        texts = [
+            (query_texts[i] if query_texts and i < len(query_texts) else None)
+            for i in range(n_q)
+        ]
+        q_ids = featurize_queries(texts)
+        weight = min(max(self.config.search_rerank_weight, 0.0), 1.0)
+        return rerank_device(
+            self._mesh,
+            self._lex.device_arrays(0),
+            scores,
+            ids,
+            q_ids,
+            weight=weight,
+        )
+
+    def _device_rerank_np(self, scores, ids, query_texts):
+        """Host-array variant (search_batch): round-trips through the
+        device blend and returns numpy arrays."""
+        import jax
+
+        s, i = self._device_rerank_dispatch(
+            scores, ids, query_texts, scores.shape[0]
+        )
+        s, i = jax.device_get((s, i))
+        return (
+            np.asarray(s, dtype=np.float32),
+            np.asarray(i).astype(np.int64, copy=False),
+        )
 
     def _fetch_k(self, index, top_k: int, filters) -> int:
         """Candidate fetch depth: headroom for post-filtering, plus — only
@@ -1058,6 +1185,10 @@ class VectorStore:
         self._view = (
             index, {r: i for i, r in id_to_row.items()}, row_meta, id_to_row
         )
+        # fingerprint rows are snapshot-derived: drop them; the table
+        # rebuilds from row_meta on the next mutation (searches use the
+        # host scorer until then — same blend, host-side)
+        self._lex = None
         self.version += 1
         log.info("store_loaded", path=str(directory), rows=self.count())
 

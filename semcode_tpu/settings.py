@@ -131,6 +131,13 @@ class AppSettings(BaseModel):
     # 0.5 default was protecting); depth 10 buys +0.02 MRR over 5 at ~1 ms
     search_rerank_weight: float = 0.8
     search_rerank_depth: int = 10
+    # where the second stage runs: "auto" scores the blend ON DEVICE (BM25
+    # over per-row term fingerprints inside the scan's jit family,
+    # index/lexical.py) whenever fingerprints are available and the dense
+    # scores are already final (fused device rescore active), falling back
+    # to the host scorer otherwise; "device" forces it; "host" keeps the
+    # round-3 host BM25 (index/rerank.py)
+    search_rerank_impl: str = "auto"  # auto | device | host
     # exact-path rescore candidate pool per shard; 0 = auto (max(4k, 128)).
     # The recall lever for lossy storage: a wider pool recovers more
     # quantized-ranking misses at ~linear gather cost (measured 1M x 384
@@ -269,6 +276,7 @@ _SECTION_FIELDS: Dict[str, Dict[str, str]] = {
         "top_k_max": "search_top_k_max",
         "rerank_weight": "search_rerank_weight",
         "rerank_depth": "search_rerank_depth",
+        "rerank_impl": "search_rerank_impl",
         "approx_recall_target": "index_approx_recall_target",
         "device_rescore": "index_device_rescore",
         "rescore_mode": "index_rescore_mode",

@@ -235,3 +235,170 @@ def test_fingerprints_state_roundtrip(mesh8):
     np.testing.assert_array_equal(back._ids[:3], fps._ids[:3])
     np.testing.assert_array_equal(back._w[:3], fps._w[:3])
     np.testing.assert_array_equal(back._len[:3], fps._len[:3])
+
+
+# -- store integration ------------------------------------------------------
+
+
+def _store_cfg(tmp_path, **kw):
+    from semcode_tpu.settings import AppSettings
+
+    base = dict(
+        workspace_root=tmp_path,
+        embedding_dimension=32,
+        index_kind="flat",
+        index_dtype="float32",
+        index_metric="ip",
+        index_rescore=0,  # f32 storage: dense scores final on device
+        search_rerank_weight=0.8,
+    )
+    base.update(kw)
+    return AppSettings(**base)
+
+
+def _code_payloads(rng, dim=32):
+    from semcode_tpu.embeddings.providers import EmbeddingPayload
+
+    docs = [
+        ("open a tcp connection", "open_connection", "net/client.py"),
+        ("parse the toml config file", "parse_config", "settings.py"),
+        ("retry an http request", "retry_request", "net/retry.py"),
+        ("close the connection pool", "close_pool", "net/client.py"),
+        ("hash the user password", "hash_password", "auth.py"),
+        ("validate a session token", "check_token", "auth.py"),
+        ("serialize rows to msgpack", "pack_rows", "storage/pack.py"),
+        ("stream chunks from disk", "stream_chunks", "storage/io.py"),
+    ] * 4  # 32 rows
+    vecs = rng.standard_normal((len(docs), dim)).astype(np.float32)
+    return [
+        EmbeddingPayload(
+            id=f"d{i}",
+            text=t,
+            vector=vecs[i],
+            metadata={
+                "repo": "r1",
+                "path": p,
+                "language": "python",
+                "symbol": s,
+            },
+        )
+        for i, (t, s, p) in enumerate(docs)
+    ], vecs
+
+
+def test_store_device_rerank_matches_host(tmp_path, mesh8, rng):
+    """Same corpus + query through impl=device and impl=host must produce
+    the same ordering (fingerprints untruncated at these text sizes)."""
+    from semcode_tpu.index.store import VectorStore
+
+    payloads, vecs = _code_payloads(rng)
+    query = "how do I parse the config file"
+    results = {}
+    for impl in ("device", "host"):
+        store = VectorStore(
+            _store_cfg(tmp_path / impl, search_rerank_impl=impl), mesh=mesh8
+        )
+        store.upsert_embeddings(payloads)
+        if impl == "device":
+            assert store._lex is not None
+            assert store._use_device_rerank(store._index, [query], None)
+        hits = store.search(vecs[10], top_k=5, query_text=query)
+        results[impl] = [h.id for h in hits]
+    assert results["device"] == results["host"]
+
+
+def test_store_device_rerank_with_device_filters(tmp_path, mesh8, rng):
+    """repo/language equality filters ride device tags and COMPOSE with the
+    device rerank; every hit matches and the blend still applies."""
+    from semcode_tpu.index.store import VectorStore
+
+    payloads, vecs = _code_payloads(rng)
+    for p in payloads[16:]:
+        p.metadata["repo"] = "r2"
+    store = VectorStore(
+        _store_cfg(tmp_path, search_rerank_impl="device"), mesh=mesh8
+    )
+    store.upsert_embeddings(payloads)
+    hits = store.search(
+        vecs[1],
+        top_k=4,
+        filters={"repo": "r1"},
+        query_text="parse the toml config",
+    )
+    assert hits and all(h.repo == "r1" for h in hits)
+    assert hits[0].metadata.get("symbol") == "parse_config"
+
+
+def test_store_residual_filters_fall_back_to_host(tmp_path, mesh8, rng):
+    from semcode_tpu.index.store import VectorStore
+
+    payloads, vecs = _code_payloads(rng)
+    store = VectorStore(
+        _store_cfg(tmp_path, search_rerank_impl="device"), mesh=mesh8
+    )
+    store.upsert_embeddings(payloads)
+    # path is not a device-filterable key -> residual filter -> host path
+    assert not store._use_device_rerank(
+        store._index, ["q"], {"path": "settings.py"}
+    )
+    hits = store.search(
+        vecs[1],
+        top_k=2,
+        filters={"path": "settings.py"},
+        query_text="parse config",
+    )
+    assert hits and all(h.path == "settings.py" for h in hits)
+
+
+def test_store_lex_survives_compaction(tmp_path, mesh8, rng):
+    from semcode_tpu.index.store import VectorStore
+
+    payloads, vecs = _code_payloads(rng)
+    store = VectorStore(
+        _store_cfg(
+            tmp_path,
+            search_rerank_impl="device",
+            index_auto_compact_ratio=0.0,
+        ),
+        mesh=mesh8,
+    )
+    store.upsert_embeddings(payloads)
+    store.delete([f"d{i}" for i in range(0, 32, 2)])  # halve the corpus
+    store.compact()
+    q = "how do I parse the config file"
+    hits = store.search(vecs[1], top_k=3, query_text=q)
+    assert hits[0].id == "d1"  # the surviving parse_config row leads
+    # fingerprints were remapped, not rebuilt stale: compare against host
+    store2 = VectorStore(
+        _store_cfg(tmp_path / "h", search_rerank_impl="host"), mesh=mesh8
+    )
+    store2.upsert_embeddings([p for i, p in enumerate(payloads) if i % 2])
+    hits2 = store2.search(vecs[1], top_k=3, query_text=q)
+    assert [h.id for h in hits] == [h.id for h in hits2]
+
+
+def test_store_lex_rebuilds_after_load(tmp_path, mesh8, rng):
+    from semcode_tpu.index.store import VectorStore
+
+    payloads, vecs = _code_payloads(rng)
+    cfg = _store_cfg(tmp_path, search_rerank_impl="device")
+    store = VectorStore(cfg, mesh=mesh8)
+    store.upsert_embeddings(payloads)
+    store.save()
+    fresh = VectorStore(cfg, mesh=mesh8)
+    fresh.connect()
+    # loaded store has no fingerprints yet -> host fallback, same results
+    assert fresh._lex is None
+    q = "how do I parse the config file"
+    a = [h.id for h in fresh.search(vecs[1], top_k=5, query_text=q)]
+    b = [h.id for h in store.search(vecs[1], top_k=5, query_text=q)]
+    assert a == b
+    # the next mutation back-fills the whole table from row_meta
+    more, _ = _code_payloads(rng)
+    more = [more[0]]
+    more[0].id = "extra"
+    fresh.upsert_embeddings(more)
+    assert fresh._lex is not None
+    assert fresh._use_device_rerank(fresh._index, [q], None)
+    c = [h.id for h in fresh.search(vecs[1], top_k=5, query_text=q)]
+    assert c[0] == a[0]
