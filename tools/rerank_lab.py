@@ -187,34 +187,45 @@ def main() -> int:
         "host w0.8 d10 (shipped)": host(0.8, 10),
         "host w0.8 d20": host(0.8, 20),
     }
-    for kterms in (64, 48, 32):
+    for kterms in (192, 128, 96, 64):
         variants[f"trunc K{kterms} w0.8 d10"] = trunc_bm25(0.8, 10, kterms)
-    variants["trunc K64 w0.8 d20"] = trunc_bm25(0.8, 20, 64)
+    variants["trunc K128 T96 w0.8 d10"] = trunc_bm25(0.8, 10, 128, tmax=96)
+    variants["trunc K192 T128 w0.8 d10"] = trunc_bm25(0.8, 10, 192, tmax=128)
     for name, fn in variants.items():
         print(f"{name:34s} {score(records, fn)}", flush=True)
     return 0
 
 
-def trunc_bm25(weight: float, depth: int, kterms: int):
-    """Numpy simulation of the PLANNED device rerank: per-doc top-K-term
-    fingerprints (field-boosted tf, same tokenizer as rerank.py), window
-    BM25 over the fingerprint terms only, min-max blend with dense. This
-    is the exact math the device jit will run — quality here predicts
-    quality there (modulo f16 weight quantization)."""
-    import zlib
+def trunc_bm25(weight: float, depth: int, kterms: int, tmax: int = 64):
+    """Numpy simulation of the device rerank using the REAL fingerprint
+    featurizer (index/lexical.featurize_doc): window BM25 over the
+    fingerprint terms only, min-max blend with dense. Quality here
+    predicts the device path (modulo f16 weight quantization)."""
+    from semcode_tpu.index.lexical import featurize_doc
 
-    from semcode_tpu.index import rerank as rr
+    _fp_cache: dict = {}
 
     def doc_fp(hit):
-        tf = rr._doc_tf(hit)
-        items = sorted(tf.items(), key=lambda kv: -kv[1])[:kterms]
-        ids = np.asarray(
-            [zlib.crc32(t.encode()) & 0x7FFFFFFF for t, _ in items],
-            dtype=np.int64,
-        )
-        w = np.asarray([v for _, v in items], dtype=np.float32)
-        length = max(sum(tf.values()), 1.0)
-        return ids, w, np.float32(length)
+        key = (hit.id, len(hit.text or ""))
+        out = _fp_cache.get(key)
+        if out is None:
+            ids, w, length = featurize_doc(
+                hit.text,
+                (hit.metadata or {}).get("symbol"),
+                hit.path,
+                kterms=kterms,
+            )
+            keep = ids >= 0
+            out = (
+                ids[keep].astype(np.int64),
+                np.asarray(w[keep], dtype=np.float32),
+                np.float32(length),
+            )
+            _fp_cache[key] = out
+        return out
+
+    from semcode_tpu.index import rerank as rr
+    from semcode_tpu.index.lexical import term_hash
 
     K1, B = 1.2, 0.75
 
@@ -226,9 +237,8 @@ def trunc_bm25(weight: float, depth: int, kterms: int):
         if not q_tokens:
             return hits[:top_k]
         q_ids = np.asarray(
-            sorted(zlib.crc32(t.encode()) & 0x7FFFFFFF for t in q_tokens),
-            dtype=np.int64,
-        )[:64]
+            sorted(term_hash(t) for t in q_tokens), dtype=np.int64
+        )[:tmax]
         n = len(hits)
         fps = [doc_fp(h) for h in hits]
         lengths = np.asarray([f[2] for f in fps])
