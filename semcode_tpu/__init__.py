@@ -20,6 +20,19 @@ Subpackages:
     frontend    built-in web UI + launchers
 """
 
+import os as _os
+
+if _os.environ.get("SEMCODE_JAX_PLATFORM"):
+    # Pin the JAX backend before first device use ("cpu" keeps a shared
+    # TPU free for another process; tests/eval use this). The plain
+    # JAX_PLATFORMS env var is NOT enough on images whose TPU plugin
+    # (e.g. axon) pins itself — jax.config wins over the env var.
+    import jax as _jax
+
+    _jax.config.update(
+        "jax_platforms", _os.environ["SEMCODE_JAX_PLATFORM"]
+    )
+
 from .version import __version__, get_version
 
 __all__ = ["__version__", "get_version"]

@@ -372,7 +372,19 @@ def cmd_eval(args) -> int:
             ),
             dim=dim,
         )
-        texts = [m.get("text") or "" for _, m in metas]
+        # embed through the PRODUCTION path: the indexer embeds
+        # symbol/stem-expanded text (embedding_text), not the raw chunk —
+        # the eval must measure the exact vectors serving produces
+        from .embeddings.providers import embedding_text
+
+        texts = [
+            embedding_text(
+                m.get("text") or "",
+                symbol=m.get("symbol"),
+                path=m.get("path"),
+            )
+            for _, m in metas
+        ]
         payloads = []
         bs = max(1, cfg.embedding_batch_size)
         for lo in range(0, len(texts), bs):

@@ -43,21 +43,24 @@ from jax.sharding import PartitionSpec as P
 
 from ..embeddings.hash_embedder import STOP_TOKENS as _STOP_TOKENS
 from ..parallel.mesh import linear_rank, row_axes
-from .rerank import _doc_tf_uncached, tokenize
+from .rerank import DEFAULT_SYM_BONUS, _doc_tf_uncached, tokenize
 
 _K1 = np.float32(1.2)
 _B = np.float32(0.75)
 _NEG_INF = np.float32(-3.0e38)
 
 # fingerprint width: top-K terms by selection weight. Lab measurement
-# (tools/rerank_lab.py, reference held-out corpus, saturated+stop-factor
-# selection): K=192 matches the untruncated host BM25 EXACTLY (MRR 0.8484
-# == 0.8484); K=128 -> 0.8434, K=96 -> 0.8373, K=64 -> 0.7745. A 6000-char
-# code chunk carries ~200+ unique subtokens, and docstring queries hit the
-# tail. 192 slots = 1.15 GB HBM per 1M rows (int32 id + f16 weight),
-# gathered only for the candidate window (~100 rows/query).
-DEFAULT_KTERMS = 192
+# (tools/rerank_lab.py, held-out corpora, saturated+stop-factor
+# selection): K=320 matches the untruncated host BM25 EXACTLY on both
+# corpora; K=256 is within 0.005 MRR (aiohttp 0.7306 vs host 0.7352 at
+# depth 10; reference exact parity) at 1.5 GB HBM per 1M rows (int32 id +
+# f16 weight), gathered only for the candidate window. K=192 -> -0.023 on
+# aiohttp, K=64 -> -0.10: a 6000-char code chunk carries 200+ unique
+# subtokens and docstring queries hit the tail.
+DEFAULT_KTERMS = 256
 QUERY_TERMS = 64
+# exact-symbol bonus (defined next to the host scorer so both impls share
+# one default): +0.03-0.05 held-out MRR, see rerank.DEFAULT_SYM_BONUS
 
 
 def term_hash(tok: str) -> int:
@@ -122,19 +125,29 @@ def featurize_doc(
     return ids, w, np.float32(max(sum(tf.values()), 1.0))
 
 
+def symbol_hash(symbol) -> int:
+    """Whole-symbol term id for the exact-match bonus channel (-1 = none)."""
+    if not symbol:
+        return -1
+    return term_hash(str(symbol).lower())
+
+
 def featurize_docs(
     metas: Sequence[dict], *, kterms: int = DEFAULT_KTERMS
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Batch ``featurize_doc`` over payload metadata dicts."""
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Batch ``featurize_doc`` over payload metadata dicts; the extra
+    (n,) int32 channel is the whole-symbol hash for the exact-match bonus."""
     n = len(metas)
     ids = np.full((n, kterms), -1, dtype=np.int32)
     w = np.zeros((n, kterms), dtype=np.float16)
     ln = np.ones((n,), dtype=np.float32)
+    sym = np.full((n,), -1, dtype=np.int32)
     for i, m in enumerate(metas):
         ids[i], w[i], ln[i] = featurize_doc(
             m.get("text"), m.get("symbol"), m.get("path"), kterms=kterms
         )
-    return ids, w, ln
+        sym[i] = symbol_hash(m.get("symbol"))
+    return ids, w, ln, sym
 
 
 def featurize_queries(
@@ -154,7 +167,7 @@ def featurize_queries(
 
 
 @partial(jax.jit, static_argnums=(0,))
-def gather_fingerprints(mesh, fp_ids, fp_w, fp_len, ids):
+def gather_fingerprints(mesh, fp_ids, fp_w, fp_len, fp_sym, ids):
     """Gather candidate fingerprint rows by GLOBAL row id from row-sharded
     arrays (scan.rescore_global's ownership pattern): each shard contributes
     the rows in its range, a psum assembles the replicated result. Traffic
@@ -167,7 +180,7 @@ def gather_fingerprints(mesh, fp_ids, fp_w, fp_len, ids):
     )
     shard_rows = fp_ids.shape[0] // n_shards
 
-    def shard_fn(fids, fw, fln, ids_rep):
+    def shard_fn(fids, fw, fln, fsym, ids_rep):
         base = linear_rank(mesh, axes) * shard_rows
         local = ids_rep.astype(jnp.int32) - base
         mine = (ids_rep >= 0) & (local >= 0) & (local < shard_rows)
@@ -180,20 +193,27 @@ def gather_fingerprints(mesh, fp_ids, fp_w, fp_len, ids):
             mine[..., None], fw[li].astype(jnp.float32), 0.0
         )
         part_len = jnp.where(mine, fln[li], 0.0)
+        part_sym = jnp.where(mine, fsym[li] + 1, 0)
         return (
             jax.lax.psum(part_ids, axes),
             jax.lax.psum(part_w, axes),
             jax.lax.psum(part_len, axes),
+            jax.lax.psum(part_sym, axes),
         )
 
-    g_ids, g_w, g_len = jax.shard_map(
+    g_ids, g_w, g_len, g_sym = jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(axes, None), P(axes, None), P(axes), P(None, None)),
-        out_specs=(P(None, None, None), P(None, None, None), P(None, None)),
+        in_specs=(
+            P(axes, None), P(axes, None), P(axes), P(axes), P(None, None),
+        ),
+        out_specs=(
+            P(None, None, None), P(None, None, None), P(None, None),
+            P(None, None),
+        ),
         check_vma=False,
-    )(fp_ids, fp_w, fp_len, ids)
-    return g_ids - 1, g_w, g_len
+    )(fp_ids, fp_w, fp_len, fp_sym, ids)
+    return g_ids - 1, g_w, g_len, g_sym - 1
 
 
 def _minmax(x, live, axis=-1):
@@ -210,15 +230,16 @@ def _minmax(x, live, axis=-1):
 
 
 @jax.jit
-def bm25_blend(g_ids, g_w, g_len, dense, q_ids, weight):
+def bm25_blend(g_ids, g_w, g_len, g_sym, dense, q_ids, weight, sym_bonus):
     """Window BM25 + dense blend, replicated math (post-gather).
 
     g_ids (Q, W, K) int32 (-1 pad), g_w (Q, W, K) f32, g_len (Q, W) f32,
-    dense (Q, W) f32 (sentinel -3e38 for dead slots), q_ids (Q, T) int32
-    (-1 pad). Returns (final_dense_scores (Q, W), order (Q, W) int32): the
-    caller applies ``order`` to its ids/scores. Mirrors
-    index/rerank.rerank_hits: window df/idf, k1/b saturation, min-max
-    blend, final-then-lexical sort with stable dense tie-break."""
+    g_sym (Q, W) int32 whole-symbol hashes (-1 = none), dense (Q, W) f32
+    (sentinel -3e38 for dead slots), q_ids (Q, T) int32 (-1 pad). Returns
+    (final_dense_scores (Q, W), order (Q, W) int32): the caller applies
+    ``order`` to its ids/scores. Mirrors index/rerank.rerank_hits: window
+    df/idf, k1/b saturation, exact-symbol bonus, min-max blend,
+    final-then-lexical sort with stable dense tie-break."""
     live = dense > _NEG_INF / 2  # (Q, W)
     q_valid = q_ids >= 0  # (Q, T)
     match = (g_ids[:, :, :, None] == q_ids[:, None, None, :]) & q_valid[
@@ -242,6 +263,19 @@ def bm25_blend(g_ids, g_w, g_len, dense, q_ids, weight):
     lex = jnp.sum(
         idf[:, None, :] * tf * (_K1 + 1.0) / jnp.maximum(denom, 1e-9), axis=2
     )  # (Q, W)
+    # exact-symbol bonus: the query literally names this candidate's
+    # defining symbol -> add sym_bonus * (the query's max idf). Sized by
+    # idf so the bonus tracks the window's score scale.
+    max_idf = jnp.max(
+        jnp.where(q_valid, idf, -jnp.inf), axis=1, keepdims=True
+    )  # (Q, 1)
+    max_idf = jnp.where(jnp.isfinite(max_idf), max_idf, 0.0)
+    sym_match = (
+        (g_sym[:, :, None] == q_ids[:, None, :])
+        & q_valid[:, None, :]
+        & (g_sym >= 0)[:, :, None]
+    ).any(axis=2)
+    lex = lex + jnp.where(sym_match, sym_bonus * max_idf, 0.0)
     lex = jnp.where(live, lex, 0.0)
     final = (1.0 - weight) * _minmax(dense, live) + weight * _minmax(
         lex, live
@@ -259,12 +293,13 @@ def bm25_blend(g_ids, g_w, g_len, dense, q_ids, weight):
 
 def rerank_device(
     mesh,
-    fingerprints,  # (fp_ids (R,K), fp_w (R,K) f16, fp_len (R,)) device arrays
+    fingerprints,  # (fp_ids (R,K), fp_w (R,K) f16, fp_len (R,), fp_sym (R,))
     scores,  # (Q, W) f32 device or host
     ids,  # (Q, W) int row ids device or host
     q_ids,  # (Q, T) int32 host (featurize_queries)
     *,
     weight: float,
+    sym_bonus: float = DEFAULT_SYM_BONUS,
 ):
     """Full device rerank step: gather + BM25 + blend + reorder.
 
@@ -273,14 +308,15 @@ def rerank_device(
     (hit contracts expose dense similarity; the blend only decides order —
     same convention as the host rerank_hits, which re-sorts hits without
     rewriting their .score)."""
-    fp_ids, fp_w, fp_len = fingerprints
+    fp_ids, fp_w, fp_len, fp_sym = fingerprints
     ids_dev = jnp.asarray(ids, dtype=jnp.int32)
     scores_dev = jnp.asarray(scores, dtype=jnp.float32)
-    g_ids, g_w, g_len = gather_fingerprints(
-        mesh, fp_ids, fp_w, fp_len, ids_dev
+    g_ids, g_w, g_len, g_sym = gather_fingerprints(
+        mesh, fp_ids, fp_w, fp_len, fp_sym, ids_dev
     )
     _, order = bm25_blend(
-        g_ids, g_w, g_len, scores_dev, jnp.asarray(q_ids), np.float32(weight)
+        g_ids, g_w, g_len, g_sym, scores_dev, jnp.asarray(q_ids),
+        np.float32(weight), np.float32(sym_bonus),
     )
     return (
         jnp.take_along_axis(scores_dev, order, axis=1),
@@ -304,6 +340,7 @@ class LexicalFingerprints:
         self._ids = np.full((cap, self.kterms), -1, dtype=np.int32)
         self._w = np.zeros((cap, self.kterms), dtype=np.float16)
         self._len = np.ones((cap,), dtype=np.float32)
+        self._sym = np.full((cap,), -1, dtype=np.int32)
         self._dev: Optional[tuple] = None
 
     # -- host mutation (store writer lock held) ---------------------------
@@ -319,8 +356,10 @@ class LexicalFingerprints:
         ids = np.full((new_cap, self.kterms), -1, dtype=np.int32)
         w = np.zeros((new_cap, self.kterms), dtype=np.float16)
         ln = np.ones((new_cap,), dtype=np.float32)
+        sym = np.full((new_cap,), -1, dtype=np.int32)
         ids[:cap], w[:cap], ln[:cap] = self._ids, self._w, self._len
-        self._ids, self._w, self._len = ids, w, ln
+        sym[:cap] = self._sym
+        self._ids, self._w, self._len, self._sym = ids, w, ln, sym
         self._dev = None
 
     def set_rows(self, rows: np.ndarray, metas: Sequence[dict]) -> None:
@@ -328,10 +367,11 @@ class LexicalFingerprints:
         if rows.size == 0:
             return
         self._grow(int(rows.max()) + 1)
-        ids, w, ln = featurize_docs(metas, kterms=self.kterms)
+        ids, w, ln, sym = featurize_docs(metas, kterms=self.kterms)
         self._ids[rows] = ids
         self._w[rows] = w
         self._len[rows] = ln
+        self._sym[rows] = sym
         dev = self._dev
         if dev is not None:
             rows_d = jnp.asarray(rows, dtype=jnp.int32)
@@ -339,6 +379,7 @@ class LexicalFingerprints:
                 _scatter_fp(dev[0], rows_d, jnp.asarray(ids)),
                 _scatter_fp(dev[1], rows_d, jnp.asarray(w)),
                 _scatter_fp(dev[2], rows_d, jnp.asarray(ln)),
+                _scatter_fp(dev[3], rows_d, jnp.asarray(sym)),
             )
 
     def remap(self, remap: np.ndarray) -> None:
@@ -356,10 +397,12 @@ class LexicalFingerprints:
         ids = np.full((cap, self.kterms), -1, dtype=np.int32)
         w = np.zeros((cap, self.kterms), dtype=np.float16)
         ln = np.ones((cap,), dtype=np.float32)
+        sym = np.full((cap,), -1, dtype=np.int32)
         ids[new_rows] = self._ids[keep]
         w[new_rows] = self._w[keep]
         ln[new_rows] = self._len[keep]
-        self._ids, self._w, self._len = ids, w, ln
+        sym[new_rows] = self._sym[keep]
+        self._ids, self._w, self._len, self._sym = ids, w, ln, sym
         self._dev = None
 
     def rebuild(self, row_meta: dict) -> None:
@@ -388,6 +431,7 @@ class LexicalFingerprints:
             jax.device_put(self._ids, shard),
             jax.device_put(self._w, shard),
             jax.device_put(self._len, shard1),
+            jax.device_put(self._sym, shard1),
         )
         self._dev = dev
         return dev
@@ -400,6 +444,7 @@ class LexicalFingerprints:
             "ids": self._ids,
             "w": self._w,
             "len": self._len,
+            "sym": self._sym,
         }
 
     @classmethod
@@ -410,6 +455,10 @@ class LexicalFingerprints:
         obj._ids[: ids.shape[0]] = ids
         obj._w[: ids.shape[0]] = np.asarray(state["w"], dtype=np.float16)
         obj._len[: ids.shape[0]] = np.asarray(state["len"], dtype=np.float32)
+        if "sym" in state:
+            obj._sym[: ids.shape[0]] = np.asarray(
+                state["sym"], dtype=np.int32
+            )
         return obj
 
 

@@ -40,6 +40,12 @@ _IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
 _CAMEL = re.compile(r"(?<=[a-z0-9])(?=[A-Z])|(?<=[A-Z])(?=[A-Z][a-z])")
 _K1 = 1.2
 _B = 0.75
+# exact-symbol bonus (shared with the device scorer, index/lexical.py):
+# when the query literally names a candidate's defining symbol, add
+# bonus * (the query's max idf) to its lexical score. Held-out lab
+# (tools/rerank_lab.py): aiohttp MRR@10 0.749 -> 0.78, reference corpus
+# 0.848 -> 0.9, entirely from symbol-lookup queries.
+DEFAULT_SYM_BONUS = 0.75
 _BODY_CHAR_CAP = 6000  # chunker caps chunks at 6000 chars already
 # bound host tokenization cost per candidate (~worst-case 6000-char chunks
 # are ~700 identifiers; the rerank signal is front-loaded: docstrings and
@@ -146,6 +152,7 @@ def rerank_hits(
     top_k: int,
     *,
     weight: float,
+    sym_bonus: float = DEFAULT_SYM_BONUS,
 ) -> List:
     """Blend window-BM25 lexical scores into the dense order; return the
     top_k hits re-sorted. `hits` must be in dense-score order (desc)."""
@@ -166,11 +173,13 @@ def rerank_hits(
         for t in q_tokens
     }
     lex = np.zeros(n, dtype=np.float64)
+    max_idf = 0.0
     for t in q_tokens:
         dft = df[t]
+        idf = math.log(1.0 + (n - dft + 0.5) / (dft + 0.5))
+        max_idf = max(max_idf, idf)
         if dft == 0:
             continue
-        idf = math.log(1.0 + (n - dft + 0.5) / (dft + 0.5))
         for i, d in enumerate(docs):
             tf = d.get(t)
             if tf:
@@ -178,6 +187,12 @@ def rerank_hits(
                     tf * (_K1 + 1.0)
                     / (tf + _K1 * (1.0 - _B + _B * lengths[i] / avg_len))
                 )
+    if sym_bonus > 0.0:
+        # exact-symbol bonus, identical to the device scorer's channel
+        for i, h in enumerate(hits):
+            sym = (getattr(h, "metadata", None) or {}).get("symbol")
+            if sym and str(sym).lower() in q_tokens:
+                lex[i] += sym_bonus * max_idf
 
     dense = np.asarray([h.score for h in hits], dtype=np.float64)
     # belt-and-braces: a sentinel/non-finite dense score would make the

@@ -895,6 +895,7 @@ class VectorStore:
                 hits,
                 top_k,
                 weight=weight,
+                sym_bonus=max(self.config.search_rerank_sym_bonus, 0.0),
             )
             for i, hits in enumerate(hits_batch)
         ]
@@ -940,6 +941,7 @@ class VectorStore:
             ids,
             q_ids,
             weight=weight,
+            sym_bonus=max(self.config.search_rerank_sym_bonus, 0.0),
         )
 
     def _device_rerank_np(self, scores, ids, query_texts):

@@ -128,9 +128,15 @@ class AppSettings(BaseModel):
     # defaults from the held-out sweep on the corrected query-side harness
     # (docs/BENCHMARKS.md 2026-08-18): weight 0.8 improves EVERY query kind
     # on BOTH held-out corpora vs 0.5 (incl. paraphrase — the kind the old
-    # 0.5 default was protecting); depth 10 buys +0.02 MRR over 5 at ~1 ms
+    # 0.5 default was protecting). Depth 20 (round 4): +0.014 MRR over 10
+    # on aiohttp at negligible device cost (the window is a gather, not a
+    # scan)
     search_rerank_weight: float = 0.8
-    search_rerank_depth: int = 10
+    search_rerank_depth: int = 20
+    # exact-symbol bonus x the query's max idf when the query literally
+    # names a candidate's defining symbol (shared by both scorer impls;
+    # measured +0.03-0.05 held-out MRR, entirely on symbol lookups)
+    search_rerank_sym_bonus: float = 0.75
     # where the second stage runs: "auto" scores the blend ON DEVICE (BM25
     # over per-row term fingerprints inside the scan's jit family,
     # index/lexical.py) whenever fingerprints are available and the dense
@@ -282,6 +288,7 @@ _SECTION_FIELDS: Dict[str, Dict[str, str]] = {
         "rerank_depth": "search_rerank_depth",
         "rerank_impl": "search_rerank_impl",
         "rerank_terms": "search_rerank_terms",
+        "rerank_sym_bonus": "search_rerank_sym_bonus",
         "approx_recall_target": "index_approx_recall_target",
         "device_rescore": "index_device_rescore",
         "rescore_mode": "index_rescore_mode",

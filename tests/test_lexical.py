@@ -69,32 +69,39 @@ def test_gather_fingerprints_by_global_row(mesh8):
     fp_ids[5, 3:] = -1  # padding must survive the psum
     fp_w = rng.random((R, K)).astype(np.float16)
     fp_len = rng.random(R).astype(np.float32) + 1.0
+    fp_sym = rng.integers(-1, 1 << 30, R).astype(np.int32)
     ids = np.array([[0, 5, 63, -1], [17, 17, 2, 40]], dtype=np.int32)
     s2 = NamedSharding(mesh8, P("data", None))
     s1 = NamedSharding(mesh8, P("data"))
-    g_ids, g_w, g_len = gather_fingerprints(
+    g_ids, g_w, g_len, g_sym = gather_fingerprints(
         mesh8,
         jax.device_put(fp_ids, s2),
         jax.device_put(fp_w, s2),
         jax.device_put(fp_len, s1),
+        jax.device_put(fp_sym, s1),
         np.asarray(ids),
     )
-    g_ids, g_w, g_len = map(np.asarray, (g_ids, g_w, g_len))
+    g_ids, g_w, g_len, g_sym = map(np.asarray, (g_ids, g_w, g_len, g_sym))
     for qi in range(2):
         for wi in range(4):
             r = ids[qi, wi]
             if r < 0:
                 assert (g_ids[qi, wi] == -1).all()
                 assert (g_w[qi, wi] == 0).all()
+                assert g_sym[qi, wi] == -1
             else:
                 np.testing.assert_array_equal(g_ids[qi, wi], fp_ids[r])
                 np.testing.assert_allclose(
                     g_w[qi, wi], fp_w[r].astype(np.float32), rtol=1e-3
                 )
                 assert g_len[qi, wi] == pytest.approx(float(fp_len[r]))
+                assert g_sym[qi, wi] == fp_sym[r]
 
 
-def _np_bm25_blend(g_ids, g_w, g_len, dense, q_ids, weight, k1=1.2, b=0.75):
+def _np_bm25_blend(
+    g_ids, g_w, g_len, g_sym, dense, q_ids, weight,
+    sym_bonus=0.0, k1=1.2, b=0.75,
+):
     """Independent numpy reference of the device math."""
     Q, W, K = g_ids.shape
     live = dense > -1.5e38
@@ -113,6 +120,11 @@ def _np_bm25_blend(g_ids, g_w, g_len, dense, q_ids, weight, k1=1.2, b=0.75):
         avg = lens[live[qi]].mean() if n else 1.0
         denom = tf + k1 * (1 - b + b * lens[:, None] / max(avg, 1e-9))
         lex = (idf[None, :] * tf * (k1 + 1) / np.maximum(denom, 1e-9)).sum(1)
+        if sym_bonus > 0.0 and qid.size:
+            max_idf = idf.max()
+            for wi in range(W):
+                if g_sym[qi, wi] >= 0 and g_sym[qi, wi] in qid:
+                    lex[wi] += sym_bonus * max_idf
         lex = np.where(live[qi], lex, 0.0)
 
         def mm(x):
@@ -141,17 +153,23 @@ def test_bm25_blend_matches_numpy_reference():
     dense[0, -2:] = -3.0e38  # dead slots
     q_ids = rng.choice(vocab, (Q, T)).astype(np.int32)
     q_ids[1, 3:] = -1
-    final, order = bm25_blend(
-        g_ids, g_w, g_len, dense, q_ids, np.float32(0.8)
-    )
-    ref_final, ref_order = _np_bm25_blend(
-        g_ids, g_w, g_len, dense, q_ids, 0.8
-    )
-    live = dense > -1.5e38
-    np.testing.assert_allclose(
-        np.asarray(final)[live], ref_final[live], rtol=1e-4, atol=1e-5
-    )
-    np.testing.assert_array_equal(np.asarray(order), ref_order)
+    g_sym = np.full((Q, W), -1, dtype=np.int32)
+    g_sym[0, 3] = q_ids[0, 0]  # exact-symbol match
+    g_sym[2, 5] = 999  # symbol not in the query: no bonus
+    for sym_bonus in (0.0, 0.75):
+        final, order = bm25_blend(
+            g_ids, g_w, g_len, g_sym, dense, q_ids,
+            np.float32(0.8), np.float32(sym_bonus),
+        )
+        ref_final, ref_order = _np_bm25_blend(
+            g_ids, g_w, g_len, g_sym, dense, q_ids, 0.8,
+            sym_bonus=sym_bonus,
+        )
+        live = dense > -1.5e38
+        np.testing.assert_allclose(
+            np.asarray(final)[live], ref_final[live], rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_array_equal(np.asarray(order), ref_order)
 
 
 def test_rerank_device_matches_host_rerank(mesh8):

@@ -184,19 +184,26 @@ def main() -> int:
 
     variants = {
         "dense-only": lambda q, hits, top_k: hits[:top_k],
-        "host w0.8 d10 (shipped)": host(0.8, 10),
-        "host w0.8 d20": host(0.8, 20),
+        # host() uses the REAL rerank_hits, so it carries the shipped
+        # sym_bonus default — the honest host-vs-device comparison
+        "host d20 (shipped defaults)": host(0.8, 20),
+        "device-sim K256 d20 sym0.75": trunc_bm25(
+            0.8, 20, 256, sym_bonus=0.75
+        ),
     }
-    for kterms in (192, 128, 96, 64):
-        variants[f"trunc K{kterms} w0.8 d10"] = trunc_bm25(0.8, 10, kterms)
-    variants["trunc K128 T96 w0.8 d10"] = trunc_bm25(0.8, 10, 128, tmax=96)
-    variants["trunc K192 T128 w0.8 d10"] = trunc_bm25(0.8, 10, 192, tmax=128)
     for name, fn in variants.items():
         print(f"{name:34s} {score(records, fn)}", flush=True)
     return 0
 
 
-def trunc_bm25(weight: float, depth: int, kterms: int, tmax: int = 64):
+def trunc_bm25(
+    weight: float,
+    depth: int,
+    kterms: int,
+    tmax: int = 64,
+    fusion: str = "minmax",  # minmax | rrf
+    sym_bonus: float = 0.0,  # add to lex when the query names the doc symbol
+):
     """Numpy simulation of the device rerank using the REAL fingerprint
     featurizer (index/lexical.featurize_doc): window BM25 over the
     fingerprint terms only, min-max blend with dense. Quality here
@@ -254,6 +261,14 @@ def trunc_bm25(weight: float, depth: int, kterms: int, tmax: int = 64):
         lex = (idf[None, :] * tf * (K1 + 1.0) / np.maximum(denom, 1e-9)).sum(
             axis=1
         )
+        if sym_bonus > 0.0:
+            qset = set(q_ids.tolist())
+            max_idf = float(idf.max()) if idf.size else 1.0
+            for wi, h in enumerate(hits):
+                sym = (h.metadata or {}).get("symbol")
+                if sym and term_hash(str(sym).lower()) in qset:
+                    lex[wi] += sym_bonus * max_idf
+
         dense = np.asarray([h.score for h in hits], dtype=np.float64)
         fin = np.isfinite(dense)
         if not fin.all():
@@ -261,11 +276,21 @@ def trunc_bm25(weight: float, depth: int, kterms: int, tmax: int = 64):
                 fin, dense, dense[fin].min() if fin.any() else 0.0
             )
 
-        def mm(x):
-            span = float(x.max() - x.min())
-            return np.zeros_like(x) if span <= 1e-12 else (x - x.min()) / span
+        if fusion == "rrf":
+            rd = np.empty(n)
+            rd[np.argsort(-dense, kind="stable")] = np.arange(n)
+            rl = np.empty(n)
+            rl[np.argsort(-lex, kind="stable")] = np.arange(n)
+            final = (1.0 - weight) / (60.0 + rd) + weight / (60.0 + rl)
+        else:
+            def mm(x):
+                span = float(x.max() - x.min())
+                return (
+                    np.zeros_like(x) if span <= 1e-12
+                    else (x - x.min()) / span
+                )
 
-        final = (1.0 - weight) * mm(dense) + weight * mm(lex)
+            final = (1.0 - weight) * mm(dense) + weight * mm(lex)
         order = np.lexsort((-lex, -final))
         return [hits[i] for i in order[:top_k]]
 
