@@ -424,6 +424,11 @@ class FlatIndex:
             return min(k, shard_rows)
         if self.fetch_width > 0:
             return min(max(self.fetch_width, k), shard_rows)
+        if isinstance(rescore, tuple):
+            # residual tier: two row-transaction-bound gathers per
+            # candidate, so the auto pool narrows (1M x 3072 sweep: fetch
+            # 64 = +53% QPS for -0.002 recall; see IVFIndex._fetch_width)
+            return min(max(4 * k, 64), shard_rows)
         return min(max(4 * k, 128), shard_rows)
 
     def search(

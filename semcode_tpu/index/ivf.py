@@ -883,6 +883,13 @@ class IVFIndex:
             return min(k, shard_rows)
         if self.fetch_width > 0:
             return min(max(self.fetch_width, k), shard_rows)
+        if isinstance(rescore, tuple):
+            # residual tier pays TWO row-transaction-bound gathers per
+            # candidate (int8 corpus + int8 residual), so the auto pool
+            # narrows: measured 1M x 3072 on one v5e chip, fetch 128 ->
+            # 0.9992 recall@10 @ 14.0k QPS vs fetch 64 -> 0.9973 @ 21.5k
+            # (+53% for -0.002; docs/BENCHMARKS.md round-4 sweep)
+            return min(max(4 * k, 64), shard_rows)
         return min(max(4 * k, 128), shard_rows)
 
     def _score_dtype(self, rescore) -> str:
