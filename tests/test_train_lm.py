@@ -90,3 +90,54 @@ def test_window_batcher_static_shapes_and_masks():
     assert batch["mask"].shape == (4, 32)
     assert ((batch["ids"] != 0) | (batch["mask"] == 0)).all() or True
     assert batch["mask"].sum() > 0
+
+
+def test_trained_lm_answers_through_pipeline(tmp_path):
+    """End-to-end retrieve -> generate: a checkpoint trained by LMTrainer
+    drives the tpu-lm provider inside SemanticSearchPipeline.query (the
+    path the reference rents from OpenAI/llama.cpp, reference
+    src/semcode/rag/pipeline.py:254-296)."""
+    from semcode_tpu.index.store import SearchHit
+    from semcode_tpu.rag.pipeline import SemanticSearchPipeline
+    from semcode_tpu.settings import AppSettings
+
+    mesh = make_mesh((8,), ("data",))
+    tok = ByteTokenizer(max_len=48)
+    cfg = _tiny_cfg(tok)
+    # enough steps that greedy decoding emits non-whitespace tokens (an
+    # empty completion is treated as an LLM failure by design)
+    trainer = LMTrainer(cfg, mesh, learning_rate=1e-2)
+    params, opt_state = trainer.init_state(seed=0)
+    batcher = WindowBatcher(CORPUS, tok, seq_len=48, batch_size=16, seed=1)
+    for batch in batcher.batches(40):
+        params, opt_state, _ = trainer.train_step(params, opt_state, batch)
+    save_lm_params(params, cfg, tmp_path)
+
+    class Store:
+        def search(self, vector, top_k=10, filters=None, **kw):
+            return [
+                SearchHit(
+                    id="c1", score=0.9, repo="r", path="a.py",
+                    language="python", text="def add(a, b):\n    return a + b",
+                )
+            ][:top_k]
+
+    class Emb:
+        def embed_query(self, text):
+            return [1.0, 0.0]
+
+    app = AppSettings(
+        rag_provider="tpu-lm",
+        rag_weights_path=tmp_path,
+        rag_max_new_tokens=8,
+        rag_query_cache_size=0,
+    )
+    p = SemanticSearchPipeline(
+        config=app, vector_store=Store(), embeddings=Emb()
+    )
+    out = p.query("what does add do?")
+    assert out["sources"], "retrieval must feed the generator"
+    assert isinstance(out["answer"], str) and out["answer"] is not None
+    # a 2-layer byte model trained 3 steps answers noise, but the PATH is
+    # real: no fallback, the decoder generated the answer text
+    assert not out["meta"]["fallback_used"]
