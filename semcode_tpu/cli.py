@@ -540,8 +540,17 @@ def cmd_train_lm(args) -> int:
     mesh = get_mesh(settings.mesh_shape or str(n_dev), ("data",))
     trainer = LMTrainer(cfg, mesh, learning_rate=args.lr)
     params, opt_state = trainer.init_state(seed=0)
+    # QA-grammar examples derived from the corpus: the fraction of training
+    # that makes chat decoding produce answers instead of code continuation
+    # noise (models/train_lm.build_qa_texts)
+    from .models.train_lm import build_qa_texts
+
+    qa_texts = build_qa_texts(chunks) if args.qa_mix > 0 else []
+    if qa_texts:
+        print(f"QA mix: {len(qa_texts)} examples at {args.qa_mix:.0%}")
     batcher = WindowBatcher(
-        texts, tokenizer, seq_len=args.seq_len, batch_size=args.batch_size
+        texts, tokenizer, seq_len=args.seq_len, batch_size=args.batch_size,
+        anchored_texts=qa_texts, anchored_frac=args.qa_mix,
     )
     for step, batch in enumerate(batcher.batches(args.steps), 1):
         params, opt_state, metrics = trainer.train_step(params, opt_state, batch)
@@ -678,10 +687,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--repo", required=True, help="Repo name, or 'all'")
     p.add_argument("--steps", type=int, default=400)
     p.add_argument("--batch-size", type=int, default=32)
-    p.add_argument("--seq-len", type=int, default=256)
+    # 512 covers a full QA-grammar example (ctx 200 + question + answer);
+    # shorter windows truncate the ANSWER region out of training and chat
+    # decoding degenerates (see decoder.QA_CTX_CHARS)
+    p.add_argument("--seq-len", type=int, default=512)
     p.add_argument("--preset", default="mini")
     p.add_argument("--lr", type=float, default=3e-4)
     p.add_argument("--out", default=None)
+    p.add_argument(
+        "--qa-mix",
+        type=float,
+        default=0.5,
+        help="Fraction of batches drawn from corpus-derived QA-grammar "
+        "examples (0 disables; required for coherent chat answers)",
+    )
     p.set_defaults(func=cmd_train_lm)
 
     p = sub.add_parser("version", help="Show version")

@@ -9,10 +9,10 @@ This module moves the second stage into the scan's jit family:
   field-boosted term statistics the host reranker computes
   (index/rerank.py `_doc_tf`: camelCase/snake_case subtokens, symbol x3,
   file-stem x2, 800-token body cap) are reduced to a fixed-width
-  fingerprint — the top ``kterms`` terms by weight, each hashed to an int32
-  (crc32) with its tf weight in f16 — plus the doc's total term mass. At 48
-  terms/row that is 292 bytes/row: ~292 MB per 1M rows in HBM, vs 1.5 GB+
-  for exact per-token storage.
+  fingerprint — the top ``kterms`` terms by selection weight, each hashed
+  to an int32 (crc32) with its tf weight in f16 — plus the doc's total
+  term mass and its whole-symbol hash. At the default 256 terms/row that
+  is ~1.5 GB per 1M rows in HBM, gathered only for candidate windows.
 
 - **Query side** (device, per batch): gather the candidate window's
   fingerprints by GLOBAL row id (row-sharded + psum, the
@@ -34,7 +34,7 @@ from __future__ import annotations
 
 import zlib
 from functools import partial
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

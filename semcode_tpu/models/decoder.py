@@ -45,6 +45,23 @@ from ..logger import get_logger
 
 log = get_logger("models.decoder")
 
+# The QA prompt grammar shared by training (train_lm.build_qa_texts) and
+# inference (rag/llm.TPULocalChat.chat_structured). A corpus-fitted byte LM
+# answers reliably ONLY in the exact format it was trained on — raw
+# code-continuation training produces noise under chat prompts (measured:
+# 3000 steps, next-token acc 0.96, chat output gibberish). Keep all three
+# markers in sync; "###" doubles as the generation stop.
+QA_CONTEXT = "### Context\n"
+QA_QUESTION = "\n\n### Question\n"
+QA_ANSWER = "\n\n### Answer\n"
+QA_STOP = "\n###"
+# context snippet budget (chars ~ byte tokens), SHARED by training and
+# inference: a context longer than what training windows covered leaves
+# the answer region untrained (measured: ctx 400 @ seq_len 384 -> the
+# answer tail never fit a window -> chat noise at next-token acc 0.97).
+# 200 ctx + ~40 question + ~220 answer + markers fits seq_len >= 512.
+QA_CTX_CHARS = 200
+
 
 @dataclass(frozen=True)
 class DecoderConfig:

@@ -136,12 +136,73 @@ class LMTrainer:
         return self._step(params, opt_state, device_batch)
 
 
+def build_qa_texts(chunks, *, ctx_chars: Optional[int] = None) -> list:
+    """Question-answer training texts derived from the corpus itself.
+
+    The ``tpu-lm`` provider serves RAG answers in the QA_* prompt grammar
+    (models/decoder.py): ``### Context <snippet> ### Question <q>
+    ### Answer <a>###``. A corpus-fitted model must SEE that grammar in
+    training or chat decoding emits noise regardless of next-token
+    accuracy. For every chunk with a defining symbol this builds
+    question variants ("what does X do?", "where is X defined?", the
+    docstring as a natural-language question) whose answer cites the
+    symbol, its file/lines, and its leading docstring — the synthesis a
+    code-search answer actually needs. ``chunks``: CodeChunk-likes with
+    .content/.symbol/.path/.start_line/.end_line.
+    """
+    import re
+
+    from .decoder import QA_ANSWER, QA_CONTEXT, QA_CTX_CHARS, QA_QUESTION
+
+    if ctx_chars is None:
+        ctx_chars = QA_CTX_CHARS
+    doc_re = re.compile(r'(?s)(?:"""|\'\'\')(.+?)(?:"""|\'\'\')')
+    out = []
+    for c in chunks:
+        symbol = getattr(c, "symbol", None)
+        if not symbol:
+            continue
+        path = str(getattr(c, "path", "") or "")
+        ctx = (c.content or "")[:ctx_chars]
+        m = doc_re.search(c.content or "")
+        doc = ""
+        if m:
+            doc = re.sub(r"\s+", " ", m.group(1)).strip()
+            doc = doc.split(". ")[0][:140]
+        lines = (
+            f" (lines {c.start_line}-{c.end_line})"
+            if getattr(c, "start_line", None)
+            else ""
+        )
+        answer = f"`{symbol}` is defined in {path}{lines}."
+        if doc:
+            answer += f" {doc}."
+        for q in (
+            f"what does {symbol} do?",
+            f"where is {symbol} defined?",
+        ):
+            out.append(
+                f"{QA_CONTEXT}{ctx}{QA_QUESTION}{q}{QA_ANSWER}{answer}\n###"
+            )
+        if doc and len(doc.split()) >= 4:
+            out.append(
+                f"{QA_CONTEXT}{ctx}{QA_QUESTION}{doc[:160]}"
+                f"{QA_ANSWER}{answer}\n###"
+            )
+    return out
+
+
 class WindowBatcher:
     """Random fixed-length token windows over the corpus chunks.
 
     Each sample is a window from one chunk's byte tokens, EOS-terminated when
     the window reaches the chunk's end — the shapes are static (seq_len), so
     the train step compiles once.
+
+    ``anchored_texts`` (the QA mix) sample differently: always from position
+    0, so the model learns the prompt grammar from its start marker —
+    a random mid-window crop of a QA example teaches the wrong conditional.
+    ``anchored_frac`` of each batch comes from the anchored pool.
     """
 
     def __init__(
@@ -152,24 +213,41 @@ class WindowBatcher:
         seq_len: int = 256,
         batch_size: int = 32,
         seed: int = 0,
+        anchored_texts: Sequence[str] = (),
+        anchored_frac: float = 0.0,
     ):
         self.docs = [
             tokenizer.encode(t) + [getattr(tokenizer, "EOS_ID", 1)]
             for t in texts
             if t.strip()
         ]
-        if not self.docs:
+        self.anchored = [
+            tokenizer.encode(t) + [getattr(tokenizer, "EOS_ID", 1)]
+            for t in anchored_texts
+            if t.strip()
+        ]
+        if not self.docs and not self.anchored:
             raise ValueError("no non-empty chunks to train on")
         self.seq_len = int(seq_len)
         self.batch_size = int(batch_size)
+        self.anchored_frac = float(anchored_frac) if self.anchored else 0.0
         self.rng = np.random.default_rng(seed)
         # sample documents proportionally to their length
-        lens = np.array([len(d) for d in self.docs], dtype=np.float64)
+        docs = self.docs or self.anchored
+        if not self.docs:
+            self.docs = self.anchored
+        lens = np.array([len(d) for d in docs], dtype=np.float64)
         self.doc_p = lens / lens.sum()
 
     def _sample(self) -> Tuple[np.ndarray, np.ndarray]:
         ids = np.zeros(self.seq_len, dtype=np.int32)
         mask = np.zeros(self.seq_len, dtype=np.int32)
+        if self.anchored and self.rng.random() < self.anchored_frac:
+            doc = self.anchored[int(self.rng.integers(len(self.anchored)))]
+            doc = doc[: self.seq_len]  # anchored: always from position 0
+            ids[: len(doc)] = doc
+            mask[: len(doc)] = 1
+            return ids, mask
         doc = self.docs[int(self.rng.choice(len(self.docs), p=self.doc_p))]
         if len(doc) <= self.seq_len:
             ids[: len(doc)] = doc

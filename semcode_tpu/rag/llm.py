@@ -93,6 +93,44 @@ class TPULocalChat:
                 text = text[:cut]
         return text.strip()
 
+    def chat_structured(
+        self, question: str, snippets, system: Optional[str] = None
+    ) -> str:
+        """RAG-shaped generation in the EXACT grammar the corpus-fitted LM
+        was trained on (models/decoder.QA_* + train_lm.build_qa_texts):
+        ``### Context <top snippet> ### Question <q> ### Answer``. The
+        pipeline prefers this over chat() when present — a byte-level
+        model prompted outside its training grammar emits noise no matter
+        how low its training loss (measured; see build_qa_texts). The
+        ``system`` text is ignored: a corpus-fitted byte LM doesn't follow
+        instructions, it completes its grammar."""
+        from ..models.decoder import (
+            QA_ANSWER,
+            QA_CONTEXT,
+            QA_CTX_CHARS,
+            QA_QUESTION,
+        )
+
+        # byte tokenizer: chars ~ tokens; the ctx budget must match the
+        # TRAINED budget (QA_CTX_CHARS) — longer contexts than training
+        # windows covered push the answer region out of distribution —
+        # and still leave room for the completion
+        budget = self.lm.cfg.max_len - self.max_new_tokens - len(question) - 32
+        ctx = (snippets[0] if snippets else "")[
+            : max(min(budget, QA_CTX_CHARS), 0)
+        ]
+        prompt = f"{QA_CONTEXT}{ctx}{QA_QUESTION}{question}{QA_ANSWER}"
+        text = self.lm.generate(
+            prompt,
+            max_new_tokens=self.max_new_tokens,
+            temperature=self.temperature,
+        )
+        for stop in ("\n###",) + self.STOPS:
+            cut = text.find(stop)
+            if cut != -1:
+                text = text[:cut]
+        return text.strip()
+
 
 def create_llm(config):
     """Build the configured chat provider, or None for pure-fallback mode."""

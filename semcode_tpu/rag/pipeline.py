@@ -303,9 +303,19 @@ class SemanticSearchPipeline:
                 },
             }
         try:
-            prompt = self._render_prompt(question, documents)
             with timer.stage("llm"):
-                answer = llm.chat(self.config.rag_system_prompt, prompt)
+                structured = getattr(llm, "chat_structured", None)
+                if structured is not None:
+                    # providers that own their prompt grammar (tpu-lm's
+                    # corpus-fitted QA format) get the raw parts
+                    answer = structured(
+                        question,
+                        [d.text or "" for d in documents],
+                        self.config.rag_system_prompt,
+                    )
+                else:
+                    prompt = self._render_prompt(question, documents)
+                    answer = llm.chat(self.config.rag_system_prompt, prompt)
             if not answer.strip():
                 # an empty completion is a failure, not an answer
                 raise ValueError("llm returned an empty answer")

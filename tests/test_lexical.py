@@ -10,7 +10,6 @@ from semcode_tpu.index.lexical import (
     LexicalFingerprints,
     bm25_blend,
     featurize_doc,
-    featurize_docs,
     featurize_queries,
     gather_fingerprints,
     rerank_device,

@@ -141,3 +141,87 @@ def test_trained_lm_answers_through_pipeline(tmp_path):
     # a 2-layer byte model trained 3 steps answers noise, but the PATH is
     # real: no fallback, the decoder generated the answer text
     assert not out["meta"]["fallback_used"]
+
+
+def test_build_qa_texts_grammar_and_content():
+    from semcode_tpu.chunking.chunker import CodeChunk
+    from semcode_tpu.models.decoder import QA_ANSWER, QA_CONTEXT, QA_QUESTION
+    from semcode_tpu.models.train_lm import build_qa_texts
+
+    chunks = [
+        CodeChunk(
+            path="semcode_tpu/index/flat.py", language="python",
+            start_line=10, end_line=40,
+            content='def quantize_rows(x):\n    """Symmetric per-row int8 '
+                    'quantization of the corpus rows."""\n    return x',
+            symbol="quantize_rows",
+        ),
+        CodeChunk(  # symbol-less chunk contributes nothing
+            path="a.py", language="python", start_line=1, end_line=2,
+            content="x = 1", symbol=None,
+        ),
+    ]
+    texts = build_qa_texts(chunks)
+    assert len(texts) == 3  # what-does + where-is + docstring question
+    for t in texts:
+        assert t.startswith(QA_CONTEXT) and QA_QUESTION in t
+        assert QA_ANSWER in t and t.endswith("###")
+    assert any("where is quantize_rows defined?" in t for t in texts)
+    # every answer cites symbol + file + lines
+    assert all(
+        "`quantize_rows` is defined in semcode_tpu/index/flat.py"
+        " (lines 10-40)" in t
+        for t in texts
+    )
+
+
+def test_window_batcher_anchored_sampling():
+    tok = ByteTokenizer()
+    qa = ["### Context\nABC\n\n### Question\nq?\n\n### Answer\na\n###"]
+    b = WindowBatcher(
+        CORPUS, tok, seq_len=32, batch_size=8, seed=3,
+        anchored_texts=qa, anchored_frac=1.0,
+    )
+    batch = next(iter(b.batches(1)))
+    # anchored_frac=1.0: every row starts at the example's position 0
+    first = tok.encode(qa[0])[:32]
+    for row in batch["ids"]:
+        np.testing.assert_array_equal(row[: len(first)], first)
+
+
+def test_pipeline_prefers_chat_structured(monkeypatch):
+    from semcode_tpu.index.store import SearchHit
+    from semcode_tpu.rag.pipeline import SemanticSearchPipeline
+    from semcode_tpu.settings import AppSettings
+
+    calls = {}
+
+    class FakeLLM:
+        def chat(self, system, user):
+            calls["chat"] = True
+            return "flat"
+
+        def chat_structured(self, question, snippets, system=None):
+            calls["structured"] = (question, snippets[0])
+            return "structured answer"
+
+    class Store:
+        def search(self, vector, top_k=10, filters=None, **kw):
+            return [
+                SearchHit(id="c", score=0.9, repo="r", path="p.py",
+                          language="python", text="snippet text")
+            ]
+
+    class Emb:
+        def embed_query(self, text):
+            return [1.0]
+
+    cfg = AppSettings(rag_provider="openai", rag_query_cache_size=0)
+    p = SemanticSearchPipeline(config=cfg, vector_store=Store(), embeddings=Emb())
+    monkeypatch.setattr(
+        "semcode_tpu.rag.pipeline.create_llm", lambda c: FakeLLM()
+    )
+    out = p.query("what is it?")
+    assert out["answer"] == "structured answer"
+    assert calls["structured"] == ("what is it?", "snippet text")
+    assert "chat" not in calls
