@@ -59,7 +59,11 @@ NLIST = int(os.environ.get("BENCH_NLIST", 1024))
 NPROBE = int(os.environ.get("BENCH_NPROBE", 32))
 K = 10
 N_QUERIES = int(os.environ.get("BENCH_QUERIES", 512))
-BATCH = min(int(os.environ.get("BENCH_BATCH", 256)), N_QUERIES)
+# flagship bulk batch: the round-4 on-chip sweep (tools/scan_tune.py,
+# docs/BENCHMARKS.md "bulk batch size") measured 512 as the knee —
+# +12% QPS over 256 at identical recall; 1024 is flat (amortization
+# saturated, per-query MXU/gather cost dominates)
+BATCH = min(int(os.environ.get("BENCH_BATCH", 512)), N_QUERIES)
 SERVE_BATCH = int(os.environ.get("BENCH_SERVE_BATCH", 8))
 TIMED_SECS = float(os.environ.get("BENCH_SECS", 15))
 DTYPE = os.environ.get("BENCH_DTYPE", "int8")  # int8 | bfloat16 | float32

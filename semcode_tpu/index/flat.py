@@ -113,6 +113,7 @@ class FlatIndex:
         fetch_width: int = 0,  # 0 = auto (max(4k, 128)); rescore candidate pool
         scan_impl: str = "auto",  # auto | xla | pallas (exact-scan kernel)
         rescore_mode: str = "auto",  # auto | f32 | residual | off
+        rescore_width: int = 0,  # top-W gather slice; 0 = auto, -1 = full fetch
     ):
         if metric not in ("ip", "cosine", "l2"):
             raise ValueError(f"unknown metric: {metric}")
@@ -135,6 +136,7 @@ class FlatIndex:
         self.approx_recall_target = float(approx_recall_target)
         self.score_dtype = score_dtype
         self.fetch_width = int(fetch_width)
+        self.rescore_width = int(rescore_width)
         self.scan_impl = scan_impl
         # rows must split evenly across shards AND stay lane-aligned
         import math
@@ -431,6 +433,29 @@ class FlatIndex:
             return min(max(4 * k, 64), shard_rows)
         return min(max(4 * k, 128), shard_rows)
 
+    def _rescore_width(self, k: int, rescore) -> int:
+        """Top-W gather slice for the fused rescore (scan.rescore_width).
+
+        The selection pool (``fetch``) must stay wide so approx_max_k's
+        reduction misses are recoverable, but the gather only needs the
+        candidates exact re-ranking could actually promote into the top-k;
+        on-chip sweep (docs/BENCHMARKS.md round 4): recall@10 at 1M x 384 is
+        IDENTICAL from W=32 to the full fetch=128 pool — the residual
+        misses are approx_max_k reduction drops, not int8 displacement —
+        while QPS rises 153k -> 199k. 0 = auto (max(3k, 32)); -1 = full
+        fetch."""
+        if rescore is None or self.rescore_width < 0:
+            return 0
+        if self.rescore_width > 0:
+            return max(self.rescore_width, k)
+        if isinstance(rescore, tuple):
+            # residual tier: its auto fetch pool is already narrowed to 64
+            # (two gathers/candidate) and its wide-dim recall margin is
+            # thinner (d3072 bench bar 0.99 at 0.9973 measured) — auto
+            # keeps the full pool; override explicitly to slice
+            return 0
+        return max(3 * k, 32)
+
     def search(
         self, queries: np.ndarray, k: int = 10, allow_tags=None
     ) -> Tuple[np.ndarray, np.ndarray]:
@@ -482,6 +507,7 @@ class FlatIndex:
             self._scan_impl(),
             resid,
             rscl,
+            self._rescore_width(k, rescore),
         )
         scores = np.asarray(scores[:n_q]).astype(np.float32)
         ids = np.asarray(ids[:n_q]).astype(np.int64)
@@ -526,6 +552,7 @@ class FlatIndex:
             self._scan_impl(),
             resid,
             rscl,
+            self._rescore_width(k, rescore),
         )
 
     def search_device_batched(self, qs_dev: jax.Array, k: int, allow_tags=None):
@@ -563,6 +590,7 @@ class FlatIndex:
             self._scan_impl(),
             resid,
             rscl,
+            self._rescore_width(k, rescore),
         )
 
     # -- maintenance ---------------------------------------------------------------
@@ -590,6 +618,7 @@ class FlatIndex:
             fetch_width=self.fetch_width,
             scan_impl=self.scan_impl,
             rescore_mode=self.rescore_mode,
+            rescore_width=self.rescore_width,
         )
         if live.size:
             # rows are already metric-normalized; add()'s re-normalization is

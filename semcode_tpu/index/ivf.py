@@ -144,6 +144,7 @@ class IVFIndex:
         device_rescore: Optional[bool] = None,  # None = auto by HBM budget
         score_dtype: str = "auto",  # auto | float32 | float16 (exact path)
         fetch_width: int = 0,  # 0 = auto (max(4k, 128)); rescore candidate pool
+        rescore_width: int = 0,  # top-W gather slice; 0 = auto, -1 = full fetch
         scan_impl: str = "auto",  # auto | xla | pallas (exact-scan kernel)
         rescore_mode: str = "auto",  # auto | f32 | residual | off
     ):
@@ -174,6 +175,7 @@ class IVFIndex:
         self.rescore_mode = rescore_mode
         self.score_dtype = score_dtype
         self.fetch_width = int(fetch_width)
+        self.rescore_width = int(rescore_width)
         self.scan_impl = scan_impl
         import math
 
@@ -892,6 +894,21 @@ class IVFIndex:
             return min(max(4 * k, 64), shard_rows)
         return min(max(4 * k, 128), shard_rows)
 
+    def _rescore_width(self, k: int, rescore) -> int:
+        """Top-W gather slice for the fused rescore (see
+        FlatIndex._rescore_width). 0 = auto (max(3k, 32)); -1 = full fetch."""
+        if rescore is None or self.rescore_width < 0:
+            return 0
+        if self.rescore_width > 0:
+            return max(self.rescore_width, k)
+        if isinstance(rescore, tuple):
+            # residual tier: its auto fetch pool is already narrowed to 64
+            # (two gathers/candidate) and its wide-dim recall margin is
+            # thinner (d3072 bench bar 0.99 at 0.9973 measured) — auto
+            # keeps the full pool; override explicitly to slice
+            return 0
+        return max(3 * k, 32)
+
     def _score_dtype(self, rescore) -> str:
         """Experimental knob (see FlatIndex._score_dtype: measured
         QPS-neutral on chip, so auto stays float32)."""
@@ -1028,6 +1045,7 @@ class IVFIndex:
                 self._scan_impl(),
                 resid,
                 rscl,
+                self._rescore_width(k, dev.frescore),
             )
         else:
             rows_total = dev.data.shape[0] * dev.data.shape[1]
@@ -1114,6 +1132,7 @@ class IVFIndex:
                 self._scan_impl(),
                 resid,
                 rscl,
+                self._rescore_width(k, dev.frescore),
             )
         rows_total = dev.data.shape[0] * dev.data.shape[1]
         fetch = max(4 * k, 64) if dev.frescore is not None else k
@@ -1181,6 +1200,7 @@ class IVFIndex:
                 self._scan_impl(),
                 resid,
                 rscl,
+                self._rescore_width(k, dev.frescore),
             )
         np_probe = min(nprobe or self.nprobe, dev.data.shape[0])
         rows_total = dev.data.shape[0] * dev.data.shape[1]
@@ -1237,6 +1257,7 @@ class IVFIndex:
             fetch_width=self.fetch_width,
             scan_impl=self.scan_impl,
             rescore_mode=self.rescore_mode,
+            rescore_width=self.rescore_width,
         )
         new.centroids = (
             None if self.centroids is None else self.centroids.copy()

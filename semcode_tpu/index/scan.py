@@ -116,6 +116,7 @@ def _exact_scan_impl(
     scan_impl="xla",  # xla | pallas | pallas-interpret (kernel selection)
     resid=None,    # (R, d) int8 second-level residual mirror, or None
     rscales=None,  # (R,) f32 residual row scales, with resid
+    rescore_width=0,  # gather/rescore only the top-W of fetch (0 = all)
 ):
     """Fused: scan + select + (rescore) per shard, all-gather, global merge.
 
@@ -157,6 +158,22 @@ def _exact_scan_impl(
     relative for unit-norm rows, far below the tie spacing the f32 rescore
     exists to separate — at HALF the gather bytes of the f32 mirror (2
     int8 rows vs one f32 row) and 1/2 the HBM residency.
+
+    ``rescore_width`` decouples the SELECTION pool from the GATHER pool.
+    ``fetch`` must stay wide so ``approx_max_k``'s reduction misses land
+    below the keep line — but the rescore gather is row-transaction-bound
+    (two int8 gathers cost ~2x one f32 gather at HALF the bytes; see
+    docs/BENCHMARKS.md round-4 decomposition), so gathering all ``fetch``
+    candidates pays for rows the exact re-ranking can never promote into
+    the top-k. Both selection primitives return candidates SORTED by
+    prefilter score descending (``top_k`` always; ``approx_max_k``
+    aggregates its partial reduction through an exact final top-k), so
+    the top-W slice is free — no extra pass. A true top-k row is lost
+    only if int8 quantization noise (~5e-4 relative for unit-norm rows)
+    displaces it below prefilter rank W among the fetched candidates —
+    measured on chip (1M x 384, batch 512): recall@10 is IDENTICAL from
+    W=32 to the full fetch=128 pool while chained QPS rises 153k -> 199k
+    (docs/BENCHMARKS.md round-4 table).
     """
     if k_out is None:
         k_out = k
@@ -166,6 +183,8 @@ def _exact_scan_impl(
     shard_rows = vecs.shape[0] // n_shards
     fetch = min(fetch, shard_rows)
     k = min(k, fetch)
+    w = int(rescore_width)
+    w = max(w, k) if 0 < w < fetch else 0  # 0 = gather the whole fetch
     k_out = min(k_out, k * n_shards)
     f16 = score_dtype == "float16" and scan_impl == "xla"
     neg = _NEG_F16 if f16 else _NEG_INF
@@ -249,6 +268,11 @@ def _exact_scan_impl(
             else:
                 s, pos = jax.lax.top_k(scores, fetch)  # (Q, fetch) local rows
         s = s.astype(jnp.float32)
+        if (resc is not None or rsd is not None) and w:
+            # top-W gather slice: selection output is sorted by prefilter
+            # score, so this is a static slice, not another top_k
+            s = s[:, :w]
+            pos = pos[:, :w]
         if resc is not None or rsd is not None:
             # fused exact rescore: gather candidate rows from the f32 mirror
             # (or reconstruct them from corpus + residual int8 at ~16-bit
@@ -275,7 +299,7 @@ def _exact_scan_impl(
             s = jnp.where(s > float(neg) / 2, exact, _NEG_INF)
         else:
             s = jnp.where(s > float(neg) / 2, s, _NEG_INF)
-        if k < fetch:
+        if k < s.shape[1]:
             s, sel = jax.lax.top_k(s, k)
             pos = jnp.take_along_axis(pos, sel, axis=1)
         # hierarchical merge: innermost (ICI) axis first, so only (Q, k_out)
@@ -311,11 +335,11 @@ def _exact_scan_impl(
 
 
 exact_scan = partial(
-    jax.jit, static_argnums=(0, 7, 8, 9, 10, 11, 12, 13, 14, 17)
+    jax.jit, static_argnums=(0, 7, 8, 9, 10, 11, 12, 13, 14, 17, 20)
 )(_exact_scan_impl)
 
 
-@partial(jax.jit, static_argnums=(0, 7, 8, 9, 10, 11, 12, 13, 14, 17))
+@partial(jax.jit, static_argnums=(0, 7, 8, 9, 10, 11, 12, 13, 14, 17, 20))
 def exact_scan_batched(
     mesh,
     vecs,
@@ -337,6 +361,7 @@ def exact_scan_batched(
     scan_impl="xla",
     resid=None,
     rscales=None,
+    rescore_width=0,
 ):
     """``exact_scan`` over B query batches in ONE dispatch (lax.scan).
 
@@ -354,7 +379,7 @@ def exact_scan_batched(
         s, i = _exact_scan_impl(
             mesh, vecs, norms, valid, scales, rescore, q, k, fetch,
             metric, storage, approx, recall_target, k_out, score_dtype,
-            tags, allow, scan_impl, resid, rscales,
+            tags, allow, scan_impl, resid, rscales, rescore_width,
         )
         return carry, (s, i)
 

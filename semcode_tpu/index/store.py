@@ -198,6 +198,7 @@ class VectorStore:
                     score_dtype=self.config.index_score_dtype,
                     fetch_width=self.config.index_fetch_width,
                     scan_impl=self.config.index_scan_impl,
+                    rescore_width=self.config.index_rescore_width,
                 )
             self._view = (index, row_to_id, row_meta, id_to_row)
         return index
@@ -217,6 +218,7 @@ class VectorStore:
             score_dtype=self.config.index_score_dtype,
             fetch_width=self.config.index_fetch_width,
             scan_impl=self.config.index_scan_impl,
+            rescore_width=self.config.index_rescore_width,
         )
 
     def _maybe_promote(self) -> None:

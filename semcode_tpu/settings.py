@@ -153,6 +153,7 @@ class AppSettings(BaseModel):
     # quantized-ranking misses at ~linear gather cost (measured 1M x 384
     # int8 on one v5e chip: 128 -> 0.984 @ 81k QPS, 512 -> see BENCHMARKS)
     index_fetch_width: int = 0
+    index_rescore_width: int = 0
     # exact-scan kernel: auto keeps the XLA dot+approx path (wins current
     # chained-dispatch measurements); pallas forces the fused top-2 VMEM
     # kernel (ops/scan_kernel2) for experiments
@@ -294,6 +295,7 @@ _SECTION_FIELDS: Dict[str, Dict[str, str]] = {
         "rescore_mode": "index_rescore_mode",
         "score_dtype": "index_score_dtype",
         "fetch_width": "index_fetch_width",
+        "rescore_width": "index_rescore_width",
         "scan_impl": "index_scan_impl",
         "auto_compact_ratio": "index_auto_compact_ratio",
         "auto_compact_min": "index_auto_compact_min",

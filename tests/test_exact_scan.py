@@ -371,3 +371,47 @@ def test_flat_residual_batched_matches_single(mesh8, rng):
         np.testing.assert_array_equal(np.asarray(ib[b]), np.asarray(i1))
         np.testing.assert_allclose(np.asarray(sb[b]), np.asarray(s1),
                                    rtol=1e-6)
+
+
+def test_rescore_width_slice_matches_full_fetch(mesh8, rng):
+    """The top-W gather slice must not change results when W covers the
+    candidates exact re-ranking can promote (here: every int8-top rank
+    up to W=2k on an easy corpus), and W=-1 must mean 'full fetch'."""
+    n, d, k = 4096, 64, 10
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    q = x[rng.choice(n, 16, replace=False)] + 0.02 * rng.standard_normal(
+        (16, d)
+    ).astype(np.float32)
+    full = FlatIndex(d, metric="ip", dtype="int8", mesh=mesh8,
+                     rescore_mode="f32", rescore_width=-1)
+    full.add(x)
+    ref_s, ref_ids = full.search(q, k=k)
+    for w in (2 * k, 64):
+        sliced = FlatIndex(d, metric="ip", dtype="int8", mesh=mesh8,
+                           rescore_mode="f32", rescore_width=w)
+        sliced.add(x)
+        s, ids = sliced.search(q, k=k)
+        np.testing.assert_array_equal(ids, ref_ids)
+        np.testing.assert_allclose(s, ref_s, rtol=0, atol=1e-6)
+    # W below k is clamped to k, W above fetch is a no-op slice
+    tiny = FlatIndex(d, metric="ip", dtype="int8", mesh=mesh8,
+                     rescore_mode="f32", rescore_width=1)
+    tiny.add(x)
+    s, ids = tiny.search(q, k=k)
+    assert ids.shape == (16, k)
+    huge = FlatIndex(d, metric="ip", dtype="int8", mesh=mesh8,
+                     rescore_mode="f32", rescore_width=10_000)
+    huge.add(x)
+    s, ids = huge.search(q, k=k)
+    np.testing.assert_array_equal(ids, ref_ids)
+
+
+def test_rescore_width_roundtrips_through_compaction(mesh8, rng):
+    x = rng.standard_normal((600, 32)).astype(np.float32)
+    idx = FlatIndex(32, metric="ip", dtype="int8", mesh=mesh8,
+                    rescore_mode="f32", rescore_width=48)
+    idx.add(x)
+    idx.remove(np.arange(0, 600, 3))
+    new, _ = idx.compacted()
+    assert new.rescore_width == 48

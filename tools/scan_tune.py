@@ -8,7 +8,8 @@ flagship methodology) AND recall@10 against an exact HIGHEST-precision f32
 oracle computed on device.
 
 Usage: python tools/scan_tune.py [config ...]
-  config = mode:fetch:rt, e.g. residual:128:0.95 f32:128:0.95
+  config = mode:fetch:rt[:W], e.g. f32:128:0.95 f32:128:0.95:64
+  (W = rescore_width top-W gather slice; omitted/-1 = full fetch)
 Env: N, DIM, BATCH, CHUNK_B, SECS override defaults.
 Prints one JSON line per config.
 """
@@ -101,11 +102,13 @@ def main() -> None:
     q_batches = [queries[i : i + BATCH] for i in range(0, N_Q, BATCH)]
 
     for cfg in configs:
-        mode, fetch_s, rt_s = cfg.split(":")
+        parts = cfg.split(":")
+        mode, fetch_s, rt_s = parts[:3]
+        w = int(parts[3]) if len(parts) > 3 else -1
         fetch, rt = int(fetch_s), float(rt_s)
         idx = FlatIndex(
             DIM, metric="ip", dtype="int8", capacity=N, rescore_mode=mode,
-            fetch_width=fetch, approx_recall_target=rt,
+            fetch_width=fetch, approx_recall_target=rt, rescore_width=w,
         )
         t0 = time.perf_counter()
         idx.add(x_dev)
@@ -131,7 +134,7 @@ def main() -> None:
             np.asarray(outs[-1][0])
         qps = n_done / (time.perf_counter() - t0)
         print(json.dumps({
-            "mode": mode, "fetch": fetch, "rt": rt, "batch": BATCH,
+            "mode": mode, "fetch": fetch, "rt": rt, "w": w, "batch": BATCH,
             "recall_at_10": round(rec, 4), "qps": round(qps, 1),
             "ms_per_batch": round(1000.0 * BATCH / qps, 3),
             "build_s": round(build_s, 1), "compile_s": round(compile_s, 1),
