@@ -295,7 +295,12 @@ def main() -> None:
     # search section below can measure device tag masking at low selectivity
     row_tags = (np.arange(N) % 100 == 0).astype(np.int32)
     if whole:
-        ivf.add(x_dev, tags=row_tags)
+        # bulk even for a one-shot add: expected_rows sizes the mirror
+        # EXACTLY (plain add() pads capacity +12.5% for growth, and the
+        # exact scan pays for allocated rows forever — measured ~15%
+        # flagship QPS at 1M x 384)
+        with ivf.bulk(expected_rows=N):
+            ivf.add(x_dev, tags=row_tags)
     else:
         # bulk mode: chunked adds only upload+quantize into the device
         # mirror; ONE train + balanced-assign + pack pass runs at block exit.

@@ -330,11 +330,19 @@ class IVFIndex:
             return "residual"
         return "none"
 
-    def _ensure_mirror(self, need_rows: int) -> None:
-        """Create or grow the device mirror to hold ``need_rows`` rows."""
+    def _ensure_mirror(self, need_rows: int, *, exact: bool = False) -> None:
+        """Create or grow the device mirror to hold ``need_rows`` rows.
+
+        ``exact`` allocates exactly ``need_rows`` (lane-rounded) with NO
+        growth headroom: the exact scan's cost is linear in ALLOCATED
+        mirror rows (tombstone-masked slots still burn HBM reads and MXU
+        MACs), so a bulk build with a declared row count must not carry
+        the +12.5% amortization pad — measured 1M x 384 chained: the pad
+        alone cost ~15% flagship QPS (docs/BENCHMARKS.md round 4)."""
         if self._mir is not None and need_rows <= self._mirror_cap:
             return
-        mcap = self._mirror_target_cap(need_rows)
+        mcap = (round_up(max(need_rows, 1), self._row_multiple)
+                if exact else self._mirror_target_cap(need_rows))
         s2, s1 = self._shard2(), self._shard1()
 
         def _fresh_rescore(kind):
@@ -590,7 +598,9 @@ class IVFIndex:
             raise RuntimeError("bulk() blocks do not nest")
         if expected_rows is not None and expected_rows > 0:
             self._extend_meta_capacity(expected_rows)
-            self._ensure_mirror(max(expected_rows, 1))
+            # exact: the caller declared the build size — no growth pad
+            # (the pad is scanned forever after; see _ensure_mirror)
+            self._ensure_mirror(max(expected_rows, 1), exact=True)
         self._bulk = True
         try:
             yield self

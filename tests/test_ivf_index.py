@@ -449,3 +449,25 @@ def test_pick_mode_regimes(mesh8):
     # large batches saturate the probed-cluster union -> exact at any dim
     assert narrow._pick_mode(256, 32, 10) == "exact"
     assert wide._pick_mode(256, 32, 10) == "exact"
+
+
+def test_bulk_expected_rows_sizes_mirror_exactly(mesh8, rng):
+    """bulk(expected_rows=N) must allocate the flat mirror at exactly the
+    lane-rounded row count — the exact scan pays for ALLOCATED rows, so a
+    declared-size build must not carry the +12.5% growth pad."""
+    d, n = 32, 2048
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    idx = IVFIndex(d, nlist=8, nprobe=8, metric="ip", dtype="int8",
+                   mesh=mesh8)
+    with idx.bulk(expected_rows=n):
+        idx.add(x[: n // 2])
+        idx.add(x[n // 2:])
+    assert idx._mir.fvecs.shape[0] == n  # n is already lane-aligned
+    # plain add() keeps its growth headroom (streaming amortization)
+    idx2 = IVFIndex(d, nlist=8, nprobe=8, metric="ip", dtype="int8",
+                    mesh=mesh8)
+    idx2.add(x)
+    assert idx2._mir.fvecs.shape[0] > n
+    s1, i1 = idx.search(x[:8], k=5, mode="exact")
+    s2, i2 = idx2.search(x[:8], k=5, mode="exact")
+    np.testing.assert_array_equal(i1, i2)
