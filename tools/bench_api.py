@@ -38,7 +38,7 @@ _QUESTIONS = [
 ]
 
 
-def _build_store(rows: int, dim: int):
+def _build_store(rows: int, dim: int, config_overrides=None):
     """Synthetic corpus store: vectors generated ON DEVICE (throttled build
     hosts), metadata shaped like real chunk payloads."""
     import jax
@@ -57,6 +57,7 @@ def _build_store(rows: int, dim: int):
         index_kind="flat",
         index_dtype="int8",
         telemetry_enabled=True,
+        **(config_overrides or {}),
     )
     store = VectorStore(config, dim=dim)
     store.connect()
@@ -168,12 +169,13 @@ async def _drive(app, config, concurrency: float, secs: float):
 
 
 def run_api_bench(
-    rows: int = 20000, dim: int = 384, concurrency: int = 32, secs: float = 10.0
+    rows: int = 20000, dim: int = 384, concurrency: int = 32,
+    secs: float = 10.0, config_overrides=None,
 ) -> dict:
     from semcode_tpu.api.main import create_app
     from semcode_tpu.services.indexer import IndexerService
 
-    config, store = _build_store(rows, dim)
+    config, store = _build_store(rows, dim, config_overrides)
     indexer = IndexerService(config=config, vector_store=store)
     app = create_app(config=config, indexer=indexer)
 
