@@ -427,10 +427,13 @@ class FlatIndex:
         if self.fetch_width > 0:
             return min(max(self.fetch_width, k), shard_rows)
         if isinstance(rescore, tuple):
-            # residual tier: two row-transaction-bound gathers per
-            # candidate, so the auto pool narrows (1M x 3072 sweep: fetch
-            # 64 = +53% QPS for -0.002 recall; see IVFIndex._fetch_width)
-            return min(max(4 * k, 64), shard_rows)
+            # residual tier: the SELECTION pool is nearly free now that the
+            # gather is governed by rescore_width, and wide-dim int8
+            # displacement (noise ~ sqrt(d)) makes a deeper pool pay in
+            # recall: 400k x 3072 sweep, fetch 64 -> 96 at W=32 lifts
+            # recall@10 0.9979 -> 0.9992 at equal QPS (docs/BENCHMARKS.md
+            # round 4; the old 64-wide pool dated from full-pool gathers)
+            return min(max(4 * k, 96), shard_rows)
         return min(max(4 * k, 128), shard_rows)
 
     def _rescore_width(self, k: int, rescore) -> int:
@@ -448,12 +451,6 @@ class FlatIndex:
             return 0
         if self.rescore_width > 0:
             return max(self.rescore_width, k)
-        if isinstance(rescore, tuple):
-            # residual tier: its auto fetch pool is already narrowed to 64
-            # (two gathers/candidate) and its wide-dim recall margin is
-            # thinner (d3072 bench bar 0.99 at 0.9973 measured) — auto
-            # keeps the full pool; override explicitly to slice
-            return 0
         return max(3 * k, 32)
 
     def search(

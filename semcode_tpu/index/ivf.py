@@ -896,12 +896,12 @@ class IVFIndex:
         if self.fetch_width > 0:
             return min(max(self.fetch_width, k), shard_rows)
         if isinstance(rescore, tuple):
-            # residual tier pays TWO row-transaction-bound gathers per
-            # candidate (int8 corpus + int8 residual), so the auto pool
-            # narrows: measured 1M x 3072 on one v5e chip, fetch 128 ->
-            # 0.9992 recall@10 @ 14.0k QPS vs fetch 64 -> 0.9973 @ 21.5k
-            # (+53% for -0.002; docs/BENCHMARKS.md round-4 sweep)
-            return min(max(4 * k, 64), shard_rows)
+            # residual tier: selection is nearly free once the gather is
+            # governed by rescore_width, and wide-dim int8 displacement
+            # makes the deeper pool pay in recall (400k x 3072 at W=32:
+            # fetch 96 -> 0.9992 recall@10 vs 64 -> 0.9979 at equal QPS;
+            # docs/BENCHMARKS.md round 4)
+            return min(max(4 * k, 96), shard_rows)
         return min(max(4 * k, 128), shard_rows)
 
     def _rescore_width(self, k: int, rescore) -> int:
@@ -911,12 +911,6 @@ class IVFIndex:
             return 0
         if self.rescore_width > 0:
             return max(self.rescore_width, k)
-        if isinstance(rescore, tuple):
-            # residual tier: its auto fetch pool is already narrowed to 64
-            # (two gathers/candidate) and its wide-dim recall margin is
-            # thinner (d3072 bench bar 0.99 at 0.9973 measured) — auto
-            # keeps the full pool; override explicitly to slice
-            return 0
         return max(3 * k, 32)
 
     def _score_dtype(self, rescore) -> str:
