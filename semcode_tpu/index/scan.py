@@ -4,10 +4,11 @@ TPU-first scoring design (round-2 engine core):
 
 - **int8 exact-integer arithmetic.** For ``int8`` storage the QUERIES are
   also quantized (symmetric per-row, on device) and the scan dot runs on
-  the MXU's NATIVE int8 x int8 -> int32 path (2x the bf16 MACs/s on v5e;
-  measured +18.7% chained scan QPS and ~3x faster XLA compiles vs the
-  earlier bf16-upcast dot, which was equally exact — ints ≤ 127 are
-  exactly representable in bf16 — but half the throughput). |raw| ≤
+  the MXU's NATIVE int8 x int8 -> int32 path (measured 253-261 TOPS on a
+  v5e — 1.3x the bf16 peak, not the 2x the spec sheet quotes, see
+  tools/dot_rate.py — at HALF the HBM bytes; +18.7% chained scan QPS and
+  ~3x faster XLA compiles vs the earlier bf16-upcast dot, which was
+  equally exact — ints ≤ 127 are exactly representable in bf16). |raw| ≤
   d x 127^2 fits int32 at any real dim; the int32 result is rescaled by
   (query scale x row scale) in f32. Score error is just the original
   quantization noise (std ≈ scale/sqrt(12) ~ 5e-4 for unit-norm
@@ -68,7 +69,8 @@ def quantize_queries_device(q):
 def _score_block(qq, vecs, scales_rows, storage, q_scales=None):
     """(Q, d) x (R, d) -> (Q, R) f32 scores for a storage-dtype block."""
     if storage == "int8":
-        # native int8 x int8 -> int32 MXU dot (v5e: 2x the bf16 MACs/s,
+        # native int8 x int8 -> int32 MXU dot (measured 1.3x bf16-peak
+        # TOPS at half the HBM bytes — tools/dot_rate.py;
         # measured ~9% faster per dispatch at 1M x 384 and ~10x faster to
         # COMPILE than the bf16-upcast dot it replaces). The int32
         # accumulation is exact (|raw| ≤ d * 127^2 fits int32 at any real
