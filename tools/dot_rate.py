@@ -16,6 +16,9 @@ dtype actually reaches the double rate on this chip:
             bytes than bf16, possibly >2x MACs/s)
   s8s8_big  s8s8 with the (Q,d) operand tiled 2x along Q inside the body
             (tests whether more rows per pass raises MXU occupancy)
+  s4s4_cast int8 args cast to int4 INSIDE the jit body (avoids the int4
+            transfer path the plugin rejects) -> s32 dot; tests whether
+            the platform has a faster int4 MXU pass
 
 Prints one JSON line per mode: {mode, ms_per_batch, tops, gbps, compile_s}.
 Env: N, DIM, BATCH, CHUNK_B, SECS override defaults. Usage:
@@ -135,6 +138,17 @@ def main() -> None:
                 f = chained(lambda qb, v: body_dot(
                     qb, v, ((1,), (1,)), jnp.int32, True))
                 timed(f, (v4, q4), mode, corpus_bytes=bytes_per_batch / 2)
+            elif mode == "s4s4_cast":
+                def body4(qb, v):
+                    raw = jax.lax.dot_general(
+                        (qb // 16).astype(jnp.int4),
+                        (v // 16).astype(jnp.int4),
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    )
+                    return jnp.max(raw, axis=1)
+                f = chained(body4)
+                timed(f, (v8, qs8), mode, corpus_bytes=bytes_per_batch)
             elif mode == "s8s8_big":
                 qs2 = jnp.concatenate([qs8, qs8], axis=1)  # (B, 2Q, d)
                 f = chained(lambda qb, v: body_dot(
