@@ -103,6 +103,36 @@ def create_app(
     app["jobs"] = job_manager
     app["telemetry"] = telemetry
 
+    async def _warmup(app_):
+        """Pre-compile the serving path at startup (background, off the
+        event loop). A restarted server over an existing workspace
+        otherwise charges the FIRST user query with the full compile
+        stack — query embed + exact scan + device rerank, ~3 min per
+        distinct executable through a remote-compile TPU service on a
+        1-core host (docs/BENCHMARKS.md round 4). The server accepts
+        traffic immediately; a real query that arrives mid-warmup simply
+        shares the compile it was going to pay anyway. No-op on an empty
+        store (nothing to compile against) or with `api_warmup = false`."""
+        if not getattr(config, "api_warmup", True):
+            return
+
+        def go():
+            try:
+                if indexer.vector_store.count() > 0:
+                    # default top_k: distinct top_k values compile distinct
+                    # executables (fetch width is a static jit arg), so warm
+                    # exactly the signature a default query pays
+                    pipeline.query("__warmup__ serving path compile probe")
+                    log.info("serving_path_warm")
+            except Exception as exc:  # noqa: BLE001 — warmup must never kill startup
+                log.warning("warmup_failed", error=str(exc))
+
+        app_["warmup_future"] = asyncio.get_event_loop().run_in_executor(
+            executor, go
+        )
+
+    app.on_startup.append(_warmup)
+
     def _run_blocking(fn, *args):
         return asyncio.get_event_loop().run_in_executor(executor, fn, *args)
 

@@ -49,6 +49,8 @@ class AppSettings(BaseModel):
     # dynamic micro-batching of concurrent /query requests (0 disables)
     api_batch_window_ms: float = 3.0
     api_batch_max: int = 64
+    # pre-compile the serving path at startup (background; no-op when empty)
+    api_warmup: bool = True
     # overload handling: pending-query bound (enqueue beyond it -> 503) and
     # per-query wall-clock timeout (exceeded -> 504); 0 disables either
     api_queue_max: int = 1024
@@ -250,6 +252,7 @@ _SECTION_FIELDS: Dict[str, Dict[str, str]] = {
         "port": "api_port",
         "batch_window_ms": "api_batch_window_ms",
         "batch_max": "api_batch_max",
+        "warmup": "api_warmup",
         "max_workers": "api_max_workers",
         "queue_max": "api_queue_max",
         "query_timeout_s": "api_query_timeout_s",

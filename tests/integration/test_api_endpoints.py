@@ -411,3 +411,56 @@ def test_create_app_ephemeral_workspace(tmp_path):
             await client.close()
 
     asyncio.run(go())
+
+
+def test_startup_warmup_fires_once_on_populated_store(tmp_path):
+    """create_app warms the serving path at startup (background) so a
+    restarted server doesn't charge the first user query with the full
+    compile stack; empty stores and api_warmup=false skip it."""
+    import asyncio
+    import time as _time
+
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from semcode_tpu.api.main import create_app
+    from semcode_tpu.settings import AppSettings
+
+    class Pipe:
+        def __init__(self):
+            self.calls = []
+
+        def query(self, q, top_k=None, filters=None):
+            self.calls.append(q)
+            return {"answer": "", "sources": [], "meta": {}}
+
+    class Store:
+        def __init__(self, n):
+            self._n = n
+
+        def count(self):
+            return self._n
+
+    class Idx:
+        def __init__(self, n):
+            self.vector_store = Store(n)
+
+    async def scenario(n_rows, warmup, expect_called):
+        cfg = AppSettings(workspace_root=None, api_warmup=warmup)
+        pipe = Pipe()
+        app = create_app(config=cfg, indexer=Idx(n_rows), pipeline=pipe)
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        deadline = _time.time() + 5
+        while expect_called and not pipe.calls and _time.time() < deadline:
+            await asyncio.sleep(0.02)
+        fut = app.get("warmup_future")
+        if fut is not None:
+            await asyncio.wrap_future(fut) if not isinstance(
+                fut, asyncio.Future
+            ) else await fut
+        assert bool(pipe.calls) == expect_called
+        await client.close()
+
+    asyncio.run(scenario(100, True, True))
+    asyncio.run(scenario(0, True, False))
+    asyncio.run(scenario(100, False, False))
