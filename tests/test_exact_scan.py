@@ -415,3 +415,26 @@ def test_rescore_width_roundtrips_through_compaction(mesh8, rng):
     idx.remove(np.arange(0, 600, 3))
     new, _ = idx.compacted()
     assert new.rescore_width == 48
+
+
+def test_pallas_scan_impl_rescore_width_slice(mesh8, rng):
+    """The top-W gather slice composes with the Pallas selection path:
+    explicit small W and full-fetch (-1) agree on the top-1 and keep high
+    overlap, and returned scores stay the exact f32 scores."""
+    n, d, k = 8192, 128, 10
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    q = x[:8] + 0.02 * rng.standard_normal((8, d)).astype(np.float32)
+    full = FlatIndex(d, metric="ip", dtype="int8", mesh=mesh8,
+                     scan_impl="pallas", rescore_width=-1)
+    sliced = FlatIndex(d, metric="ip", dtype="int8", mesh=mesh8,
+                       scan_impl="pallas", rescore_width=2 * k)
+    full.add(x)
+    sliced.add(x)
+    s1, i1 = full.search(q, k=k)
+    s2, i2 = sliced.search(q, k=k)
+    np.testing.assert_array_equal(i1[:, 0], i2[:, 0])
+    ov = np.mean([len(set(a) & set(b)) / k for a, b in zip(i1, i2)])
+    assert ov >= 0.9, ov
+    true = np.take_along_axis(q @ x.T, i2, axis=1)
+    np.testing.assert_allclose(s2, true, rtol=2e-6)
