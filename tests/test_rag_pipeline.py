@@ -269,6 +269,11 @@ def test_query_batch_uses_query_side_embeddings():
     class BatchStore:
         version = 0
 
+        def search(self, vector, top_k=10, filters=None, **kw):
+            # SearcherLike protocol surface (typeguard checks the stub
+            # against it); query_batch itself routes through search_batch
+            return _hits(1)
+
         def search_batch(self, vectors, top_k=10, filters=None, query_texts=None, **kw):
             return [_hits(1) for _ in range(len(vectors))]
 
