@@ -112,13 +112,23 @@ def create_app(
         1-core host (docs/BENCHMARKS.md round 4). The server accepts
         traffic immediately; a real query that arrives mid-warmup simply
         shares the compile it was going to pay anyway. No-op on an empty
-        store (nothing to compile against) or with `api_warmup = false`."""
+        store (nothing to compile against) or with `api_warmup = false`.
+
+        Runs on a DAEMON thread, not the request executor: executor
+        threads are non-daemon and joined at interpreter exit, so a
+        restart arriving mid-compile (minutes) would block process
+        shutdown; a daemon warmup thread dies with the process."""
         if not getattr(config, "api_warmup", True):
             return
 
         def go():
             try:
-                if indexer.vector_store.count() > 0:
+                store = indexer.vector_store
+                # connect() loads the workspace snapshot — count() alone
+                # reads the init-empty view and reports 0 on a restarted
+                # server, which is exactly the case warmup exists for
+                store.connect()
+                if store.count() > 0:
                     # default top_k: distinct top_k values compile distinct
                     # executables (fetch width is a static jit arg), so warm
                     # exactly the signature a default query pays
@@ -127,9 +137,11 @@ def create_app(
             except Exception as exc:  # noqa: BLE001 — warmup must never kill startup
                 log.warning("warmup_failed", error=str(exc))
 
-        app_["warmup_future"] = asyncio.get_event_loop().run_in_executor(
-            executor, go
-        )
+        import threading
+
+        t = threading.Thread(target=go, name="semcode-warmup", daemon=True)
+        t.start()
+        app_["warmup_thread"] = t
 
     app.on_startup.append(_warmup)
 

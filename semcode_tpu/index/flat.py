@@ -22,7 +22,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..parallel.mesh import get_mesh, pad_bucket, round_up, row_axes
-from .scan import exact_scan, exact_scan_batched
+from .scan import exact_scan, exact_scan_batched, resolve_rescore_width
 
 _NEG_INF = np.float32(-3.0e38)
 
@@ -437,21 +437,14 @@ class FlatIndex:
         return min(max(4 * k, 128), shard_rows)
 
     def _rescore_width(self, k: int, rescore) -> int:
-        """Top-W gather slice for the fused rescore (scan.rescore_width).
-
-        The selection pool (``fetch``) must stay wide so approx_max_k's
-        reduction misses are recoverable, but the gather only needs the
-        candidates exact re-ranking could actually promote into the top-k;
-        on-chip sweep (docs/BENCHMARKS.md round 4): recall@10 at 1M x 384 is
-        IDENTICAL from W=32 to the full fetch=128 pool — the residual
-        misses are approx_max_k reduction drops, not int8 displacement —
-        while QPS rises 153k -> 199k. 0 = auto (max(3k, 32)); -1 = full
-        fetch."""
-        if rescore is None or self.rescore_width < 0:
-            return 0
-        if self.rescore_width > 0:
-            return max(self.rescore_width, k)
-        return max(3 * k, 32)
+        """Top-W gather slice for the fused rescore — shared auto policy
+        in scan.resolve_rescore_width (the gather only needs candidates
+        exact re-ranking could promote; recall measured IDENTICAL from
+        W=32 to the full pool, QPS 153k -> 199k at 1M x 384 — docs
+        round 4). Auto defers to an explicitly widened fetch_width."""
+        return resolve_rescore_width(
+            self.rescore_width, self.fetch_width, k, rescore
+        )
 
     def search(
         self, queries: np.ndarray, k: int = 10, allow_tags=None

@@ -63,6 +63,7 @@ from .scan import (
     exact_scan_batched,
     rescore_global,
     rescore_global_residual,
+    resolve_rescore_width,
 )
 
 log = get_logger("index.ivf")
@@ -905,13 +906,11 @@ class IVFIndex:
         return min(max(4 * k, 128), shard_rows)
 
     def _rescore_width(self, k: int, rescore) -> int:
-        """Top-W gather slice for the fused rescore (see
-        FlatIndex._rescore_width). 0 = auto (max(3k, 32)); -1 = full fetch."""
-        if rescore is None or self.rescore_width < 0:
-            return 0
-        if self.rescore_width > 0:
-            return max(self.rescore_width, k)
-        return max(3 * k, 32)
+        """Top-W gather slice (shared policy: scan.resolve_rescore_width;
+        see FlatIndex._rescore_width)."""
+        return resolve_rescore_width(
+            self.rescore_width, self.fetch_width, k, rescore
+        )
 
     def _score_dtype(self, rescore) -> str:
         """Experimental knob (see FlatIndex._score_dtype: measured

@@ -55,6 +55,31 @@ from ..parallel.mesh import (
 _NEG_INF = np.float32(-3.0e38)
 
 
+def resolve_rescore_width(rescore_width: int, fetch_width: int, k: int,
+                          rescore) -> int:
+    """Shared auto policy for the top-W gather slice (one implementation
+    for FlatIndex and IVFIndex — the parallel ``_fetch_width`` pair has
+    already drifted once, so this one is a module function).
+
+    - explicit ``rescore_width`` > 0: clamp to >= k and use it;
+    - ``rescore_width`` < 0 (or no rescore tier): full fetch, no slice;
+    - auto (0): max(3k, 32) — measured recall-IDENTICAL to the full pool
+      at 1M x 384 and 400k x 3072 (docs/BENCHMARKS.md round 4) — UNLESS
+      the caller explicitly widened ``fetch_width``: that knob is
+      documented as the recall lever ("a wider pool recovers more
+      int8-ranking misses"), and a silent 32-wide gather slice would cap
+      exactly the candidates the user paid to fetch. Explicit fetch =
+      full-fetch gather; set both knobs to combine them deliberately.
+    """
+    if rescore is None or rescore_width < 0:
+        return 0
+    if rescore_width > 0:
+        return max(rescore_width, k)
+    if fetch_width > 0:
+        return 0
+    return max(3 * k, 32)
+
+
 def quantize_queries_device(q):
     """Symmetric per-row int8 quantization of a query batch, on device.
 

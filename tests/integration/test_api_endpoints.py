@@ -436,9 +436,15 @@ def test_startup_warmup_fires_once_on_populated_store(tmp_path):
     class Store:
         def __init__(self, n):
             self._n = n
+            self.connected = False
+
+        def connect(self):
+            # warmup must connect FIRST: count() on a never-connected
+            # store reads the init-empty view and reports 0
+            self.connected = True
 
         def count(self):
-            return self._n
+            return self._n if self.connected else 0
 
     class Idx:
         # full IndexerLike protocol surface (typeguard checks the stub)
@@ -457,15 +463,16 @@ def test_startup_warmup_fires_once_on_populated_store(tmp_path):
         app = create_app(config=cfg, indexer=Idx(n_rows), pipeline=pipe)
         client = TestClient(TestServer(app))
         await client.start_server()
+        t = app.get("warmup_thread")
+        if t is not None:
+            await asyncio.get_event_loop().run_in_executor(
+                None, lambda: t.join(timeout=5)
+            )
         deadline = _time.time() + 5
         while expect_called and not pipe.calls and _time.time() < deadline:
             await asyncio.sleep(0.02)
-        fut = app.get("warmup_future")
-        if fut is not None:
-            await asyncio.wrap_future(fut) if not isinstance(
-                fut, asyncio.Future
-            ) else await fut
         assert bool(pipe.calls) == expect_called
+        assert (t is None) == (not warmup)  # thread only when enabled
         await client.close()
 
     asyncio.run(scenario(100, True, True))

@@ -438,3 +438,27 @@ def test_pallas_scan_impl_rescore_width_slice(mesh8, rng):
     assert ov >= 0.9, ov
     true = np.take_along_axis(q @ x.T, i2, axis=1)
     np.testing.assert_allclose(s2, true, rtol=2e-6)
+
+
+def test_auto_rescore_width_defers_to_explicit_fetch_width(mesh8):
+    """fetch_width is documented as THE recall lever (a wider pool recovers
+    more int8-ranking misses); auto rescore_width must not silently cap a
+    pool the user explicitly widened. Both knobs set = deliberate combo."""
+    from semcode_tpu.index.scan import resolve_rescore_width
+
+    mirror = object()
+    # default config: auto slice
+    assert resolve_rescore_width(0, 0, 10, mirror) == 32
+    assert resolve_rescore_width(0, 0, 20, mirror) == 60
+    # explicit fetch_width: auto defers to the full-fetch gather
+    assert resolve_rescore_width(0, 256, 10, mirror) == 0
+    # both explicit: caller combined them deliberately
+    assert resolve_rescore_width(48, 256, 10, mirror) == 48
+    # explicit W below k clamps to k; -1 = full; no tier = no slice
+    assert resolve_rescore_width(4, 0, 10, mirror) == 10
+    assert resolve_rescore_width(-1, 0, 10, mirror) == 0
+    assert resolve_rescore_width(0, 0, 10, None) == 0
+    # index-level wiring: FlatIndex with explicit fetch_width gathers full
+    idx = FlatIndex(64, metric="ip", dtype="int8", mesh=mesh8,
+                    rescore_mode="f32", fetch_width=256)
+    assert idx._rescore_width(10, mirror) == 0

@@ -85,7 +85,7 @@ def main() -> None:
             return jax.lax.scan(body, 0, qsb)[1]
         return run
 
-    def timed(fn, args, label, corpus_bytes=bytes_per_batch):
+    def timed(fn, args, label, corpus_bytes=bytes_per_batch, macs_mult=1):
         t0 = time.perf_counter()
         np.asarray(fn(*args))
         compile_s = time.perf_counter() - t0
@@ -97,11 +97,11 @@ def main() -> None:
             np.asarray(outs[-1])
         dt = time.perf_counter() - t0
         ms_per_batch = 1000.0 * dt / (n_launch * CHUNK_B)
-        tops = 2.0 * macs_per_batch / (ms_per_batch * 1e-3) / 1e12
+        tops = 2.0 * macs_mult * macs_per_batch / (ms_per_batch * 1e-3) / 1e12
         gbps = corpus_bytes / (ms_per_batch * 1e-3) / 1e9
         print(json.dumps({
-            "mode": label, "n": N, "dim": DIM, "batch": BATCH,
-            "chunk_b": CHUNK_B,
+            "mode": label, "n": N, "dim": DIM,
+            "batch": macs_mult * BATCH, "chunk_b": CHUNK_B,
             "ms_per_batch": round(ms_per_batch, 3),
             "tops": round(tops, 1), "corpus_gbps": round(gbps, 1),
             "compile_s": round(compile_s, 1),
@@ -153,24 +153,7 @@ def main() -> None:
                 qs2 = jnp.concatenate([qs8, qs8], axis=1)  # (B, 2Q, d)
                 f = chained(lambda qb, v: body_dot(
                     qb, v, ((1,), (1,)), jnp.int32, False))
-                t0 = time.perf_counter()
-                np.asarray(f(v8, qs2))
-                compile_s = time.perf_counter() - t0
-                t0 = time.perf_counter()
-                n_launch = 0
-                while time.perf_counter() - t0 < SECS:
-                    outs = [f(v8, qs2) for _ in range(4)]
-                    n_launch += 4
-                    np.asarray(outs[-1])
-                dt = time.perf_counter() - t0
-                ms_per_batch = 1000.0 * dt / (n_launch * CHUNK_B)
-                tops = 2.0 * 2 * macs_per_batch / (ms_per_batch * 1e-3) / 1e12
-                print(json.dumps({
-                    "mode": mode, "batch": 2 * BATCH,
-                    "ms_per_batch": round(ms_per_batch, 3),
-                    "tops": round(tops, 1),
-                    "compile_s": round(compile_s, 1),
-                }), flush=True)
+                timed(f, (v8, qs2), mode, macs_mult=2)
         except Exception as e:  # noqa: BLE001 — report per-mode, keep going
             print(json.dumps({"mode": mode, "error": str(e)[:300]}),
                   flush=True)

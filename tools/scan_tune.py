@@ -9,7 +9,10 @@ oracle computed on device.
 
 Usage: python tools/scan_tune.py [config ...]
   config = mode:fetch:rt[:W], e.g. f32:128:0.95 f32:128:0.95:64
-  (W = rescore_width top-W gather slice; omitted/-1 = full fetch)
+  (W = rescore_width top-W gather slice; omitted = 0 = the PRODUCTION
+  auto policy — note the sweep always sets fetch_width explicitly, and
+  auto defers to an explicit fetch, so omitted here means full-fetch
+  gather via that deference; -1 = full fetch explicitly)
 Env: N, DIM, BATCH, CHUNK_B, SECS override defaults.
 Prints one JSON line per config.
 """
@@ -104,7 +107,7 @@ def main() -> None:
     for cfg in configs:
         parts = cfg.split(":")
         mode, fetch_s, rt_s = parts[:3]
-        w = int(parts[3]) if len(parts) > 3 else -1
+        w = int(parts[3]) if len(parts) > 3 else 0
         fetch, rt = int(fetch_s), float(rt_s)
         idx = FlatIndex(
             DIM, metric="ip", dtype="int8", capacity=N, rescore_mode=mode,
