@@ -43,7 +43,14 @@ from jax.sharding import PartitionSpec as P
 
 from ..embeddings.hash_embedder import STOP_TOKENS as _STOP_TOKENS
 from ..parallel.mesh import linear_rank, row_axes
-from .rerank import DEFAULT_SYM_BONUS, _doc_tf_uncached, tokenize
+from .rerank import (
+    DEFAULT_SYM_BONUS,
+    MAX_SYM_CANDIDATES,
+    _doc_tf_uncached,
+    normalize_symbol,
+    query_symbol_candidates,
+    tokenize,
+)
 
 _K1 = np.float32(1.2)
 _B = np.float32(0.75)
@@ -126,10 +133,19 @@ def featurize_doc(
 
 
 def symbol_hash(symbol) -> int:
-    """Whole-symbol term id for the exact-match bonus channel (-1 = none)."""
+    """Whole-symbol term id for the symbol-bonus channel (-1 = none).
+
+    Hashed in normalize_symbol space (lowercase, separators stripped) so a
+    query can name the symbol literally OR as its word sequence — the query
+    side (featurize_query_symbols) hashes both token and word-join
+    candidates in the same space. Fingerprints are rebuilt from row_meta on
+    snapshot load (store.load nulls the table), so no migration is needed."""
     if not symbol:
         return -1
-    return term_hash(str(symbol).lower())
+    norm = normalize_symbol(symbol)
+    if not norm:
+        return -1
+    return term_hash(norm)
 
 
 def featurize_docs(
@@ -163,6 +179,24 @@ def featurize_queries(
         toks = sorted(set(tokenize(t, limit=tmax)))[:tmax]
         for j, tok in enumerate(toks):
             out[i, j] = term_hash(tok)
+    return out
+
+
+def featurize_query_symbols(
+    texts: Sequence[Optional[str]], *, smax: int = MAX_SYM_CANDIDATES
+) -> np.ndarray:
+    """-> (Q, smax) int32 symbol-candidate hashes, -1-padded.
+
+    Hashes rerank.query_symbol_candidates (token + word-join candidates,
+    normalize_symbol space) for the bm25_blend symbol-bonus channel; the
+    host scorer compares the identical candidate list as strings, so the
+    two impls agree on which candidates exist."""
+    out = np.full((len(texts), smax), -1, dtype=np.int32)
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        for j, cand in enumerate(query_symbol_candidates(t)[:smax]):
+            out[i, j] = term_hash(cand)
     return out
 
 
@@ -230,12 +264,16 @@ def _minmax(x, live, axis=-1):
 
 
 @jax.jit
-def bm25_blend(g_ids, g_w, g_len, g_sym, dense, q_ids, weight, sym_bonus):
+def bm25_blend(
+    g_ids, g_w, g_len, g_sym, dense, q_ids, weight, sym_bonus, q_sym
+):
     """Window BM25 + dense blend, replicated math (post-gather).
 
     g_ids (Q, W, K) int32 (-1 pad), g_w (Q, W, K) f32, g_len (Q, W) f32,
     g_sym (Q, W) int32 whole-symbol hashes (-1 = none), dense (Q, W) f32
-    (sentinel -3e38 for dead slots), q_ids (Q, T) int32 (-1 pad). Returns
+    (sentinel -3e38 for dead slots), q_ids (Q, T) int32 (-1 pad),
+    q_sym (Q, S) int32 symbol-candidate hashes (-1 pad,
+    featurize_query_symbols — token AND word-join candidates). Returns
     (final_dense_scores (Q, W), order (Q, W) int32): the caller applies
     ``order`` to its ids/scores. Mirrors index/rerank.rerank_hits: window
     df/idf, k1/b saturation, exact-symbol bonus, min-max blend,
@@ -263,16 +301,17 @@ def bm25_blend(g_ids, g_w, g_len, g_sym, dense, q_ids, weight, sym_bonus):
     lex = jnp.sum(
         idf[:, None, :] * tf * (_K1 + 1.0) / jnp.maximum(denom, 1e-9), axis=2
     )  # (Q, W)
-    # exact-symbol bonus: the query literally names this candidate's
-    # defining symbol -> add sym_bonus * (the query's max idf). Sized by
-    # idf so the bonus tracks the window's score scale.
+    # symbol bonus: the query names this candidate's defining symbol —
+    # literally or as a joined word sequence (q_sym carries both candidate
+    # kinds) -> add sym_bonus * (the query's max idf). Sized by idf so the
+    # bonus tracks the window's score scale.
     max_idf = jnp.max(
         jnp.where(q_valid, idf, -jnp.inf), axis=1, keepdims=True
     )  # (Q, 1)
     max_idf = jnp.where(jnp.isfinite(max_idf), max_idf, 0.0)
     sym_match = (
-        (g_sym[:, :, None] == q_ids[:, None, :])
-        & q_valid[:, None, :]
+        (g_sym[:, :, None] == q_sym[:, None, :])
+        & (q_sym >= 0)[:, None, :]
         & (g_sym >= 0)[:, :, None]
     ).any(axis=2)
     lex = lex + jnp.where(sym_match, sym_bonus * max_idf, 0.0)
@@ -298,6 +337,7 @@ def rerank_device(
     ids,  # (Q, W) int row ids device or host
     q_ids,  # (Q, T) int32 host (featurize_queries)
     *,
+    q_sym,  # (Q, S) int32 host (featurize_query_symbols)
     weight: float,
     sym_bonus: float = DEFAULT_SYM_BONUS,
 ):
@@ -316,7 +356,7 @@ def rerank_device(
     )
     _, order = bm25_blend(
         g_ids, g_w, g_len, g_sym, scores_dev, jnp.asarray(q_ids),
-        np.float32(weight), np.float32(sym_bonus),
+        np.float32(weight), np.float32(sym_bonus), jnp.asarray(q_sym),
     )
     return (
         jnp.take_along_axis(scores_dev, order, axis=1),

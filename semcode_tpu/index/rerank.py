@@ -35,23 +35,105 @@ import numpy as np
 
 # deliberately independent of embeddings/hash_embedder.py's tokenizer: that
 # one must stay bit-identical to native/featurizer.cpp and to every indexed
-# corpus; this one only needs to agree with ITSELF between query and doc
+# corpus; this one only needs to agree with ITSELF between query and doc.
+# (The STOP list is a frozen word set, not tokenizer behavior — sharing it
+# is safe and keeps "what counts as glue" consistent across scorers.)
+from ..embeddings.hash_embedder import STOP_TOKENS as _STOP_WORDS  # noqa: E402
+
 _IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
 _CAMEL = re.compile(r"(?<=[a-z0-9])(?=[A-Z])|(?<=[A-Z])(?=[A-Z][a-z])")
 _K1 = 1.2
 _B = 0.75
-# exact-symbol bonus (shared with the device scorer, index/lexical.py):
-# when the query literally names a candidate's defining symbol, add
-# bonus * (the query's max idf) to its lexical score. Held-out lab
-# (tools/rerank_lab.py): aiohttp MRR@10 0.749 -> 0.78, reference corpus
-# 0.848 -> 0.9, entirely from symbol-lookup queries.
-DEFAULT_SYM_BONUS = 0.75
+# symbol bonus (shared with the device scorer, index/lexical.py): when the
+# query names a candidate's defining symbol — literally or as a joined word
+# sequence (query_symbol_candidates) — add bonus * (the query's max idf) to
+# its lexical score. Held-out lab (tools/rerank_lab.py) at the join-aware
+# channel: aiohttp MRR@10 0.909 (0.75) -> 0.930 (1.0) with docstring-kind
+# MRR unchanged; 1.25+ starts overriding genuine content matches (docstring
+# 0.924 -> 0.917). Reference corpus ties at 0.9945 for 0.75-1.0.
+DEFAULT_SYM_BONUS = 1.0
 _BODY_CHAR_CAP = 6000  # chunker caps chunks at 6000 chars already
 # bound host tokenization cost per candidate (~worst-case 6000-char chunks
 # are ~700 identifiers; the rerank signal is front-loaded: docstrings and
 # definition headers live at the chunk head, and symbol/path fields are
 # boosted separately)
 _BODY_TOKEN_CAP = 800
+
+
+_NON_ALNUM = re.compile(r"[^a-z0-9]+")
+# candidate-list cap shared with the device scorer: featurize_query_symbols
+# hashes this exact list into a fixed-width (Q, S) channel, so the host and
+# device scorers must agree on which candidates survive the cut
+MAX_SYM_CANDIDATES = 128
+_JOIN_MAX = 6  # longest run of query words joined into one candidate
+
+
+def normalize_symbol(sym) -> str:
+    """Join-normalized identifier: lowercase with every separator stripped,
+    so ``parse_config_file``, ``ParseConfigFile`` and the word sequence
+    "parse config file" all normalize to ``parseconfigfile``. Both the
+    symbol-bonus channels (host rerank_hits and device bm25_blend) compare
+    in this space."""
+    return _NON_ALNUM.sub("", str(sym).lower())
+
+
+def query_symbol_candidates(query_text: str) -> List[str]:
+    """Normalized forms under which a query might NAME a defining symbol.
+
+    Two sources, in priority order under the shared cap:
+
+    - every query token (whole identifiers and their subwords), normalized —
+      the literal-lookup channel ("where is parse_config_file defined");
+    - JOINS of 2..6 consecutive query words — the paraphrase channel: a
+      user asking for "parse config file" or "parse the config" names
+      ``parse_config_file`` / ``parse_config`` without typing the
+      identifier. For each word n-gram both the full join and the join of
+      its non-stop members are candidates (the latter lets glue words
+      inside the phrase — "parse THE config" — still hit the symbol).
+
+    Grams made entirely of stop words are skipped. The list is deduped,
+    order-stable, and capped at MAX_SYM_CANDIDATES (singles and joins each
+    get half the budget) so the device scorer's fixed-width hash channel
+    (index/lexical.featurize_query_symbols) sees the identical set."""
+    half = MAX_SYM_CANDIDATES // 2
+    singles: List[str] = []
+    seen: set = set()
+    for t in tokenize(query_text, limit=64):
+        nt = _NON_ALNUM.sub("", t)
+        if len(nt) > 1 and nt not in seen:
+            seen.add(nt)
+            singles.append(nt)
+    words = [w.lower() for w in _IDENT.findall(query_text)[:48]]
+    stop = [w in _STOP_WORDS for w in words]
+    joins: List[str] = []
+    jseen: set = set()
+
+    def _add_join(j: str) -> None:
+        if len(j) > 3 and j not in seen and j not in jseen:
+            jseen.add(j)
+            joins.append(j)
+
+    # content-only grams first: when the cap bites, "config file" beats
+    # "that implements"
+    for content_only in (True, False):
+        for n in range(2, _JOIN_MAX + 1):
+            for i in range(len(words) - n + 1):
+                gram = words[i : i + n]
+                gstop = stop[i : i + n]
+                if all(gstop):
+                    continue
+                if content_only != (not any(gstop)):
+                    continue
+                _add_join(_NON_ALNUM.sub("", "".join(gram)))
+                if any(gstop):
+                    content = [w for w, s in zip(gram, gstop) if not s]
+                    if len(content) >= 2:
+                        _add_join(_NON_ALNUM.sub("", "".join(content)))
+            if len(joins) >= half:
+                break
+        if len(joins) >= half:
+            break
+    return singles[:half] + joins[:half]
 
 
 @lru_cache(maxsize=65536)
@@ -188,11 +270,16 @@ def rerank_hits(
                     / (tf + _K1 * (1.0 - _B + _B * lengths[i] / avg_len))
                 )
     if sym_bonus > 0.0:
-        # exact-symbol bonus, identical to the device scorer's channel
-        for i, h in enumerate(hits):
-            sym = (getattr(h, "metadata", None) or {}).get("symbol")
-            if sym and str(sym).lower() in q_tokens:
-                lex[i] += sym_bonus * max_idf
+        # symbol bonus, identical to the device scorer's channel: the query
+        # names a candidate's defining symbol either literally (token match)
+        # or as a word sequence that joins into it ("parse config file" ->
+        # parse_config_file) — comparison happens in normalize_symbol space
+        cands = set(query_symbol_candidates(query_text))
+        if cands:
+            for i, h in enumerate(hits):
+                sym = (getattr(h, "metadata", None) or {}).get("symbol")
+                if sym and normalize_symbol(sym) in cands:
+                    lex[i] += sym_bonus * max_idf
 
     dense = np.asarray([h.score for h in hits], dtype=np.float64)
     # belt-and-braces: a sentinel/non-finite dense score would make the

@@ -35,7 +35,12 @@ from ..settings import AppSettings, settings as default_settings
 from ..utils.tracing import StageTimer
 from .flat import FlatIndex, _NEG_INF as _SCORE_SENTINEL
 from .ivf import IVFIndex
-from .lexical import LexicalFingerprints, featurize_queries, rerank_device
+from .lexical import (
+    LexicalFingerprints,
+    featurize_queries,
+    featurize_query_symbols,
+    rerank_device,
+)
 from .rerank import rerank_hits
 
 log = get_logger("index.store")
@@ -941,6 +946,7 @@ class VectorStore:
             for i in range(n_q)
         ]
         q_ids = featurize_queries(texts)
+        q_sym = featurize_query_symbols(texts)
         weight = min(max(self.config.search_rerank_weight, 0.0), 1.0)
         return rerank_device(
             self._mesh,
@@ -948,6 +954,7 @@ class VectorStore:
             scores,
             ids,
             q_ids,
+            q_sym=q_sym,
             weight=weight,
             sym_bonus=max(self.config.search_rerank_sym_bonus, 0.0),
         )

@@ -135,10 +135,12 @@ class AppSettings(BaseModel):
     # scan)
     search_rerank_weight: float = 0.8
     search_rerank_depth: int = 20
-    # exact-symbol bonus x the query's max idf when the query literally
-    # names a candidate's defining symbol (shared by both scorer impls;
-    # measured +0.03-0.05 held-out MRR, entirely on symbol lookups)
-    search_rerank_sym_bonus: float = 0.75
+    # symbol bonus x the query's max idf when the query names a candidate's
+    # defining symbol — literally OR as a joined word sequence ("parse
+    # config file" -> parse_config_file; index/rerank.py
+    # query_symbol_candidates). Shared by both scorer impls; held-out lab:
+    # aiohttp MRR@10 0.78 -> 0.93 with the join channel + this default
+    search_rerank_sym_bonus: float = 1.0
     # where the second stage runs: "auto" scores the blend ON DEVICE (BM25
     # over per-row term fingerprints inside the scan's jit family,
     # index/lexical.py) whenever fingerprints are available and the dense

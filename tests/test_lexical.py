@@ -11,8 +11,10 @@ from semcode_tpu.index.lexical import (
     bm25_blend,
     featurize_doc,
     featurize_queries,
+    featurize_query_symbols,
     gather_fingerprints,
     rerank_device,
+    symbol_hash,
     term_hash,
 )
 
@@ -58,6 +60,67 @@ def test_featurize_queries_padding():
     assert term_hash("parse_config") in q[0].tolist()
 
 
+def test_normalize_symbol_join_space():
+    assert rr.normalize_symbol("parse_config_file") == "parseconfigfile"
+    assert rr.normalize_symbol("ParseConfigFile") == "parseconfigfile"
+    assert rr.normalize_symbol("Foo.bar") == "foobar"
+    assert rr.normalize_symbol("") == ""
+
+
+def test_query_symbol_candidates_literal_and_joins():
+    # literal identifier: still a candidate after normalization
+    c = set(rr.query_symbol_candidates("where is parse_config_file defined"))
+    assert "parseconfigfile" in c
+    # paraphrase: consecutive words join into the symbol
+    c = set(rr.query_symbol_candidates("code that implements parse config file"))
+    assert "parseconfigfile" in c
+    assert "parseconfig" in c and "configfile" in c
+    # glue words inside the phrase: the content-member join covers them
+    c = set(rr.query_symbol_candidates("parse the config"))
+    assert "parseconfig" in c       # content members joined
+    assert "parsetheconfig" in c    # full join (load_from_file-style symbols)
+    # stop-prefixed symbols (get_/set_) still match via the full join
+    c = set(rr.query_symbol_candidates("get event loop"))
+    assert "geteventloop" in c
+    # all-stop grams generate nothing
+    assert "thethe" not in set(rr.query_symbol_candidates("the the the"))
+
+
+def test_query_symbol_candidates_capped():
+    long_q = " ".join(f"word{i} filler{i}" for i in range(80))
+    c = rr.query_symbol_candidates(long_q)
+    assert len(c) <= rr.MAX_SYM_CANDIDATES
+    assert len(c) == len(set(c))
+
+
+def test_symbol_hash_normalized_space():
+    assert symbol_hash("parse_config_file") == term_hash("parseconfigfile")
+    assert symbol_hash(None) == -1
+    assert symbol_hash("__") == -1  # normalizes to empty
+
+
+def test_featurize_query_symbols_includes_joins():
+    q = featurize_query_symbols(["code that implements parse config file"])
+    assert term_hash("parseconfigfile") in q[0].tolist()
+    q2 = featurize_query_symbols([None, ""])
+    assert (q2 == -1).all()
+
+
+def test_host_rerank_paraphrase_symbol_bonus():
+    """A paraphrase query that names a symbol as words must rank that
+    symbol's chunk first once the bonus applies."""
+    hits = [
+        Hit("other", 0.9, "unrelated text about servers and sockets",
+            "open_connection", "net.py"),
+        Hit("target", 0.85, "def parse_config_file(p): ...",
+            "parse_config_file", "settings.py"),
+    ]
+    out = rr.rerank_hits(
+        "code that implements parse config file", hits, 2, weight=0.8
+    )
+    assert out[0].id == "target"
+
+
 def test_gather_fingerprints_by_global_row(mesh8):
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -99,10 +162,12 @@ def test_gather_fingerprints_by_global_row(mesh8):
 
 def _np_bm25_blend(
     g_ids, g_w, g_len, g_sym, dense, q_ids, weight,
-    sym_bonus=0.0, k1=1.2, b=0.75,
+    sym_bonus=0.0, k1=1.2, b=0.75, q_sym=None,
 ):
     """Independent numpy reference of the device math."""
     Q, W, K = g_ids.shape
+    if q_sym is None:
+        q_sym = np.full((Q, 1), -1, dtype=np.int32)
     live = dense > -1.5e38
     out_final = np.zeros((Q, W))
     out_order = np.zeros((Q, W), dtype=np.int64)
@@ -121,8 +186,9 @@ def _np_bm25_blend(
         lex = (idf[None, :] * tf * (k1 + 1) / np.maximum(denom, 1e-9)).sum(1)
         if sym_bonus > 0.0 and qid.size:
             max_idf = idf.max()
+            qsym = set(q_sym[qi][q_sym[qi] >= 0].tolist())
             for wi in range(W):
-                if g_sym[qi, wi] >= 0 and g_sym[qi, wi] in qid:
+                if g_sym[qi, wi] >= 0 and g_sym[qi, wi] in qsym:
                     lex[wi] += sym_bonus * max_idf
         lex = np.where(live[qi], lex, 0.0)
 
@@ -153,16 +219,22 @@ def test_bm25_blend_matches_numpy_reference():
     q_ids = rng.choice(vocab, (Q, T)).astype(np.int32)
     q_ids[1, 3:] = -1
     g_sym = np.full((Q, W), -1, dtype=np.int32)
-    g_sym[0, 3] = q_ids[0, 0]  # exact-symbol match
-    g_sym[2, 5] = 999  # symbol not in the query: no bonus
+    g_sym[0, 3] = q_ids[0, 0]  # symbol named by a query candidate
+    g_sym[2, 5] = 999  # symbol not among the candidates: no bonus
+    # the symbol channel compares against q_sym (candidate hashes), which
+    # may differ from the BM25 term ids — include a join-style candidate
+    q_sym = np.full((Q, 4), -1, dtype=np.int32)
+    q_sym[0, 0] = q_ids[0, 0]
+    q_sym[1, 0] = 777  # join candidate that names no window symbol
+    g_sym[1, 2] = 778
     for sym_bonus in (0.0, 0.75):
         final, order = bm25_blend(
             g_ids, g_w, g_len, g_sym, dense, q_ids,
-            np.float32(0.8), np.float32(sym_bonus),
+            np.float32(0.8), np.float32(sym_bonus), q_sym,
         )
         ref_final, ref_order = _np_bm25_blend(
             g_ids, g_w, g_len, g_sym, dense, q_ids, 0.8,
-            sym_bonus=sym_bonus,
+            sym_bonus=sym_bonus, q_sym=q_sym,
         )
         live = dense > -1.5e38
         np.testing.assert_allclose(
@@ -208,12 +280,14 @@ def test_rerank_device_matches_host_rerank(mesh8):
         )
         ids = np.arange(len(hits), dtype=np.int32)[None, :]
         q_ids = featurize_queries([query])
+        q_sym = featurize_query_symbols([query])
         _, new_ids = rerank_device(
             mesh8,
             fps.device_arrays(len(hits)),
             dense,
             ids,
             q_ids,
+            q_sym=q_sym,
             weight=weight,
         )
         got = [hits[r] for r in np.asarray(new_ids)[0][:5]]

@@ -262,11 +262,15 @@ def trunc_bm25(
             axis=1
         )
         if sym_bonus > 0.0:
-            qset = set(q_ids.tolist())
+            from semcode_tpu.index.lexical import symbol_hash
+
+            qset = {
+                term_hash(c) for c in rr.query_symbol_candidates(query)
+            }
             max_idf = float(idf.max()) if idf.size else 1.0
             for wi, h in enumerate(hits):
-                sym = (h.metadata or {}).get("symbol")
-                if sym and term_hash(str(sym).lower()) in qset:
+                sh = symbol_hash((h.metadata or {}).get("symbol"))
+                if sh >= 0 and sh in qset:
                     lex[wi] += sym_bonus * max_idf
 
         dense = np.asarray([h.score for h in hits], dtype=np.float64)
