@@ -1663,9 +1663,17 @@ def _ivf_search(mesh, data, ids, sqnorms, scales, centroids, q, k, nprobe,
         local = jnp.clip(probes_s - base, 0, nlist_s - 1)
         n_q = qq.shape[0]
 
-        if pallas_mode != "off" and k <= 64:
-            from ..ops.kernels import ivf_scan_shard
+        from ..ops.kernels import ivf_scan_shard, kernel_fits
 
+        # kernel_fits: even with dim slabs + cluster row-splits, some shape
+        # combinations cannot meet the VMEM budget (huge Q x huge cmax);
+        # those route to the XLA gather-scan below instead of failing the
+        # Mosaic scoped-vmem allocation at compile time
+        if (
+            pallas_mode != "off"
+            and k <= 64
+            and kernel_fits(n_q, cmax, data_s.shape[2], quantized)
+        ):
             s_loc, i_loc = ivf_scan_shard(
                 data_s,
                 ids_s,

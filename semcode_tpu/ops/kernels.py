@@ -41,20 +41,59 @@ PROBE_PAD = 128  # probe-table lane padding
 VMEM_BUDGET = 10 << 20  # conservative scoped-vmem target (v5e limit ~16 MB)
 
 
-def _vmem_estimate(n_q: int, cmax: int, dtile: int, quantized: bool) -> int:
+def _vmem_estimate(n_q: int, ctile: int, dtile: int, quantized: bool) -> int:
     """Rough per-step VMEM footprint of the cluster kernel in bytes.
 
     Pipelined inputs are double-buffered (x2); scratch and whole-array
     blocks are resident once. The bf16 cast of an int8 block is charged
-    too — Mosaic materializes it before the MXU pass."""
+    too — Mosaic materializes it before the MXU pass. ``ctile`` is the
+    cluster-row tile (= cmax when clusters aren't row-split)."""
     databytes = 1 if quantized else 4
-    block = cmax * dtile * databytes * 2  # double-buffered HBM->VMEM stream
-    block_cast = cmax * dtile * 2 if quantized else 0
+    block = ctile * dtile * databytes * 2  # double-buffered HBM->VMEM stream
+    block_cast = ctile * dtile * 2 if quantized else 0
     qblk = n_q * dtile * (2 if quantized else 4) * 2
-    scores = 2 * n_q * cmax * 4  # score value + slab accumulator scratch
+    scores = 2 * n_q * ctile * 4  # score value + slab accumulator scratch
     topk = 2 * n_q * K_PAD * 8
-    tables = 2 * n_q * PROBE_PAD * 4 + 2 * cmax * 8
+    tables = 2 * n_q * PROBE_PAD * 4 + 2 * ctile * 8
     return block + block_cast + qblk + scores + topk + tables
+
+
+def _lane_divisors(n: int):
+    """Divisors of n that are 128-multiples, descending (block tiles must
+    divide the array dim exactly and stay lane-aligned)."""
+    return [t for t in range(n, 127, -128) if n % t == 0 and t % 128 == 0]
+
+
+def _pick_tiles(n_q: int, cmax: int, d: int, quantized: bool):
+    """(ctile, dtile) for the cluster kernel, or (-1, -1) if nothing fits.
+
+    Full-cmax blocks with the historical dtile-halving chain come first —
+    they are the shipped operating points (1M x 384 cmax 2176, 1M x 3072
+    dim-slabbed) and must keep their exact compiles. When even the
+    smallest halvable dim slab busts the budget (large-cmax layouts: 10M
+    rows at nlist 1024 packs cmax ~21.5k, whose (Q, cmax) score block and
+    (cmax, dtile) stream cannot fit VMEM at any dim slab), clusters are
+    additionally ROW-split: the widest (ctile, dtile) lane-divisor pair
+    under budget wins (widest ctile = fewest top-k folds)."""
+    dtile = d
+    while _vmem_estimate(n_q, cmax, dtile, quantized) > VMEM_BUDGET and (
+        dtile % 2 == 0 and (dtile // 2) % 128 == 0
+    ):
+        dtile //= 2
+    if _vmem_estimate(n_q, cmax, dtile, quantized) <= VMEM_BUDGET:
+        return cmax, dtile
+    for ct in _lane_divisors(cmax):
+        for dt in _lane_divisors(d):
+            if _vmem_estimate(n_q, ct, dt, quantized) <= VMEM_BUDGET:
+                return ct, dt
+    return -1, -1
+
+
+def kernel_fits(n_q: int, cmax: int, d: int, quantized: bool) -> bool:
+    """Can the cluster kernel run these shapes inside the VMEM budget?
+    Callers route to the XLA gather-scan path when this is False instead
+    of letting the Mosaic compile fail scoped-vmem allocation."""
+    return _pick_tiles(n_q, cmax, d, quantized)[0] > 0
 
 
 def _ivf_cluster_kernel(
@@ -64,32 +103,34 @@ def _ivf_cluster_kernel(
     q_ref,      # (Q, dtile) f32 (or exact-int bf16) query dim-slab
     qscl_ref,   # (Q, 128) f32 query scales (int8) or ones
     probes_ref,  # (Q, PROBE_PAD) int32 local cluster ids, -1 = not probed
-    data_ref,   # (1, cmax, dtile) current cluster block dim-slab
-    ids_ref,    # (1, 1, cmax) int32 row ids
-    scl_ref,    # (1, 1, cmax) f32 row scales
+    data_ref,   # (1, ctile, dtile) current cluster-row block dim-slab
+    ids_ref,    # (1, 1, ctile) int32 row ids
+    scl_ref,    # (1, 1, ctile) f32 row scales
     # outputs
     out_s_ref,  # (Q, K_PAD) f32
     out_i_ref,  # (Q, K_PAD) int32
     # scratch (persists across the sequential grid)
     acc_s,      # (Q, K_PAD) f32 running top-k scores
     acc_i,      # (Q, K_PAD) int32 running top-k ids
-    score_acc,  # (Q, cmax) f32 partial dot products across dim slabs
+    score_acc,  # (Q, ctile) f32 partial dot products across dim slabs
     *,
     k: int,
     n_steps: int,
+    n_ctiles: int,
     n_dtiles: int,
     quantized: bool,
 ):
     u = pl.program_id(0)
-    dt = pl.program_id(1)  # innermost: dim slabs of one cluster run back-to-back
+    ct = pl.program_id(1)  # cluster-row tile (1 unless cmax busts VMEM)
+    dt = pl.program_id(2)  # innermost: dim slabs of one row block run back-to-back
     c = union_ref[u]
 
-    @pl.when((u == 0) & (dt == 0))
+    @pl.when((u == 0) & (ct == 0) & (dt == 0))
     def _init():
         acc_s[...] = jnp.full(acc_s.shape, NEG_INF, dtype=jnp.float32)
         acc_i[...] = jnp.full(acc_i.shape, -1, dtype=jnp.int32)
 
-    block = data_ref[0]  # (cmax, dtile)
+    block = data_ref[0]  # (ctile, dtile)
     if quantized:
         block = block.astype(jnp.bfloat16)
     partial = jax.lax.dot_general(
@@ -97,7 +138,7 @@ def _ivf_cluster_kernel(
         block,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (Q, cmax)
+    )  # (Q, ctile)
     if n_dtiles == 1:
         scores = partial
     else:
@@ -118,17 +159,18 @@ def _ivf_cluster_kernel(
         _fold_block_topk(
             scores, qscl_ref, probes_ref, ids_ref, scl_ref,
             out_s_ref, out_i_ref, acc_s, acc_i,
-            c=c, u=u, k=k, n_steps=n_steps, quantized=quantized,
+            c=c, k=k, quantized=quantized,
+            emit=(u == n_steps - 1) & (ct == n_ctiles - 1),
         )
 
 
 def _fold_block_topk(
     scores, qscl_ref, probes_ref, ids_ref, scl_ref,
-    out_s_ref, out_i_ref, acc_s, acc_i, *, c, u, k, n_steps, quantized
+    out_s_ref, out_i_ref, acc_s, acc_i, *, c, k, quantized, emit
 ):
     if quantized:
         scores = scores * qscl_ref[:, :1] * scl_ref[0]
-    ids_row = ids_ref[0]  # (1, cmax)
+    ids_row = ids_ref[0]  # (1, ctile)
     # does query q probe cluster c? one VMEM compare over the padded table
     probing = jnp.max(
         (probes_ref[...] == c).astype(jnp.float32), axis=1, keepdims=True
@@ -136,8 +178,8 @@ def _fold_block_topk(
     valid = (ids_row >= 0) & (probing > 0.0)
     scores = jnp.where(valid, scores, NEG_INF)
 
-    n_q, cmax = scores.shape
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, cmax), 1)
+    n_q, ctile = scores.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, ctile), 1)
     kcol = jax.lax.broadcasted_iota(jnp.int32, (1, K_PAD), 1)
     bs, bi = acc_s[...], acc_i[...]
 
@@ -147,7 +189,7 @@ def _fold_block_topk(
         scores, bs, bi = carry
         m = jnp.max(scores, axis=1, keepdims=True)  # (Q, 1)
         arg = jnp.argmax(scores, axis=1).reshape(n_q, 1)
-        hit = col == arg  # (Q, cmax)
+        hit = col == arg  # (Q, ctile)
         cand_id = jnp.sum(
             jnp.where(hit, jnp.broadcast_to(ids_row, scores.shape), 0),
             axis=1,
@@ -166,7 +208,7 @@ def _fold_block_topk(
     acc_s[...] = bs
     acc_i[...] = bi
 
-    @pl.when(u == n_steps - 1)
+    @pl.when(emit)
     def _emit():
         out_s_ref[...] = acc_s[...]
         out_i_ref[...] = acc_i[...]
@@ -183,6 +225,7 @@ def ivf_scan_shard(
     interpret: bool = False,
     vma=None,  # varying mesh axes when called inside shard_map
     scales_s: jax.Array = None,  # (nlist_s, cmax) f32 when int8-quantized
+    tiles=None,  # explicit (ctile, dtile) override (tests force row-splits)
 ):
     """Per-shard fused IVF scan. Returns (scores (Q, k), ids (Q, k))."""
     n_q, d = q.shape
@@ -229,59 +272,72 @@ def ivf_scan_shard(
     else:
         scl3 = scales_s.reshape(nlist_s, 1, cmax).astype(jnp.float32)
 
-    # ---- dim tiling: bound VMEM regardless of dim --------------------------
+    # ---- tiling: bound VMEM regardless of dim AND cmax ----------------------
     # The double-buffered (cmax, d) cluster block dominates VMEM; at
     # d=3072, cmax=2176 it alone is 2 x 6.7 MB and the kernel fails scoped
     # vmem allocation (~16 MB budget on v5e). Split d into equal slabs —
     # total HBM traffic is unchanged (every byte still read once per batch),
-    # only the partial dot products accumulate in a (Q, cmax) f32 scratch.
-    dtile = d
-    while _vmem_estimate(n_q, cmax, dtile, quantized) > VMEM_BUDGET and (
-        dtile % 2 == 0 and (dtile // 2) % 128 == 0
-    ):
-        dtile //= 2
+    # only the partial dot products accumulate in a (Q, ctile) f32 scratch.
+    # Large-cmax layouts (10M rows at nlist 1024 pack cmax ~21.5k) bust the
+    # budget at ANY dim slab — the (Q, cmax) score block alone exceeds it —
+    # so clusters are additionally row-split into ctile blocks; each row
+    # block folds its own top-k into the running best (a row beaten by >= k
+    # rows of its own block is beaten globally, so the fold stays exact).
+    if tiles is not None:
+        ctile, dtile = tiles
+    else:
+        ctile, dtile = _pick_tiles(n_q, cmax, d, quantized)
+    assert ctile > 0, (
+        f"cluster kernel cannot fit VMEM at Q={n_q} cmax={cmax} d={d}; "
+        "route to the XLA path (kernel_fits) instead"
+    )
+    assert cmax % ctile == 0 and d % dtile == 0
+    n_ctiles = cmax // ctile
     n_dtiles = d // dtile
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_steps, n_dtiles),
+        grid=(n_steps, n_ctiles, n_dtiles),
         in_specs=[
             pl.BlockSpec(
-                (n_q, dtile), lambda u, dt, un: (0, dt),
+                (n_q, dtile), lambda u, ct, dt, un: (0, dt),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (n_q, PROBE_PAD), lambda u, dt, un: (0, 0),
+                (n_q, PROBE_PAD), lambda u, ct, dt, un: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (n_q, PROBE_PAD), lambda u, dt, un: (0, 0),
+                (n_q, PROBE_PAD), lambda u, ct, dt, un: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((1, cmax, dtile), lambda u, dt, un: (un[u], 0, dt)),
-            pl.BlockSpec((1, 1, cmax), lambda u, dt, un: (un[u], 0, 0)),
-            pl.BlockSpec((1, 1, cmax), lambda u, dt, un: (un[u], 0, 0)),
+            pl.BlockSpec(
+                (1, ctile, dtile), lambda u, ct, dt, un: (un[u], ct, dt)
+            ),
+            pl.BlockSpec((1, 1, ctile), lambda u, ct, dt, un: (un[u], 0, ct)),
+            pl.BlockSpec((1, 1, ctile), lambda u, ct, dt, un: (un[u], 0, ct)),
         ],
         out_specs=[
             pl.BlockSpec(
-                (n_q, K_PAD), lambda u, dt, un: (0, 0),
+                (n_q, K_PAD), lambda u, ct, dt, un: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (n_q, K_PAD), lambda u, dt, un: (0, 0),
+                (n_q, K_PAD), lambda u, ct, dt, un: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         scratch_shapes=[
             pltpu.VMEM((n_q, K_PAD), jnp.float32),
             pltpu.VMEM((n_q, K_PAD), jnp.int32),
-            pltpu.VMEM((n_q, cmax), jnp.float32),
+            pltpu.VMEM((n_q, ctile), jnp.float32),
         ],
     )
     kernel = functools.partial(
         _ivf_cluster_kernel,
         k=k,
         n_steps=n_steps,
+        n_ctiles=n_ctiles,
         n_dtiles=n_dtiles,
         quantized=quantized,
     )

@@ -168,6 +168,58 @@ def test_ivf_pallas_kernel_matches_xla_path(mesh8, rng):
     np.testing.assert_allclose(sa, sb, rtol=1e-5)
 
 
+def test_ivf_pallas_cluster_row_split_matches_xla(mesh8, rng, monkeypatch):
+    """Force the kernel's cmax row-split path (the 10M-scale layout packs
+    cmax ~21.5k, where no dim slab alone fits VMEM): per-row-block top-k
+    folds must agree exactly with the XLA scan."""
+    from semcode_tpu.ops import kernels
+
+    n, d, k = 3000, 128, 10
+    x = _clustered(rng, n, d)
+    q = _clustered(rng, 16, d)
+    kw = dict(nlist=32, nprobe=8, metric="ip", dtype="float32", mesh=mesh8)
+    a = IVFIndex(d, use_pallas="always", **kw)
+    b = IVFIndex(d, use_pallas="never", **kw)
+    a.add(x)
+    b.add(x)
+    assert a.cmax % 256 == 0, "need >= 2 row tiles for this test"
+    forced = (a.cmax // 2, d)
+    real_pick = kernels._pick_tiles
+    monkeypatch.setattr(
+        kernels, "_pick_tiles", lambda *args: forced
+    )
+    try:
+        sa, ia = a.search(q, k=k, mode="ivf")
+    finally:
+        monkeypatch.setattr(kernels, "_pick_tiles", real_pick)
+    sb, ib = b.search(q, k=k, mode="ivf")
+    np.testing.assert_array_equal(ia, ib)
+    np.testing.assert_allclose(sa, sb, rtol=1e-5)
+
+
+def test_kernel_tile_policy():
+    """Tile picking: shipped operating points keep full-cmax blocks with
+    the historical dim-halving chain; oversized layouts row-split; the
+    fit check is what routes to the XLA path."""
+    from semcode_tpu.ops.kernels import (
+        VMEM_BUDGET, _pick_tiles, _vmem_estimate, kernel_fits,
+    )
+
+    # 1M x 384 flagship layout: full cmax, no dim slab needed
+    ct, dt = _pick_tiles(8, 2176, 384, True)
+    assert (ct, dt) == (2176, 384)
+    # 1M x 3072: full cmax, dim-slabbed (the round-3 fix)
+    ct, dt = _pick_tiles(256, 2176, 3072, True)
+    assert ct == 2176 and dt < 3072 and 3072 % dt == 0
+    assert _vmem_estimate(256, ct, dt, True) <= VMEM_BUDGET
+    # 10M x 384 layout (cmax 21504): must row-split, and must fit
+    for n_q in (8, 512):
+        ct, dt = _pick_tiles(n_q, 21504, 384, True)
+        assert 0 < ct < 21504 and 21504 % ct == 0 and ct % 128 == 0
+        assert _vmem_estimate(n_q, ct, dt, True) <= VMEM_BUDGET
+        assert kernel_fits(n_q, 21504, 384, True)
+
+
 def test_ivf_empty(mesh8, rng):
     idx = IVFIndex(16, nlist=16, metric="ip", dtype="float32", mesh=mesh8)
     s, ids = idx.search(rng.standard_normal((2, 16)).astype(np.float32), k=5)
