@@ -1663,28 +1663,50 @@ def _ivf_search(mesh, data, ids, sqnorms, scales, centroids, q, k, nprobe,
         local = jnp.clip(probes_s - base, 0, nlist_s - 1)
         n_q = qq.shape[0]
 
-        from ..ops.kernels import ivf_scan_shard, kernel_fits
+        from ..ops.kernels import ivf_scan_shard, preferred_q_chunk
 
-        # kernel_fits: even with dim slabs + cluster row-splits, some shape
-        # combinations cannot meet the VMEM budget (huge Q x huge cmax);
-        # those route to the XLA gather-scan below instead of failing the
-        # Mosaic scoped-vmem allocation at compile time
-        if (
-            pallas_mode != "off"
-            and k <= 64
-            and kernel_fits(n_q, cmax, data_s.shape[2], quantized)
-        ):
-            s_loc, i_loc = ivf_scan_shard(
-                data_s,
-                ids_s,
-                qq,
-                local,
-                owned.astype(jnp.int32),
+        # q_chunk == -1: even with dim slabs + cluster row-splits, some
+        # shape combinations cannot meet the VMEM budget (huge Q x huge
+        # cmax); those route to the XLA gather-scan below instead of
+        # failing the Mosaic scoped-vmem allocation at compile time.
+        # q_chunk < n_q: large batches run the kernel over query
+        # sub-batches that keep full-cmax blocks (see preferred_q_chunk
+        # — row-splitting multiplies the top-k fold count and cost 2.3x
+        # probing throughput at the round-4 flagship batch).
+        q_chunk = preferred_q_chunk(n_q, cmax, data_s.shape[2], quantized)
+        if pallas_mode != "off" and k <= 64 and q_chunk > 0:
+            kernel_kw = dict(
                 k=k,
                 interpret=(pallas_mode == "interpret"),
                 vma=frozenset(axes),
                 scales_s=scl_s,
             )
+            if q_chunk < n_q:
+                n_chunks = n_q // q_chunk
+
+                def chunk_call(args):
+                    qq_c, local_c, owned_c = args
+                    return ivf_scan_shard(
+                        data_s, ids_s, qq_c, local_c, owned_c, **kernel_kw
+                    )
+
+                s_loc, i_loc = jax.lax.map(
+                    chunk_call,
+                    (
+                        qq.reshape(n_chunks, q_chunk, -1),
+                        local.reshape(n_chunks, q_chunk, -1),
+                        owned.astype(jnp.int32).reshape(
+                            n_chunks, q_chunk, -1
+                        ),
+                    ),
+                )
+                s_loc = s_loc.reshape(n_q, -1)
+                i_loc = i_loc.reshape(n_q, -1)
+            else:
+                s_loc, i_loc = ivf_scan_shard(
+                    data_s, ids_s, qq, local, owned.astype(jnp.int32),
+                    **kernel_kw,
+                )
             return hierarchical_topk_merge(s_loc, i_loc, k_out, axes)
 
         if quantized:

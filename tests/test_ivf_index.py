@@ -220,6 +220,50 @@ def test_kernel_tile_policy():
         assert kernel_fits(n_q, 21504, 384, True)
 
 
+def test_kernel_q_chunk_policy():
+    """Large query batches must chunk to keep full-cmax blocks instead of
+    row-splitting clusters (the round-4 probing regression: batch 512 at
+    1M x 384 / cmax 2176 tripped ctile=128 = 17 top-k folds per cluster,
+    2.3x per-query slowdown vs BENCH_r03)."""
+    from semcode_tpu.ops.kernels import _pick_tiles, preferred_q_chunk
+
+    # flagship regression shape: 512 queries chunk to 256 (full cmax)
+    assert preferred_q_chunk(512, 2176, 384, True) == 256
+    assert _pick_tiles(256, 2176, 384, True) == (2176, 384)
+    # shapes that already fit keep the whole batch in one launch
+    assert preferred_q_chunk(256, 2176, 384, True) == 256
+    assert preferred_q_chunk(8, 2176, 384, True) == 8
+    assert preferred_q_chunk(256, 2176, 3072, True) == 256
+    # 10M layout: no chunk keeps full cmax -> row-split at the given batch
+    assert preferred_q_chunk(512, 21504, 384, True) == 512
+
+
+def test_ivf_pallas_q_chunked_matches_xla(mesh8, rng, monkeypatch):
+    """Forced query-chunked kernel dispatch (the large-batch path) must
+    agree exactly with the XLA scan."""
+    from semcode_tpu.ops import kernels
+
+    n, d, k = 2500, 256, 10
+    x = _clustered(rng, n, d)
+    q = _clustered(rng, 32, d)
+    kw = dict(nlist=32, nprobe=8, metric="ip", dtype="float32", mesh=mesh8)
+    a = IVFIndex(d, use_pallas="always", **kw)
+    b = IVFIndex(d, use_pallas="never", **kw)
+    a.add(x)
+    b.add(x)
+    real = kernels.preferred_q_chunk
+    monkeypatch.setattr(
+        kernels, "preferred_q_chunk", lambda n_q, *args: max(n_q // 4, 8)
+    )
+    try:
+        sa, ia = a.search(q, k=k, mode="ivf")
+    finally:
+        monkeypatch.setattr(kernels, "preferred_q_chunk", real)
+    sb, ib = b.search(q, k=k, mode="ivf")
+    np.testing.assert_array_equal(ia, ib)
+    np.testing.assert_allclose(sa, sb, rtol=1e-5)
+
+
 def test_ivf_empty(mesh8, rng):
     idx = IVFIndex(16, nlist=16, metric="ip", dtype="float32", mesh=mesh8)
     s, ids = idx.search(rng.standard_normal((2, 16)).astype(np.float32), k=5)
