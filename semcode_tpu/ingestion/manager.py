@@ -178,6 +178,11 @@ class RepositoryIngestionManager:
         if not sources:
             raise ValueError("At least one source path must be provided.")
         repo_name = validate_repo_name(repo_name)
+        if isinstance(sources, (str, os.PathLike)):
+            # a bare path is a common library-caller slip; iterating it as a
+            # sequence would walk its CHARACTERS — "/root/..." starts with
+            # "/" and plans an ingest of the whole filesystem
+            sources = [sources]
         target = self.workspace / repo_name
         ignored_fn = compile_ignore(
             (*DEFAULT_IGNORE_PATTERNS, *(ignore_dirs or ()))
@@ -200,20 +205,30 @@ class RepositoryIngestionManager:
                     if ignored_fn(entry.name):
                         n_ignored += 1
                         continue
-                    if entry.is_dir(follow_symlinks=False):
-                        stack.append((Path(entry.path), dst_dir / entry.name))
-                    elif entry.is_file():  # follows file symlinks
-                        st = entry.stat()
-                        items.append(
-                            CopyItem(
-                                Path(entry.path),
-                                dst_dir / entry.name,
-                                st.st_size,
-                                st.st_mtime_ns,
+                    try:
+                        if entry.is_dir(follow_symlinks=False):
+                            stack.append(
+                                (Path(entry.path), dst_dir / entry.name)
                             )
+                        elif entry.is_file():  # follows file symlinks
+                            st = entry.stat()
+                            items.append(
+                                CopyItem(
+                                    Path(entry.path),
+                                    dst_dir / entry.name,
+                                    st.st_size,
+                                    st.st_mtime_ns,
+                                )
+                            )
+                        elif entry.is_symlink():
+                            log.info("skip_symlink_dir", path=entry.path)
+                    except OSError as exc:
+                        # files can vanish between scandir and stat (build
+                        # outputs, editor temp files); skip, don't abort the
+                        # whole ingest plan
+                        log.warning(
+                            "walk_entry_error", path=entry.path, error=str(exc)
                         )
-                    elif entry.is_symlink():
-                        log.info("skip_symlink_dir", path=entry.path)
 
         for src in sources:
             src = Path(src)

@@ -47,6 +47,14 @@ _SNIPPET_CHARS = 1000  # reference pipeline.py:196-197
 
 _LLM_UNSET = object()  # sentinel: LLM not constructed yet (None = no provider)
 
+# definition claims in the trained answer grammar (models/train_lm.
+# build_qa_texts: "`{symbol}` is defined in {path}[ (lines A-B)].") — and
+# any hosted-LLM answer that happens to use the same phrasing
+_DEF_CLAIM_RE = re.compile(
+    r"`([A-Za-z_][\w.]*)`\s+is defined in\s+([^\s()`,]+?)"
+    r"(?:\s*\(lines\s+\d+\s*-\s*\d+\))?(?:\.(?=\s|$)|,|(?=\s)|$)"
+)
+
 
 class SemanticSearchPipeline:
     def __init__(
@@ -135,7 +143,9 @@ class SemanticSearchPipeline:
         if not meta.get("fallback_used"):
             return True
         reason = str(meta.get("reason") or "")
-        return reason == "no_llm_configured"
+        # grounding_failed is deterministic given (question, store version,
+        # greedy decode) — same cacheability as no_llm_configured
+        return reason in ("no_llm_configured", "grounding_failed")
 
     def _execute_query(
         self,
@@ -319,6 +329,31 @@ class SemanticSearchPipeline:
             if not answer.strip():
                 # an empty completion is a failure, not an answer
                 raise ValueError("llm returned an empty answer")
+            if self.config.rag_grounding_guard:
+                miss = self._ungrounded_claim(answer, documents)
+                if miss is not None:
+                    sym, why = miss
+                    log.warning(
+                        "answer_grounding_failed", symbol=sym, reason=why
+                    )
+                    note = (
+                        f"The generated answer referenced `{sym}`, which is "
+                        "not supported by the retrieved context "
+                        f"({why.replace('_', ' ')}); showing the retrieved "
+                        "snippets instead."
+                    )
+                    return {
+                        "answer": note + "\n" + self._summarize_documents(
+                            question, documents
+                        ),
+                        "sources": sources,
+                        "meta": {
+                            "fallback_used": True,
+                            "reason": "grounding_failed",
+                            "ungrounded_symbol": sym,
+                            "timings_ms": timer.as_dict(),
+                        },
+                    }
             return {
                 "answer": answer,
                 "sources": sources,
@@ -337,6 +372,33 @@ class SemanticSearchPipeline:
                     "timings_ms": timer.as_dict(),
                 },
             }
+
+    @staticmethod
+    def _ungrounded_claim(answer, documents):
+        """First definition claim in ``answer`` the retrieved context does
+        not support, as (symbol, why) — or None when every claim (or no
+        claim) is grounded. A claim is grounded when the symbol appears in
+        a retrieved snippet (or IS a hit's tagged symbol) AND the cited
+        path matches a retrieved hit's path (suffix match: the LM cites
+        repo-relative paths, hits may carry fuller ones)."""
+        for symbol, path in _DEF_CLAIM_RE.findall(answer or ""):
+            base = symbol.split(".")[-1]
+            sym_ok = any(
+                base in (d.text or "")
+                or base == str((d.metadata or {}).get("symbol") or "")
+                for d in documents
+            )
+            if not sym_ok:
+                return symbol, "symbol_not_in_context"
+            norm = path.replace("\\", "/").lstrip("./")
+            paths = [
+                str(d.path or "").replace("\\", "/") for d in documents
+            ]
+            if not any(
+                p and (p.endswith(norm) or norm.endswith(p)) for p in paths
+            ):
+                return symbol, "path_not_in_context"
+        return None
 
     # -- retrieval ----------------------------------------------------------------
 

@@ -191,6 +191,12 @@ class AppSettings(BaseModel):
     )
     rag_prompt_template: Optional[str] = None
     rag_fallback_enabled: bool = True
+    # faithfulness gate: definition claims in a generated answer ("`X` is
+    # defined in path") must match the retrieved context, or the pipeline
+    # emits the extractive fallback instead of an invented definition (the
+    # on-chip tpu-lm answers through whatever retrieval surfaces and will
+    # fabricate a definition when the asked symbol is absent)
+    rag_grounding_guard: bool = True
     rag_query_cache_size: int = 256  # LRU entries; 0 disables
     rag_max_context_sources: int = 5
     rag_fallback_max_sources: int = 3
@@ -324,6 +330,7 @@ _SECTION_FIELDS: Dict[str, Dict[str, str]] = {
         "system_prompt": "rag_system_prompt",
         "prompt_template": "rag_prompt_template",
         "fallback_enabled": "rag_fallback_enabled",
+        "grounding_guard": "rag_grounding_guard",
         "query_cache_size": "rag_query_cache_size",
         "max_context_sources": "rag_max_context_sources",
         "fallback_max_sources": "rag_fallback_max_sources",

@@ -286,3 +286,83 @@ def test_query_batch_uses_query_side_embeddings():
     assert len(out) == 2
     kinds = [c[0] for c in emb.calls]
     assert "documents" not in kinds and "queries" in kinds
+
+
+# -- grounding guard (VERDICT r4 item 4: no invented definitions) ------------
+
+
+def _guarded_pipeline(answer_text, hits, monkeypatch, **cfg_kw):
+    class FabricatingLLM:
+        def chat(self, system, user):
+            return answer_text
+
+    cfg = AppSettings(rag_provider="openai", **cfg_kw)
+    p = SemanticSearchPipeline(
+        config=cfg, vector_store=StubStore(hits), embeddings=StubEmbeddings()
+    )
+    monkeypatch.setattr(
+        "semcode_tpu.rag.pipeline.create_llm", lambda c: FabricatingLLM()
+    )
+    return p
+
+
+def test_grounding_guard_blocks_invented_symbol(monkeypatch):
+    """Retrieval-miss fixture: the retrieved context lacks the asked
+    symbol and the LM fabricates a definition anyway — the guard must
+    emit the extractive fallback with an honest note, not the invention
+    (tools/lm_demo.py row-4 failure class)."""
+    p = _guarded_pipeline(
+        "`quantize_rows` is defined in src/missing.py (lines 4-9).",
+        _hits(3),  # snippets contain thing_0..2, never quantize_rows
+        monkeypatch,
+    )
+    out = p.query("what does quantize_rows do?")
+    assert out["meta"]["fallback_used"] is True
+    assert out["meta"]["reason"] == "grounding_failed"
+    assert out["meta"]["ungrounded_symbol"] == "quantize_rows"
+    assert "not supported by the retrieved context" in out["answer"]
+    assert "is defined in src/missing.py" not in out["answer"]
+
+
+def test_grounding_guard_blocks_invented_path(monkeypatch):
+    """Symbol present in context but the cited file is not among the
+    retrieved hits -> still a grounding failure."""
+    p = _guarded_pipeline(
+        "`thing_0` is defined in lib/elsewhere.py.", _hits(3), monkeypatch
+    )
+    out = p.query("where is thing_0 defined?")
+    assert out["meta"]["reason"] == "grounding_failed"
+    assert out["meta"]["ungrounded_symbol"] == "thing_0"
+
+
+def test_grounding_guard_passes_supported_claim(monkeypatch):
+    """A claim the context supports (symbol in snippet, path among hits)
+    flows through untouched — including the trained lines-suffix form."""
+    p = _guarded_pipeline(
+        "`thing_1` is defined in src/file1.py (lines 1-2). Returns 1.",
+        _hits(3),
+        monkeypatch,
+    )
+    out = p.query("where is thing_1 defined?")
+    assert out["meta"]["fallback_used"] is False
+    assert out["answer"].startswith("`thing_1` is defined in src/file1.py")
+
+
+def test_grounding_guard_ignores_claimless_answers(monkeypatch):
+    p = _guarded_pipeline(
+        "The retrieval layer quantizes rows to int8.", _hits(2), monkeypatch
+    )
+    out = p.query("how are rows stored?")
+    assert out["meta"]["fallback_used"] is False
+
+
+def test_grounding_guard_can_be_disabled(monkeypatch):
+    p = _guarded_pipeline(
+        "`quantize_rows` is defined in src/missing.py.",
+        _hits(2),
+        monkeypatch,
+        rag_grounding_guard=False,
+    )
+    out = p.query("what does quantize_rows do?")
+    assert out["meta"]["fallback_used"] is False
+    assert "quantize_rows" in out["answer"]
