@@ -53,6 +53,18 @@ import numpy as np
 
 T_START = time.perf_counter()
 
+# Persistent compile cache BEFORE any jit: the bench host has ONE CPU core,
+# where XLA's local compile of a 1M-row kernel takes minutes — and bench.py's
+# own corpus-gen/oracle jits used to compile before semcode_tpu.parallel.mesh
+# (which owns this config) was imported, so they recompiled on EVERY run.
+# BENCH_r04.json was killed at 1680 s largely re-deriving executables the
+# previous run had already built. Same dir as the library so runs share it
+# (mesh.py reads JAX_COMPILATION_CACHE_DIR with the same default).
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.expanduser("~"), ".cache", "semcode_tpu_jax"),
+)
+
 N = int(os.environ.get("BENCH_N", 1_000_000))
 DIM = int(os.environ.get("BENCH_DIM", 384))
 NLIST = int(os.environ.get("BENCH_NLIST", 1024))
@@ -69,9 +81,11 @@ TIMED_SECS = float(os.environ.get("BENCH_SECS", 15))
 DTYPE = os.environ.get("BENCH_DTYPE", "int8")  # int8 | bfloat16 | float32
 # exact-scan kernel routing for diagnostics: auto | xla | pallas
 SCAN_IMPL = os.environ.get("BENCH_SCAN_IMPL", "auto")
-# wall-clock budget: optional sections are skipped once it runs out (the
-# driver kills the whole run at ~30 min; leave margin for slow hosts)
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 1350))
+# wall-clock budget: optional sections are skipped once it runs out. The
+# driver killed the r04 run at 1680 s; 1150 leaves ~500 s of margin so a
+# section that STARTS just under the budget can still finish before the
+# kill (guards check remaining() before a section, not during it).
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 1150))
 RUN_API = os.environ.get("BENCH_API", "1") == "1"
 # fold a 1M x 3072 sub-benchmark into the artifact when budget remains
 # (BASELINE config 3; skipped automatically on slow hosts by the guard)
@@ -188,6 +202,15 @@ def main() -> None:
     RES.start_heartbeat()
     import jax
     import jax.numpy as jnp
+
+    try:  # same knobs mesh.py sets; here they land before bench's own jits
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ["JAX_COMPILATION_CACHE_DIR"],
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001 - cache is an optimization, never fatal
+        pass
 
     # ---- corpus + queries, generated on device ------------------------------
     # High dims stream the corpus in deterministic chunks (jax PRNG fold_in):
@@ -349,11 +372,16 @@ def main() -> None:
                                          nprobe=nprobe)[0])
             lat.append(time.perf_counter() - t0)
         bsz = batches[0].shape[0]
+        # sync roughly every 2 s: a fixed 32-dispatch group between syncs
+        # overruns `secs` by 32x the per-call latency (the r04 probing
+        # section at p50 1.1 s spent 35 s per sync check — a big slice of
+        # the budget overrun that killed the artifact)
+        inner = max(4, min(32, int(2.0 / max(np.percentile(lat, 50), 1e-4))))
         t_start = time.perf_counter()
         n_done = 0
         while time.perf_counter() - t_start < secs:
             outs = []
-            for i in range(32):
+            for i in range(inner):
                 outs.append(
                     ivf.search_device(batches[i % len(batches)], K,
                                       mode=mode, nprobe=nprobe)
@@ -667,9 +695,10 @@ def main() -> None:
     guard("small_batch", 45, sec_small_batch)
     guard("filtered", 30, sec_filtered)
     guard("under_ingest", 30, sec_under_ingest)
-    if RUN_API:
-        guard("api", 120, sec_api)
 
+    # highdim runs BEFORE the API section (VERDICT r4 item 1): d3072 recall
+    # is the contested artifact number, the API SLO is cheap to reproduce —
+    # if anything must fall off the end of the budget, let it be the API.
     if DIM == 384 and N >= HIGHDIM_MIN_N and RUN_HIGHDIM:
         # free the 384-dim corpus/index HBM before the wide-row build
         def sec_highdim():
@@ -693,6 +722,9 @@ def main() -> None:
             run_highdim()
 
         guard("highdim_3072", 420, sec_highdim)
+
+    if RUN_API:
+        guard("api", 100, sec_api)
 
     RES.stage("done")
     log(f"done in {elapsed():.0f}s")
@@ -785,6 +817,8 @@ def run_highdim() -> None:
             del xc
     build_s = time.perf_counter() - t0
     log(f"highdim build: {build_s:.1f}s (cmax={hivf.cmax})")
+    RES.extras["d3072_build_s"] = round(build_s, 1)
+    RES.emit()  # progressive: a kill past here keeps the build evidence
 
     hq = np.asarray(q_dev)
     big = [jax.device_put(hq)]  # one 256-query batch
@@ -810,6 +844,12 @@ def run_highdim() -> None:
     _, ids = hivf.search_device(big[0], K, mode="exact")
     rec = recall_of(np.asarray(ids), h_oracle)
     qps = qps_of("exact", big, min(TIMED_SECS / 2, max(4.0, remaining() / 20)))
+    # the CONTESTED artifact numbers (VERDICT r4 missing #1) go on record
+    # the moment they exist; the small-batch comparison below is additive
+    RES.extras.update(
+        d3072_recall_at_10=round(rec, 4), d3072_qps=round(qps, 1)
+    )
+    RES.emit()
     got = np.zeros((256, K), dtype=np.int64)
     for bi, b in enumerate(small):
         _, ids = hivf.search_device(b, K, mode="ivf", nprobe=16)
@@ -833,9 +873,6 @@ def run_highdim() -> None:
         d3072_small_batch_probing16_chunked_qps=(
             round(qi8c, 1) if qi8c else None
         ),
-        d3072_build_s=round(build_s, 1),
-        d3072_recall_at_10=round(rec, 4),
-        d3072_qps=round(qps, 1),
         d3072_small_batch_exact_qps=round(qe8, 1),
         d3072_small_batch_probing16_qps=round(qi8, 1),
         d3072_recall_at_10_probing16=round(rec16, 4),

