@@ -331,9 +331,12 @@ def cmd_eval(args) -> int:
     re-index of the snapshot corpus texts.
     """
     configure_logging()
-    from .embeddings import EmbeddingProviderFactory
-    from .embeddings.providers import EmbeddingPayload
-    from .eval import evaluate_store, generate_queries, load_frozen_queries
+    from .eval import (
+        build_eval_store,
+        evaluate_store,
+        generate_queries,
+        load_frozen_queries,
+    )
     from .index.store import VectorStore
     from .settings import settings
 
@@ -360,40 +363,11 @@ def cmd_eval(args) -> int:
     results = []
     for name in providers:
         cfg = settings.model_copy(update={"embedding_provider": name})
-        emb = EmbeddingProviderFactory.create(cfg)
-        dim = len(emb.embed_query("probe"))
-        store = VectorStore(
-            cfg.model_copy(
-                update={
-                    "embedding_dimension": dim,
-                    "index_snapshot_dir": None,
-                    "workspace_root": None,
-                }
-            ),
-            dim=dim,
-        )
-        # embed through the PRODUCTION path: the indexer embeds
-        # symbol/stem-expanded text (embedding_text), not the raw chunk —
-        # the eval must measure the exact vectors serving produces
-        from .embeddings.providers import embedding_text
-
-        texts = [
-            embedding_text(
-                m.get("text") or "",
-                symbol=m.get("symbol"),
-                path=m.get("path"),
-            )
-            for _, m in metas
-        ]
-        payloads = []
-        bs = max(1, cfg.embedding_batch_size)
-        for lo in range(0, len(texts), bs):
-            vecs = emb.embed_documents(texts[lo : lo + bs])
-            for (pid, meta), v in zip(metas[lo : lo + bs], vecs):
-                payloads.append(
-                    EmbeddingPayload(pid, meta.get("text") or "", v, meta)
-                )
-        store.upsert_embeddings(payloads)
+        # shared recipe (eval.build_eval_store): embed through the
+        # PRODUCTION path — the indexer embeds symbol/stem-expanded text
+        # (embedding_text), not the raw chunk, and the eval must measure
+        # the exact vectors serving produces
+        store, emb = build_eval_store(metas, cfg)
         report = evaluate_store(
             store, emb, provider_name=name, queries=queries, filters=filters
         )

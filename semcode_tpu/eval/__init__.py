@@ -3,6 +3,7 @@
 from .quality import (
     QualityQuery,
     QualityReport,
+    build_eval_store,
     evaluate_store,
     generate_queries,
     load_frozen_queries,
@@ -11,6 +12,7 @@ from .quality import (
 __all__ = [
     "QualityQuery",
     "QualityReport",
+    "build_eval_store",
     "evaluate_store",
     "generate_queries",
     "load_frozen_queries",

@@ -208,6 +208,51 @@ def load_frozen_queries(path) -> List[QualityQuery]:
     return queries
 
 
+def build_eval_store(metas, cfg):
+    """In-memory store over ``metas`` embedded through the PRODUCTION path.
+
+    ``metas``: [(chunk_id, meta_dict)] where meta carries text/symbol/path.
+    ``cfg``: an AppSettings whose ``embedding_provider`` is the provider
+    under evaluation. Returns (store, embeddings). The indexer embeds
+    symbol/stem-expanded text (providers.embedding_text) while storing the
+    raw chunk — an eval must measure those exact serving vectors, and this
+    recipe was previously copy-pasted across cli.cmd_eval,
+    tools/eval_heldout and tools/frozen_misses (ADVICE round 4: divergence
+    risk whenever the embedding recipe changes)."""
+    from ..embeddings import EmbeddingProviderFactory
+    from ..embeddings.providers import EmbeddingPayload, embedding_text
+    from ..index.store import VectorStore
+
+    emb = EmbeddingProviderFactory.create(cfg)
+    dim = len(emb.embed_query("probe"))
+    store = VectorStore(
+        cfg.model_copy(
+            update={
+                "embedding_dimension": dim,
+                "index_snapshot_dir": None,
+                "workspace_root": None,
+            }
+        ),
+        dim=dim,
+    )
+    texts = [
+        embedding_text(
+            m.get("text") or "", symbol=m.get("symbol"), path=m.get("path")
+        )
+        for _, m in metas
+    ]
+    payloads = []
+    bs = max(1, cfg.embedding_batch_size)
+    for lo in range(0, len(texts), bs):
+        vecs = emb.embed_documents(texts[lo : lo + bs])
+        for (pid, meta), v in zip(metas[lo : lo + bs], vecs):
+            payloads.append(
+                EmbeddingPayload(pid, meta.get("text") or "", v, meta)
+            )
+    store.upsert_embeddings(payloads)
+    return store, emb
+
+
 def evaluate_store(
     store,
     embeddings,

@@ -99,48 +99,20 @@ def chunk_corpus(name: str, root: Path):
 
 
 def evaluate(metas, provider: str, max_per_kind: int, overrides: dict):
-    from semcode_tpu.embeddings import EmbeddingProviderFactory
-    from semcode_tpu.embeddings.providers import (
-        EmbeddingPayload,
-        embedding_text,
+    from semcode_tpu.eval import (
+        build_eval_store,
+        evaluate_store,
+        generate_queries,
     )
-    from semcode_tpu.eval import evaluate_store, generate_queries
-    from semcode_tpu.index.store import VectorStore
     from semcode_tpu.settings import settings
 
     cfg = settings.model_copy(
         update={"embedding_provider": provider, **overrides}
     )
-    emb = EmbeddingProviderFactory.create(cfg)
-    dim = len(emb.embed_query("probe"))
-    store = VectorStore(
-        cfg.model_copy(
-            update={
-                "embedding_dimension": dim,
-                "index_snapshot_dir": None,
-                "workspace_root": None,
-            }
-        ),
-        dim=dim,
-    )
-    # embed through the PRODUCTION path: doc-side symbol/stem expansion
-    # shapes the vector, the stored text stays raw (indexer.py parity)
-    texts = [
-        embedding_text(
-            m.get("text") or "", symbol=m.get("symbol"), path=m.get("path")
-        )
-        for _, m in metas
-    ]
+    # shared recipe (eval.build_eval_store): PRODUCTION embedding path —
+    # doc-side symbol/stem expansion shapes the vector, stored text stays raw
     t0 = time.time()
-    payloads = []
-    bs = max(1, cfg.embedding_batch_size)
-    for lo in range(0, len(texts), bs):
-        vecs = emb.embed_documents(texts[lo : lo + bs])
-        for (pid, meta), v in zip(metas[lo : lo + bs], vecs):
-            payloads.append(
-                EmbeddingPayload(pid, meta.get("text") or "", v, meta)
-            )
-    store.upsert_embeddings(payloads)
+    store, emb = build_eval_store(metas, cfg)
     embed_s = time.time() - t0
     queries = generate_queries(metas, max_per_kind=max_per_kind)
     t0 = time.time()

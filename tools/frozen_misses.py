@@ -37,17 +37,17 @@ def main() -> int:
                     help="how many worst-ranked queries to detail")
     ap.add_argument("--set", action="append", default=[],
                     help="settings override key=value (repeatable)")
+    ap.add_argument("--fixture",
+                    default=str(REPO_ROOT / "tests" / "fixtures"
+                                / "frozen_queries.json"),
+                    help="frozen query set to score (e.g. a historical "
+                         "label version extracted from git, for "
+                         "labels-only delta isolation)")
     args = ap.parse_args()
 
     from tools.eval_heldout import chunk_corpus
 
-    from semcode_tpu.embeddings import EmbeddingProviderFactory
-    from semcode_tpu.embeddings.providers import (
-        EmbeddingPayload,
-        embedding_text,
-    )
-    from semcode_tpu.eval import load_frozen_queries
-    from semcode_tpu.index.store import VectorStore
+    from semcode_tpu.eval import build_eval_store, load_frozen_queries
     from semcode_tpu.settings import settings
 
     import json
@@ -68,37 +68,10 @@ def main() -> int:
     cfg = settings.model_copy(
         update={"embedding_provider": args.provider, **overrides}
     )
-    emb = EmbeddingProviderFactory.create(cfg)
-    dim = len(emb.embed_query("probe"))
-    store = VectorStore(
-        cfg.model_copy(
-            update={
-                "embedding_dimension": dim,
-                "index_snapshot_dir": None,
-                "workspace_root": None,
-            }
-        ),
-        dim=dim,
-    )
-    texts = [
-        embedding_text(
-            m.get("text") or "", symbol=m.get("symbol"), path=m.get("path")
-        )
-        for _, m in metas
-    ]
-    payloads = []
-    bs = max(1, cfg.embedding_batch_size)
-    for lo in range(0, len(texts), bs):
-        vecs = emb.embed_documents(texts[lo : lo + bs])
-        for (pid, meta), v in zip(metas[lo : lo + bs], vecs):
-            payloads.append(
-                EmbeddingPayload(pid, meta.get("text") or "", v, meta)
-            )
-    store.upsert_embeddings(payloads)
+    # shared production-path recipe (eval.build_eval_store)
+    store, emb = build_eval_store(metas, cfg)
 
-    queries = load_frozen_queries(
-        REPO_ROOT / "tests" / "fixtures" / "frozen_queries.json"
-    )
+    queries = load_frozen_queries(args.fixture)
     rows = []
     B = 32
     for lo in range(0, len(queries), B):
