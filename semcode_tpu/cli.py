@@ -376,6 +376,35 @@ def cmd_eval(args) -> int:
     return 0
 
 
+def _chunk_dirs(from_dirs: str) -> list:
+    """Chunk arbitrary source trees directly (no workspace ingestion):
+    training corpora are throwaway reads, and the held-out serving repo
+    must never enter this list."""
+    from .chunking import CodeChunker
+    from .ingestion.manager import DEFAULT_IGNORE_PATTERNS
+    import fnmatch
+
+    chunks: list = []
+    chunker = CodeChunker()
+    for d in from_dirs.split(","):
+        root = Path(d.strip()).resolve()
+        files = [
+            f
+            for f in sorted(root.rglob("*"))
+            if f.is_file()
+            and f.suffix in CHUNK_SUFFIXES
+            and not any(
+                fnmatch.fnmatch(part, pat)
+                for part in f.relative_to(root).parts
+                for pat in DEFAULT_IGNORE_PATTERNS
+            )
+        ]
+        before = len(chunks)
+        chunks.extend(chunker.chunk_repository(root, files))
+        print(f"  {root}: {len(files)} files, {len(chunks)-before} chunks")
+    return chunks
+
+
 def cmd_train(args) -> int:
     """Contrastive-train the encoder on an ingested repository's chunks."""
     configure_logging()
@@ -391,30 +420,7 @@ def cmd_train(args) -> int:
 
     chunks = []
     if args.from_dirs:
-        # chunk arbitrary source trees directly (no workspace ingestion):
-        # training corpora are throwaway reads, and the held-out serving
-        # repo must never enter this list
-        from .chunking import CodeChunker
-        from .ingestion.manager import DEFAULT_IGNORE_PATTERNS
-        import fnmatch
-
-        chunker = CodeChunker()
-        for d in args.from_dirs.split(","):
-            root = Path(d.strip()).resolve()
-            files = [
-                f
-                for f in sorted(root.rglob("*"))
-                if f.is_file()
-                and f.suffix in CHUNK_SUFFIXES
-                and not any(
-                    fnmatch.fnmatch(part, pat)
-                    for part in f.relative_to(root).parts
-                    for pat in DEFAULT_IGNORE_PATTERNS
-                )
-            ]
-            before = len(chunks)
-            chunks.extend(chunker.chunk_repository(root, files))
-            print(f"  {root}: {len(files)} files, {len(chunks)-before} chunks")
+        chunks = _chunk_dirs(args.from_dirs)
         source = args.from_dirs
     elif args.repo:
         manager = RepositoryIngestionManager()
@@ -479,6 +485,51 @@ def cmd_train(args) -> int:
         "use it with: [embedding] provider='tpu-encoder' and "
         f"[encoder] weights_path='{out}'"
     )
+    return 0
+
+
+def cmd_train_rerank(args) -> int:
+    """Train the learned term-embedding MaxSim rerank channel
+    (models/term_reranker.py) on external corpora chunks."""
+    configure_logging()
+    from .models.term_reranker import (
+        build_pairs,
+        featurize_pairs,
+        save_table,
+        train_term_table,
+    )
+
+    if not args.from_dirs:
+        print("[ERROR] pass --from <dirs>", file=sys.stderr)
+        return 2
+    chunks = _chunk_dirs(args.from_dirs)
+    metas = [
+        (
+            f"c{i}",
+            {
+                "text": c.content,
+                "symbol": c.symbol,
+                "path": str(getattr(c, "path", "") or ""),
+                "language": c.language,
+            },
+        )
+        for i, c in enumerate(chunks)
+    ]
+    from .settings import settings
+
+    pairs = build_pairs(metas, max_per_kind=args.max_per_kind)
+    print(f"{len(chunks)} chunks -> {len(pairs)} (query, chunk) pairs")
+    feats = featurize_pairs(pairs)
+    table = train_term_table(
+        feats,
+        steps=args.steps,
+        batch_size=args.batch_size,
+        lr=args.lr,
+        seed=args.seed,
+    )
+    out = Path(args.out or Path(settings.workspace_root) / "term-reranker.npz")
+    save_table(table, out)
+    print(f"saved term-reranker table to {out}")
     return 0
 
 
@@ -654,6 +705,26 @@ def build_parser() -> argparse.ArgumentParser:
         "--max-chunks", type=int, default=0, help="Cap training chunks (0 = all)"
     )
     p.set_defaults(func=cmd_train)
+
+    p = sub.add_parser(
+        "train-rerank",
+        help="Train the learned term-embedding rerank channel on "
+        "external corpora",
+    )
+    p.add_argument(
+        "--from", dest="from_dirs", required=True,
+        help="Comma-separated source directories (hold the serving repo out)",
+    )
+    p.add_argument("--steps", type=int, default=2000)
+    p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--lr", type=float, default=3e-3)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--max-per-kind", type=int, default=4000,
+        help="Query-generator cap per kind per run (pairs pool size)",
+    )
+    p.add_argument("--out", default=None)
+    p.set_defaults(func=cmd_train_rerank)
 
     p = sub.add_parser(
         "train-lm", help="Train the tpu-lm answer decoder on an ingested repo"

@@ -265,7 +265,8 @@ def _minmax(x, live, axis=-1):
 
 @jax.jit
 def bm25_blend(
-    g_ids, g_w, g_len, g_sym, dense, q_ids, weight, sym_bonus, q_sym
+    g_ids, g_w, g_len, g_sym, dense, q_ids, weight, sym_bonus, q_sym,
+    table=None, learned_weight=None,
 ):
     """Window BM25 + dense blend, replicated math (post-gather).
 
@@ -277,7 +278,13 @@ def bm25_blend(
     (final_dense_scores (Q, W), order (Q, W) int32): the caller applies
     ``order`` to its ids/scores. Mirrors index/rerank.rerank_hits: window
     df/idf, k1/b saturation, exact-symbol bonus, min-max blend,
-    final-then-lexical sort with stable dense tie-break."""
+    final-then-lexical sort with stable dense tie-break.
+
+    ``table`` (B, D) unit-row f32 enables the LEARNED MaxSim channel
+    (models/term_reranker.py): per query term, the best cosine against
+    the candidate's fingerprint-term embeddings, idf-weighted — exact
+    matches BM25 already counts, this rewards RELATED terms ("deleted"
+    ~ "prune"). Rides the same gathered g_ids; zero extra row storage."""
     live = dense > _NEG_INF / 2  # (Q, W)
     q_valid = q_ids >= 0  # (Q, T)
     match = (g_ids[:, :, :, None] == q_ids[:, None, None, :]) & q_valid[
@@ -319,6 +326,23 @@ def bm25_blend(
     final = (1.0 - weight) * _minmax(dense, live) + weight * _minmax(
         lex, live
     )
+    if table is not None:
+        n_buckets = table.shape[0]
+        qe = table[jnp.where(q_valid, q_ids % n_buckets, 0)]  # (Q, T, D)
+        d_valid = g_ids >= 0  # (Q, W, K)
+        de = table[jnp.where(d_valid, g_ids % n_buckets, 0)]  # (Q, W, K, D)
+        sims = jnp.einsum(
+            "qtd,qwkd->qwtk", qe, de, preferred_element_type=jnp.float32
+        )
+        sims = jnp.where(d_valid[:, :, None, :], sims, -1.0)
+        best = jnp.max(sims, axis=3)  # (Q, W, T)
+        t_w = jnp.where(q_valid, idf, 0.0)  # idf-weight, same as BM25
+        learned = jnp.einsum("qwt,qt->qw", best, t_w) / jnp.maximum(
+            jnp.sum(t_w, axis=1, keepdims=True), 1e-9
+        )
+        final = final + learned_weight * _minmax(
+            jnp.where(live, learned, 0.0), live
+        )
     final = jnp.where(live, final, -jnp.inf)
     # stable two-key sort (numpy-lexsort semantics: final desc, lexical
     # desc, dense order for full ties): sort by the secondary key first
@@ -340,6 +364,8 @@ def rerank_device(
     q_sym,  # (Q, S) int32 host (featurize_query_symbols)
     weight: float,
     sym_bonus: float = DEFAULT_SYM_BONUS,
+    table=None,  # (B, D) unit-row f32 device: learned MaxSim channel
+    learned_weight: float = 0.0,
 ):
     """Full device rerank step: gather + BM25 + blend + reorder.
 
@@ -357,6 +383,8 @@ def rerank_device(
     _, order = bm25_blend(
         g_ids, g_w, g_len, g_sym, scores_dev, jnp.asarray(q_ids),
         np.float32(weight), np.float32(sym_bonus), jnp.asarray(q_sym),
+        table,
+        np.float32(learned_weight) if table is not None else None,
     )
     return (
         jnp.take_along_axis(scores_dev, order, axis=1),

@@ -45,6 +45,8 @@ from .rerank import rerank_hits
 
 log = get_logger("index.store")
 
+_UNSET = object()  # lazy-slot sentinel (None is a valid loaded value)
+
 ProgressCallback = Callable[[int, int], None]
 # queries arrive as python lists from the API and as ndarrays internally
 VectorLike = Union[Sequence[float], np.ndarray]
@@ -122,6 +124,7 @@ class VectorStore:
         # snapshot its immutable device tuple: bounded staleness, same
         # contract as the index's own device state.
         self._lex: Optional[LexicalFingerprints] = None
+        self._learned_dev: Any = _UNSET  # learned rerank table (lazy)
 
     # Convenience accessors into the current view (writers hold the lock, so
     # in-place dict mutation through these is safe; readers must instead
@@ -401,6 +404,35 @@ class VectorStore:
                 lex.rebuild(self._row_meta)
             self._lex = lex
         return self._lex
+
+    def _learned_table(self):
+        """Device copy of the learned term-embedding table for the rerank's
+        MaxSim channel (models/term_reranker.py), or None when disabled /
+        absent. Loaded lazily once; replicated (it is an 8-16 MB constant,
+        not row data)."""
+        if self._learned_dev is not _UNSET:
+            return self._learned_dev
+        mode = str(self.config.search_rerank_learned or "off")
+        table = None
+        if mode != "off":
+            from ..models.term_reranker import default_asset_path, load_table
+
+            path = default_asset_path() if mode == "auto" else mode
+            try:
+                table = load_table(path)
+            except Exception as exc:  # noqa: BLE001 — degrade to BM25-only
+                log.warning("learned_rerank_load_failed", error=str(exc))
+            if table is not None:
+                import jax
+                import jax.numpy as jnp
+
+                table = jax.device_put(jnp.asarray(table))
+                log.info(
+                    "learned_rerank_loaded", path=str(path),
+                    buckets=int(table.shape[0]), dim=int(table.shape[1]),
+                )
+        self._learned_dev = table
+        return table
 
     def _tag_for(self, meta: Dict[str, Any]) -> int:
         """Assign/look up the (repo, language) tag id for a row (writer-side,
@@ -948,6 +980,7 @@ class VectorStore:
         q_ids = featurize_queries(texts)
         q_sym = featurize_query_symbols(texts)
         weight = min(max(self.config.search_rerank_weight, 0.0), 1.0)
+        table = self._learned_table()
         return rerank_device(
             self._mesh,
             self._lex.device_arrays(0),
@@ -957,6 +990,10 @@ class VectorStore:
             q_sym=q_sym,
             weight=weight,
             sym_bonus=max(self.config.search_rerank_sym_bonus, 0.0),
+            table=table,
+            learned_weight=max(
+                getattr(self.config, "search_rerank_learned_weight", 0.0), 0.0
+            ),
         )
 
     def _device_rerank_np(self, scores, ids, query_texts):

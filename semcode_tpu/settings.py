@@ -49,6 +49,10 @@ class AppSettings(BaseModel):
     # dynamic micro-batching of concurrent /query requests (0 disables)
     api_batch_window_ms: float = 3.0
     api_batch_max: int = 64
+    # concurrent sub-groups per full batch window (1 disables): overlaps one
+    # sub-group's host assembly/JSON with another's device scan (+36% e2e
+    # QPS at c=32 through the service tunnel)
+    api_batch_split: int = 2
     # pre-compile the serving path at startup (background; no-op when empty)
     api_warmup: bool = True
     # overload handling: pending-query bound (enqueue beyond it -> 503) and
@@ -148,6 +152,13 @@ class AppSettings(BaseModel):
     # to the host scorer otherwise; "device" forces it; "host" keeps the
     # round-3 host BM25 (index/rerank.py)
     search_rerank_impl: str = "auto"  # auto | device | host
+    # learned term-embedding MaxSim channel (models/term_reranker.py) on the
+    # DEVICE rerank path: "auto" loads the shipped table asset when present,
+    # "off" disables, any other value is a path to a trained .npz. The
+    # channel rewards RELATED (not just identical) query/doc subtokens —
+    # the synonymy axis BM25 cannot score. Host-impl reranks stay BM25-only.
+    search_rerank_learned: str = "auto"  # auto | off | <path>
+    search_rerank_learned_weight: float = 0.25
     # fingerprint slots per row for the device scorer (0 = library default,
     # currently 192 — the measured host-parity point; see index/lexical.py).
     # Memory knob: ~6 bytes/slot/row in HBM
@@ -260,6 +271,7 @@ _SECTION_FIELDS: Dict[str, Dict[str, str]] = {
         "port": "api_port",
         "batch_window_ms": "api_batch_window_ms",
         "batch_max": "api_batch_max",
+        "batch_split": "api_batch_split",
         "warmup": "api_warmup",
         "max_workers": "api_max_workers",
         "queue_max": "api_queue_max",
@@ -298,6 +310,8 @@ _SECTION_FIELDS: Dict[str, Dict[str, str]] = {
         "top_k_max": "search_top_k_max",
         "rerank_weight": "search_rerank_weight",
         "rerank_depth": "search_rerank_depth",
+        "rerank_learned": "search_rerank_learned",
+        "rerank_learned_weight": "search_rerank_learned_weight",
         "rerank_impl": "search_rerank_impl",
         "rerank_terms": "search_rerank_terms",
         "rerank_sym_bonus": "search_rerank_sym_bonus",

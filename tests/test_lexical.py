@@ -342,6 +342,10 @@ def _store_cfg(tmp_path, **kw):
         index_metric="ip",
         index_rescore=0,  # f32 storage: dense scores final on device
         search_rerank_weight=0.8,
+        # host/device parity tests compare the BM25 blend; the learned
+        # MaxSim channel is device-only by design (settings.py) and would
+        # make the impls diverge once the shipped table asset exists
+        search_rerank_learned="off",
     )
     base.update(kw)
     return AppSettings(**base)
