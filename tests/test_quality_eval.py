@@ -141,6 +141,34 @@ def test_frozen_fixture_schema_and_paths():
             assert (root / p).is_file(), f"missing labelled path: {p}"
 
 
+def test_frozen_aiohttp_fixture_schema_and_paths():
+    """The EXTERNAL frozen set: every labelled path must exist in the
+    installed aiohttp package (version pinned in the fixture description)
+    and both fixtures must carry the edit-protocol policy header."""
+    import json
+    from pathlib import Path
+
+    import aiohttp
+
+    root = Path(__file__).resolve().parents[1]
+    pkg_parent = Path(aiohttp.__file__).parent.parent
+    fixture = root / "tests" / "fixtures" / "frozen_queries_aiohttp.json"
+    data = json.loads(fixture.read_text())
+    assert len(data["queries"]) >= 75
+    assert data["corpus"] == "aiohttp"
+    assert "edit_protocol" in data
+    texts = [e["query"] for e in data["queries"]]
+    assert len(set(texts)) == len(texts), "duplicate frozen queries"
+    for entry in data["queries"]:
+        assert entry["relevant_paths"], entry["query"]
+        for p in entry["relevant_paths"]:
+            assert (pkg_parent / p).is_file(), f"missing labelled path: {p}"
+    self_data = json.loads(
+        (root / "tests" / "fixtures" / "frozen_queries.json").read_text()
+    )
+    assert "edit_protocol" in self_data
+
+
 def test_load_frozen_queries_and_path_matching(mesh8):
     from pathlib import Path
 

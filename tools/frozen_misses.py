@@ -38,11 +38,15 @@ def main() -> int:
     ap.add_argument("--set", action="append", default=[],
                     help="settings override key=value (repeatable)")
     ap.add_argument("--fixture",
-                    default=str(REPO_ROOT / "tests" / "fixtures"
-                                / "frozen_queries.json"),
-                    help="frozen query set to score (e.g. a historical "
-                         "label version extracted from git, for "
-                         "labels-only delta isolation)")
+                    default=None,
+                    help="frozen query set to score (default: the corpus's "
+                         "canonical fixture; pass a historical label "
+                         "version extracted from git for labels-only "
+                         "delta isolation)")
+    ap.add_argument("--corpus", default="semcode_tpu",
+                    help="semcode_tpu (this repo) or aiohttp (the external "
+                         "frozen set, tests/fixtures/"
+                         "frozen_queries_aiohttp.json)")
     args = ap.parse_args()
 
     from tools.eval_heldout import chunk_corpus
@@ -61,10 +65,23 @@ def main() -> int:
             vv = v
         overrides[k] = vv
 
-    metas = chunk_corpus("semcode_tpu", REPO_ROOT / "semcode_tpu")
-    # frozen labels carry the semcode_tpu/ prefix (ingest root = repo root)
+    if args.corpus == "semcode_tpu":
+        root = REPO_ROOT / "semcode_tpu"
+        fixture_name = "frozen_queries.json"
+    elif args.corpus == "aiohttp":
+        from tools.eval_heldout import corpus_dir
+
+        root = corpus_dir("aiohttp")
+        fixture_name = "frozen_queries_aiohttp.json"
+    else:
+        print(f"unknown corpus {args.corpus!r}", file=sys.stderr)
+        return 2
+    metas = chunk_corpus(args.corpus, root)
+    # frozen labels carry the package prefix (ingest root = package parent)
     for _, m in metas:
-        m["path"] = "semcode_tpu/" + m["path"]
+        m["path"] = f"{args.corpus}/" + m["path"]
+    if args.fixture is None:
+        args.fixture = str(REPO_ROOT / "tests" / "fixtures" / fixture_name)
     cfg = settings.model_copy(
         update={"embedding_provider": args.provider, **overrides}
     )
