@@ -520,8 +520,11 @@ def cmd_train_rerank(args) -> int:
     pairs = build_pairs(metas, max_per_kind=args.max_per_kind)
     print(f"{len(chunks)} chunks -> {len(pairs)} (query, chunk) pairs")
     feats = featurize_pairs(pairs)
+    from .models.term_reranker import DEFAULT_DIM
+
     table = train_term_table(
         feats,
+        dim=args.dim or DEFAULT_DIM,
         steps=args.steps,
         batch_size=args.batch_size,
         lr=args.lr,
@@ -718,6 +721,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--steps", type=int, default=2000)
     p.add_argument("--batch-size", type=int, default=256)
     p.add_argument("--lr", type=float, default=3e-3)
+    p.add_argument("--dim", type=int, default=0, help="0 = library default")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument(
         "--max-per-kind", type=int, default=4000,

@@ -66,6 +66,8 @@ _NEG_INF = np.float32(-3.0e38)
 # subtokens and docstring queries hit the tail.
 DEFAULT_KTERMS = 256
 QUERY_TERMS = 64
+# learned-channel doc-term head (keep equal to term_reranker.DOC_TERMS)
+_LEARNED_DOC_TERMS = 96
 # exact-symbol bonus (defined next to the host scorer so both impls share
 # one default): +0.03-0.05 held-out MRR, see rerank.DEFAULT_SYM_BONUS
 
@@ -329,8 +331,13 @@ def bm25_blend(
     if table is not None:
         n_buckets = table.shape[0]
         qe = table[jnp.where(q_valid, q_ids % n_buckets, 0)]  # (Q, T, D)
-        d_valid = g_ids >= 0  # (Q, W, K)
-        de = table[jnp.where(d_valid, g_ids % n_buckets, 0)]  # (Q, W, K, D)
+        # fingerprint slots are stored in selection-weight order; the
+        # learned channel reads only the head the table was TRAINED on
+        # (term_reranker.DOC_TERMS) — tail terms are untrained bucket
+        # collisions that add noise to the max
+        g_ids_l = g_ids[:, :, :_LEARNED_DOC_TERMS]
+        d_valid = g_ids_l >= 0  # (Q, W, K')
+        de = table[jnp.where(d_valid, g_ids_l % n_buckets, 0)]
         sims = jnp.einsum(
             "qtd,qwkd->qwtk", qe, de, preferred_element_type=jnp.float32
         )
@@ -340,9 +347,25 @@ def bm25_blend(
         learned = jnp.einsum("qwt,qt->qw", best, t_w) / jnp.maximum(
             jnp.sum(t_w, axis=1, keepdims=True), 1e-9
         )
-        final = final + learned_weight * _minmax(
+        # headroom-gated boost: scale by (1 - base) so the channel can
+        # only PROMOTE candidates with room below the current best — a
+        # correct rank-1 (base_n = 1 after min-max) is mathematically
+        # undisplaceable (boosted scores stay < 1). Measured on the frozen
+        # set: the additive form traded rank-3..9 promotions for rank-1
+        # demotions and was an MRR wash; this form keeps only the gains.
+        # Coverage gate: engage the channel in proportion to how many
+        # query terms BM25 could NOT match anywhere in the window (df=0)
+        # — lexically well-covered queries are BM25's home turf and the
+        # learned signal is pure noise there; the synonymy-gap queries
+        # ("deleted"~prune) are exactly the low-coverage ones.
+        cover = jnp.sum(
+            jnp.where(q_valid & (df > 0), idf, 0.0), axis=1, keepdims=True
+        ) / jnp.maximum(jnp.sum(t_w, axis=1, keepdims=True), 1e-9)
+        lw_eff = learned_weight * (1.0 - cover)  # (Q, 1)
+        base_n = _minmax(final, live)
+        final = base_n + lw_eff * _minmax(
             jnp.where(live, learned, 0.0), live
-        )
+        ) * (1.0 - base_n)
     final = jnp.where(live, final, -jnp.inf)
     # stable two-key sort (numpy-lexsort semantics: final desc, lexical
     # desc, dense order for full ties): sort by the secondary key first

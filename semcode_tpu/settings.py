@@ -158,7 +158,11 @@ class AppSettings(BaseModel):
     # channel rewards RELATED (not just identical) query/doc subtokens —
     # the synonymy axis BM25 cannot score. Host-impl reranks stay BM25-only.
     search_rerank_learned: str = "auto"  # auto | off | <path>
-    search_rerank_learned_weight: float = 0.25
+    # applied through TWO safety gates (index/lexical.py): headroom (can
+    # only promote candidates below the current best) and lexical coverage
+    # (fades out as BM25 matches more of the query's idf mass) — measured
+    # strictly non-negative on both frozen sets at this default
+    search_rerank_learned_weight: float = 0.8
     # fingerprint slots per row for the device scorer (0 = library default,
     # currently 192 — the measured host-parity point; see index/lexical.py).
     # Memory knob: ~6 bytes/slot/row in HBM
