@@ -317,19 +317,24 @@ def main() -> None:
     # tag 1% of rows (simulating a small repo among many) so the filtered-
     # search section below can measure device tag masking at low selectivity
     row_tags = (np.arange(N) % 100 == 0).astype(np.int32)
+    # expected_rows sizes the mirror EXACTLY (plain add() pads capacity
+    # +12.5% for growth, and the exact scan pays for allocated rows forever
+    # — measured ~15% flagship QPS at 1M x 384). The +6144 headroom
+    # pre-reserves the under-ingest section's writer stream (20 x 256
+    # rows): growing an exactly-sized mirror mid-stream double-buffers
+    # old+new mirrors, which is exactly the HBM cliff that killed the
+    # section at 10M (VERDICT r4 weak #7). Cost: ~0.6% extra scan rows at
+    # 1M, ~0.06% at 10M.
+    GROW_HEADROOM = 6144
     if whole:
-        # bulk even for a one-shot add: expected_rows sizes the mirror
-        # EXACTLY (plain add() pads capacity +12.5% for growth, and the
-        # exact scan pays for allocated rows forever — measured ~15%
-        # flagship QPS at 1M x 384)
-        with ivf.bulk(expected_rows=N):
+        with ivf.bulk(expected_rows=N + GROW_HEADROOM):
             ivf.add(x_dev, tags=row_tags)
     else:
         # bulk mode: chunked adds only upload+quantize into the device
         # mirror; ONE train + balanced-assign + pack pass runs at block exit.
         # Without it every chunk re-packs the grown layout and the transient
         # old-layout + new-layout + mirror working set OOMs HBM at 1M x 3072.
-        with ivf.bulk(expected_rows=N):
+        with ivf.bulk(expected_rows=N + GROW_HEADROOM):
             for gi in range(n_gen_chunks):
                 base = gi * gchunk
                 rows_in = min(gchunk, N - base)
@@ -592,19 +597,41 @@ def main() -> None:
             tag_idx = np.flatnonzero(row_tags[:N])
             if whole:
                 sub = x_dev[jnp.asarray(tag_idx.astype(np.int32))]
+                _, o_loc = oracle_chunk(sub, q_dev)
+                f_oracle = tag_idx[np.asarray(o_loc)]
             else:
-                parts = []
-                for gi in range(n_gen_chunks):
-                    base = gi * gchunk
-                    loc = tag_idx[(tag_idx >= base) & (tag_idx < base + gchunk)]
-                    xc = chunk_i(gi)
-                    parts.append(
-                        np.asarray(xc[jnp.asarray((loc - base).astype(np.int32))])
-                    )
-                    del xc
-                sub = jnp.asarray(np.concatenate(parts))
-            _, o_loc = oracle_chunk(sub, q_dev)
-            f_oracle = tag_idx[np.asarray(o_loc)]
+                # streamed corpora (10M x 384, 1M x 3072): regenerating a
+                # 3 GB gen chunk beside the resident layout+mirror is the
+                # HBM cliff that killed this section at 10M (VERDICT r4
+                # weak #7), and even a one-shot (100k, d) gather + score
+                # matrix exceeds the ~0.1 GB of free HBM at the 10M
+                # operating point. FULLY slab the oracle: per 16k tagged
+                # rows, gather from the index's residual-reconstructed
+                # mirror (~16-bit mantissa — the same values the engine
+                # rescores with, so this oracle measures FILTER/selection
+                # correctness; quantization loss vs the true f32 corpus is
+                # the main recall section's job), HIGHEST-precision score,
+                # per-slab top-k, merge on host. Peak transient ~60 MB.
+                slab = 16384
+                ps, pi = [], []
+                for lo in range(0, tag_idx.size, slab):
+                    rows = tag_idx[lo : lo + slab].astype(np.int32)
+                    n_real = rows.size
+                    if n_real < slab:  # static shape for the jits
+                        rows = np.pad(rows, (0, slab - n_real),
+                                      constant_values=rows[0] if n_real
+                                      else 0)
+                    sub_s = ivf._f32_chunk(jnp.asarray(rows))
+                    s, i = oracle_chunk(sub_s, q_dev)
+                    s_np, i_np = np.array(s), np.asarray(i)  # writable copy
+                    s_np[i_np >= n_real] = -np.inf  # pad-duplicate rows
+                    ps.append(s_np)
+                    pi.append(rows[i_np])
+                all_fs = np.concatenate(ps, axis=1)
+                all_fi = np.concatenate(pi, axis=1)
+                sel_f = np.argsort(-all_fs, axis=1, kind="stable")[:, :K]
+                f_oracle = np.take_along_axis(all_fi, sel_f, axis=1)
+                RES.extras["filtered_oracle_basis"] = "reconstructed"
             got = np.zeros((N_QUERIES, K), dtype=np.int64)
             for bi, i in enumerate(range(0, N_QUERIES, BATCH)):
                 _, ids = ivf.search_device(q_batches[bi], K, allow_tags=allow)
@@ -693,8 +720,11 @@ def main() -> None:
     guard("probing", 60, sec_probing)
     guard("serving", 30, sec_serving)
     guard("small_batch", 45, sec_small_batch)
-    guard("filtered", 30, sec_filtered)
+    # under_ingest BEFORE filtered: at the 10M operating point the heap is
+    # ~full, and a filtered-section allocation failure leaves fragmented
+    # state that collaterally fails the writer stream's scatter compiles
     guard("under_ingest", 30, sec_under_ingest)
+    guard("filtered", 30, sec_filtered)
 
     # highdim runs BEFORE the API section (VERDICT r4 item 1): d3072 recall
     # is the contested artifact number, the API SLO is cheap to reproduce —

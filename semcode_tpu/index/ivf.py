@@ -207,6 +207,10 @@ class IVFIndex:
         self._host_cache: Optional[np.ndarray] = None
         self._host_ingest_only = True  # False once a device array is added
         self._bulk = False  # inside a bulk() block: defer layout/materialize
+        # pending tail: streaming inserts at full-HBM operating points land
+        # in a small exact-scanned side buffer instead of copy-on-write
+        # scattering into multi-GB mirrors (see _add_pending)
+        self._pend: Optional[tuple] = None  # (vecs, ids, tags, n_used)
 
     # -- helpers ---------------------------------------------------------------
 
@@ -224,6 +228,7 @@ class IVFIndex:
 
     def hydrate_host(self) -> np.ndarray:
         """Fetch the f32 corpus (n_rows, dim) from the device mirror."""
+        self._fold_pending()  # pending rows live only in the side buffer
         n = self._n_rows
         if n == 0 or self._mir is None:
             return np.zeros((0, self.dim), dtype=np.float32)
@@ -630,6 +635,8 @@ class IVFIndex:
             tags = np.asarray(tags, dtype=np.int32).ravel()
             if tags.shape[0] != n:
                 raise ValueError(f"expected {n} tags, got {tags.shape[0]}")
+        if self._use_pending(n):
+            return self._add_pending(x, tags)
         rows = self._extend_meta(n, tags)
         self._ensure_mirror(self._n_rows)
         self._ingest_rows(x, rows, tags)
@@ -647,9 +654,14 @@ class IVFIndex:
             self._rebuild_layout()
             self._materialize()
             return rows
-        # streaming placement: nearest candidate cluster with a free slot
+        self._stream_place(rows)
+        return rows
+
+    def _stream_place(self, rows: np.ndarray) -> None:
+        """Streaming placement: nearest candidate cluster with a free slot;
+        a full layout rebuild when every candidate cluster is full."""
         cands = self._topm_rows(rows, m=min(4, self.nlist))
-        assign = np.empty(n, dtype=np.int32)
+        assign = np.empty(len(rows), dtype=np.int32)
         counts = self._counts.copy()
         overflow = False
         for i, row_cands in enumerate(cands):
@@ -667,7 +679,126 @@ class IVFIndex:
             self._place_rows(rows, assign)
         if self._dirty:
             self._materialize()  # eager: readers never materialize dirty state
+
+    # -- pending tail (full-HBM streaming inserts) -----------------------------
+
+    # streaming adds scatter copy-on-write into the authoritative mirror;
+    # past this footprint the functional copy (old + new mirror live across
+    # the op, plus the residual tier) exceeds the free HBM of a loaded chip
+    # (measured: 10M x 384 int8 + residual at 15.9/16 GB OOMs on a single
+    # 256-row add), so inserts land in a small exact-scanned side buffer
+    # merged into every search instead — the LSM pattern, TPU-sized
+    PENDING_THRESHOLD_BYTES = 2 << 30
+    PENDING_CAP = 8192
+
+    def _scatter_copy_bytes(self) -> int:
+        """Transient bytes a copy-on-write mirror scatter materializes."""
+        mir = self._mir
+        if mir is None:
+            return 0
+        total = mir.fvecs.nbytes
+        if isinstance(mir.frescore, tuple):
+            total += mir.frescore[0].nbytes
+        elif mir.frescore is not None:
+            total += mir.frescore.nbytes
+        return total
+
+    def _use_pending(self, n: int) -> bool:
+        return (
+            not self._bulk
+            and self.is_trained
+            and self.cmax > 0
+            and n <= self.PENDING_CAP
+            and self._scatter_copy_bytes() > self.PENDING_THRESHOLD_BYTES
+        )
+
+    def _add_pending(self, x, tags: np.ndarray) -> np.ndarray:
+        n = x.shape[0]
+        pend = self._pend
+        used = 0 if pend is None else pend[3]
+        if used + n > self.PENDING_CAP:
+            # fold the tail into the main layout (one big scatter, the
+            # cost this path amortizes PENDING_CAP rows deep); on a chip
+            # whose HBM cannot take even that, the fold raises loudly —
+            # bounded streaming capacity is the honest single-chip limit
+            self._fold_pending()
+            used = 0
+        rows = self._extend_meta(n, tags)
+        xd = jnp.asarray(x, dtype=jnp.float32)
+        if self._pend is None:
+            P, d = self.PENDING_CAP, self.dim
+            self._pend = (
+                jnp.zeros((P, d), jnp.float32),
+                jnp.full((P,), -1, jnp.int32),
+                jnp.zeros((P,), jnp.int32),
+                0,
+            )
+            used = 0
+        vecs, pids, ptags, _ = self._pend
+        rows32 = jnp.asarray(rows.astype(np.int32))
+        idx = jnp.arange(used, used + n, dtype=jnp.int32)
+        self._pend = (
+            _pend_set(vecs, idx, xd),
+            _pend_set(pids, idx, rows32),
+            _pend_set(ptags, idx, jnp.asarray(tags)),
+            used + n,
+        )
+        self._host_ingest_only = self._host_ingest_only and not isinstance(
+            x, jax.Array
+        )
         return rows
+
+    def _fold_pending(self, place: bool = True) -> None:
+        """Scatter the pending tail into the authoritative mirror (+ layout
+        placement unless the caller is about to rebuild the layout anyway).
+        Readers briefly miss the folded rows (pending cleared before the
+        placement lands) — the usual stale-but-consistent snapshot trade."""
+        pend = self._pend
+        self._pend = None
+        if pend is None or pend[3] == 0:
+            return
+        vecs, pids, ptags, n = pend
+        pid_np = np.asarray(pids[:n])
+        mask = pid_np >= 0  # tombstoned-in-pending rows drop here
+        if not mask.any():
+            return
+        rows = pid_np[mask].astype(np.int64)
+        keep = jnp.asarray(np.flatnonzero(mask).astype(np.int32))
+        self._ensure_mirror(self._n_rows)
+        self._ingest_rows(
+            vecs[keep], rows, np.asarray(ptags[:n])[mask]
+        )
+        if place:
+            self._stream_place(rows)
+
+    def _merge_pending_into(self, scores, ids, q_dev, allow_tags=None):
+        """Chain the pending-tail exact scan onto in-flight (scores, ids)."""
+        pend = self._pend
+        if pend is None or pend[3] == 0:
+            return scores, ids
+        vecs, pids, ptags, _ = pend
+        allow = (
+            jnp.asarray(pad_allow(allow_tags))
+            if allow_tags is not None
+            else None
+        )
+        return _merge_pending(
+            scores, ids, q_dev, vecs, pids, ptags, self.metric, allow
+        )
+
+    def _merge_pending_into_batched(self, scores, ids, qs_dev, allow_tags=None):
+        pend = self._pend
+        if pend is None or pend[3] == 0:
+            return scores, ids
+        vecs, pids, ptags, _ = pend
+        allow = (
+            jnp.asarray(pad_allow(allow_tags))
+            if allow_tags is not None
+            else None
+        )
+        return _merge_pending_batched(
+            scores, ids, qs_dev, vecs, pids, ptags, self.metric, allow
+        )
 
     def remove(self, rows: np.ndarray) -> None:
         """Tombstone rows (device slots masked via ids == -1)."""
@@ -680,6 +811,12 @@ class IVFIndex:
         locs = self._loc[rows]
         placed = locs[:, 0] >= 0
         rows_d = jnp.asarray(rows, jnp.int32)
+        pend = self._pend
+        if pend is not None and pend[3] > 0:
+            vecs, pids, ptags, n_used = pend
+            self._pend = (
+                vecs, _pend_tombstone(pids, rows_d), ptags, n_used
+            )
         if self._mir is not None:
             self._mir = self._mir._replace(
                 fvalid=_clear_mirror_valid(self._mir.fvalid, rows_d)
@@ -745,6 +882,10 @@ class IVFIndex:
         device; only the (N, m) int32 candidate table and the O(N) greedy
         assignment run on host.
         """
+        # pending rows live only in the side buffer; the re-pack below reads
+        # every live row from the mirror, so fold first (no placement — this
+        # rebuild assigns everything)
+        self._fold_pending(place=False)
         live = np.flatnonzero(self._alive[: self._n_rows])
         mean = max(1.0, live.size / self.nlist)
         cap = max(8, int(np.ceil(mean * self.balance_cap)))
@@ -1079,6 +1220,7 @@ class IVFIndex:
             )
             scores, ids = self._rescore_merged(dev, q_dev, scores, ids)
             scores, ids = scores[:, :k_eff], ids[:, :k_eff]
+        scores, ids = self._merge_pending_into(scores, ids, q_dev, allow_tags)
         scores = np.asarray(scores[:n_q]).astype(np.float32)
         ids = np.asarray(ids[:n_q]).astype(np.int64)
         bad = (ids < 0) | (scores <= _NEG_INF / 2)
@@ -1121,7 +1263,7 @@ class IVFIndex:
             shard_rows = dev.fvecs.shape[0] // self.n_shards
             k = min(k, shard_rows)
             resc_f32, resid, rscl = split_rescore(dev.frescore)
-            return exact_scan(
+            scores, ids = exact_scan(
                 self.mesh, dev.fvecs, dev.fnorms, dev.fvalid, dev.fscales,
                 resc_f32, q_dev, k,
                 self._fetch_width(k, shard_rows, dev.frescore),
@@ -1137,6 +1279,7 @@ class IVFIndex:
                 rscl,
                 self._rescore_width(k, dev.frescore),
             )
+            return self._merge_pending_into(scores, ids, q_dev, allow_tags)
         rows_total = dev.data.shape[0] * dev.data.shape[1]
         fetch = max(4 * k, 64) if dev.frescore is not None else k
         k_shard = min(
@@ -1160,7 +1303,9 @@ class IVFIndex:
             min(fetch, k_shard * self.n_shards),
         )
         scores, ids = self._rescore_merged(dev, q_dev, scores, ids)
-        return scores[:, :k_eff], ids[:, :k_eff]
+        return self._merge_pending_into(
+            scores[:, :k_eff], ids[:, :k_eff], q_dev, allow_tags
+        )
 
     def search_device_batched(
         self, qs_dev, k: int, allow_tags=None, mode: str = "exact",
@@ -1189,7 +1334,7 @@ class IVFIndex:
             shard_rows = dev.fvecs.shape[0] // self.n_shards
             k = min(k, shard_rows)
             resc_f32, resid, rscl = split_rescore(dev.frescore)
-            return exact_scan_batched(
+            scores, ids = exact_scan_batched(
                 self.mesh, dev.fvecs, dev.fnorms, dev.fvalid, dev.fscales,
                 resc_f32, qs_dev, k,
                 self._fetch_width(k, shard_rows, dev.frescore),
@@ -1204,6 +1349,9 @@ class IVFIndex:
                 resid,
                 rscl,
                 self._rescore_width(k, dev.frescore),
+            )
+            return self._merge_pending_into_batched(
+                scores, ids, qs_dev, allow_tags
             )
         np_probe = min(nprobe or self.nprobe, dev.data.shape[0])
         rows_total = dev.data.shape[0] * dev.data.shape[1]
@@ -1221,7 +1369,9 @@ class IVFIndex:
             min(fetch, k_shard * self.n_shards),
             dev.fvecs, dev.fscales, resid, rscl,
         )
-        return scores[:, :, :k_eff], ids[:, :, :k_eff]
+        return self._merge_pending_into_batched(
+            scores[:, :, :k_eff], ids[:, :, :k_eff], qs_dev, allow_tags
+        )
 
     # -- maintenance / persistence -------------------------------------------------
 
@@ -1239,6 +1389,9 @@ class IVFIndex:
         and freshly-built row maps in ONE view swap, so lock-free readers
         can never mix post-compaction device state with pre-compaction row
         maps (the round-2 in-place compact had exactly that race)."""
+        # the gather below reads every live row from the mirror; fold the
+        # pending tail in first (writer-side mutation, same lock)
+        self._fold_pending()
         live = np.flatnonzero(self._alive[: self._n_rows])
         remap = np.full(self._n_rows, -1, dtype=np.int64)
         remap[live] = np.arange(live.size)
@@ -1343,13 +1496,16 @@ class IVFIndex:
         for name in (
             "size", "_n_rows", "_meta_cap", "_assign", "_loc", "_alive",
             "_tags", "centroids", "_counts", "cmax", "_mir", "_dirty",
-            "_host_cache", "_mirror_cap",
+            "_host_cache", "_mirror_cap", "_pend",
         ):
             setattr(self, name, getattr(new, name))
         self._dev = new._dev  # last: readers swap to the new snapshot whole
         return remap
 
     def state_dict(self) -> dict:
+        # the host hydration below reads the mirror; pending-tail rows live
+        # only in the side buffer until folded
+        self._fold_pending()
         live = np.flatnonzero(self._alive[: self._n_rows])
         host = self._host
         return {
@@ -1568,6 +1724,70 @@ def _ivf_probe_batched(mesh, data, ids, sqnorms, scales, centroids, frescore,
 
     _, (ss, ii) = jax.lax.scan(body, 0, qs)
     return ss, ii
+
+
+@jax.jit
+def _pend_set(arr, idx, vals):
+    return arr.at[idx].set(vals.astype(arr.dtype))
+
+
+@jax.jit
+def _pend_tombstone(pids, rows):
+    hit = (pids[:, None] == rows[None, :]).any(axis=1)
+    return jnp.where(hit, -1, pids)
+
+
+def _pending_merge_core(scores, ids, q, pvecs, pids, ptags, metric, allow):
+    """Exact-scan the pending tail and fold it into (scores, ids).
+
+    Score conventions match the main paths exactly: ip = dot on the raw
+    stored vectors, cosine = dot on unit rows (queries arrive normalized),
+    l2 = -||q - x||^2 (scan.py's convention)."""
+    k = scores.shape[1]
+    qf = q.astype(jnp.float32)
+    pv = pvecs
+    if metric == "cosine":
+        pv = pv / jnp.maximum(
+            jnp.linalg.norm(pv, axis=1, keepdims=True), 1e-9
+        )
+    ps = jax.lax.dot_general(
+        qf, pv, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if metric == "l2":
+        pn = jnp.sum(pv * pv, axis=1)
+        qn = jnp.sum(qf * qf, axis=1, keepdims=True)
+        ps = 2.0 * ps - pn[None, :] - qn
+    valid = pids >= 0
+    if allow is not None:
+        valid = valid & (ptags[:, None] == allow[None, :]).any(axis=1)
+    ps = jnp.where(valid[None, :], ps, _NEG_INF)
+    all_s = jnp.concatenate([scores, ps], axis=1)
+    all_i = jnp.concatenate(
+        [ids.astype(jnp.int32), jnp.broadcast_to(pids[None, :], ps.shape)],
+        axis=1,
+    )
+    s, pos = jax.lax.top_k(all_s, k)
+    return s, jnp.take_along_axis(all_i, pos, axis=1)
+
+
+@partial(jax.jit, static_argnums=(6,))
+def _merge_pending(scores, ids, q, pvecs, pids, ptags, metric, allow=None):
+    return _pending_merge_core(
+        scores, ids, q, pvecs, pids, ptags, metric, allow
+    )
+
+
+@partial(jax.jit, static_argnums=(6,))
+def _merge_pending_batched(
+    scores, ids, qs, pvecs, pids, ptags, metric, allow=None
+):
+    """(B, Q, k) results + (B, Q, d) queries: vmapped pending merge."""
+    return jax.vmap(
+        lambda s, i, q: _pending_merge_core(
+            s, i, q, pvecs, pids, ptags, metric, allow
+        )
+    )(scores, ids, qs)
 
 
 @jax.jit

@@ -567,3 +567,76 @@ def test_bulk_expected_rows_sizes_mirror_exactly(mesh8, rng):
     s1, i1 = idx.search(x[:8], k=5, mode="exact")
     s2, i2 = idx2.search(x[:8], k=5, mode="exact")
     np.testing.assert_array_equal(i1, i2)
+
+
+# -- pending tail: full-HBM streaming inserts (VERDICT r5) -------------------
+
+
+def _pending_index(rng, mesh8, n=3000, d=64, **kw):
+    base = dict(nlist=16, nprobe=16, metric="ip", dtype="int8", mesh=mesh8)
+    base.update(kw)
+    idx = IVFIndex(d, **base)
+    x = _clustered(rng, n, d)
+    idx.add(x)
+    idx.PENDING_THRESHOLD_BYTES = 0  # force the side-buffer route
+    return idx, x
+
+
+def test_pending_rows_searchable_all_paths(mesh8, rng):
+    """Streamed rows past the threshold land in the pending tail and must
+    appear in exact, probing AND batched searches, exactly ranked."""
+    import jax.numpy as jnp
+
+    idx, x = _pending_index(rng, mesh8)
+    # large-norm rows: under IP they dominate any base-corpus hit, so a
+    # miss here can only mean the pending merge is not applied
+    extra = _clustered(rng, 64, 64) + 3.0
+    extra = 20.0 * extra / np.linalg.norm(extra, axis=1, keepdims=True)
+    rows = idx.add(extra.astype(np.float32))
+    assert idx._pend is not None and idx._pend[3] == 64
+    assert (idx._loc[rows, 0] == -1).all()  # never placed in the layout
+
+    q = extra[:4] + 0.001 * rng.standard_normal((4, 64)).astype(np.float32)
+    for mode in ("exact", "ivf"):
+        _, ids = idx.search(q, k=3, mode=mode)
+        assert (ids[:, 0] == rows[:4]).all(), (mode, ids[:, 0], rows[:4])
+    qs = jnp.asarray(np.stack([q, q]))
+    _, bids = idx.search_device_batched(qs, 3)
+    assert (np.asarray(bids)[0, :, 0] == rows[:4]).all()
+
+
+def test_pending_filtered_and_removed(mesh8, rng):
+    idx, x = _pending_index(rng, mesh8)
+    extra = _clustered(rng, 16, 64) + 3.0
+    extra = 20.0 * extra / np.linalg.norm(extra, axis=1, keepdims=True)
+    tags = np.asarray([7] * 8 + [9] * 8, dtype=np.int32)
+    rows = idx.add(extra.astype(np.float32), tags=tags)
+    q = extra[:2].astype(np.float32)
+    _, ids = idx.search(q, k=2, allow_tags=[9])
+    got = ids.ravel()
+    got = got[got >= 0]
+    assert set(got) <= set(rows[8:].tolist()), got
+    # tombstoned pending rows disappear
+    idx.remove(rows[:2])
+    _, ids2 = idx.search(q, k=1)
+    assert not set(ids2.ravel()) & set(rows[:2].tolist())
+
+
+def test_pending_fold_on_overflow_and_compact(mesh8, rng):
+    idx, x = _pending_index(rng, mesh8)
+    idx.PENDING_CAP = 32
+    first = idx.add(_clustered(rng, 24, 64))
+    assert idx._pend is not None and idx._pend[3] == 24
+    second = idx.add(_clustered(rng, 24, 64))  # overflow -> fold + restart
+    assert idx._pend[3] == 24
+    # folded rows stay searchable through the main layout
+    host = idx.hydrate_host()  # also folds the second batch
+    assert idx._pend is None
+    q = host[first[0] : first[0] + 1]
+    _, ids = idx.search(q, k=1, mode="exact")
+    assert ids[0, 0] == first[0]
+    # compaction folds + renumbers densely
+    idx.remove(second[:4])
+    remap = idx.compact()
+    assert idx._pend is None
+    assert idx.size == 3000 + 48 - 4

@@ -2,7 +2,6 @@
 index/lexical.bm25_blend's table path)."""
 
 import numpy as np
-import pytest
 
 from semcode_tpu.models.term_reranker import (
     bucketize,
