@@ -52,7 +52,7 @@ _LLM_UNSET = object()  # sentinel: LLM not constructed yet (None = no provider)
 # any hosted-LLM answer that happens to use the same phrasing
 _DEF_CLAIM_RE = re.compile(
     r"`([A-Za-z_][\w.]*)`\s+is defined in\s+([^\s()`,]+?)"
-    r"(?:\s*\(lines\s+\d+\s*-\s*\d+\))?(?:\.(?=\s|$)|,|(?=\s)|$)"
+    r"(?:\s*\(lines\s+(\d+)\s*-\s*(\d+)\))?(?:\.(?=\s|$)|,|(?=\s)|$)"
 )
 
 
@@ -378,10 +378,12 @@ class SemanticSearchPipeline:
         """First definition claim in ``answer`` the retrieved context does
         not support, as (symbol, why) — or None when every claim (or no
         claim) is grounded. A claim is grounded when the symbol appears in
-        a retrieved snippet (or IS a hit's tagged symbol) AND the cited
-        path matches a retrieved hit's path (suffix match: the LM cites
-        repo-relative paths, hits may carry fuller ones)."""
-        for symbol, path in _DEF_CLAIM_RE.findall(answer or ""):
+        a retrieved snippet (or IS a hit's tagged symbol), the cited path
+        matches a retrieved hit's path (suffix match: the LM cites
+        repo-relative paths, hits may carry fuller ones), and any claimed
+        line span overlaps a line-annotated hit at that path (a decoder
+        that invents "lines 195-3045" is fabricating precision)."""
+        for symbol, path, lo, hi in _DEF_CLAIM_RE.findall(answer or ""):
             base = symbol.split(".")[-1]
             sym_ok = any(
                 base in (d.text or "")
@@ -391,13 +393,35 @@ class SemanticSearchPipeline:
             if not sym_ok:
                 return symbol, "symbol_not_in_context"
             norm = path.replace("\\", "/").lstrip("./")
-            paths = [
-                str(d.path or "").replace("\\", "/") for d in documents
+            at_path = [
+                d
+                for d in documents
+                if (p := str(d.path or "").replace("\\", "/"))
+                and (p.endswith(norm) or norm.endswith(p))
             ]
-            if not any(
-                p and (p.endswith(norm) or norm.endswith(p)) for p in paths
-            ):
+            if not at_path:
                 return symbol, "path_not_in_context"
+            if lo and hi:
+                spans = [
+                    (m.get("start_line"), m.get("end_line"))
+                    for d in at_path
+                    for m in [d.metadata or {}]
+                    if m.get("start_line") and m.get("end_line")
+                ]
+                if spans:
+                    overlaps = any(
+                        int(lo) <= int(e) and int(hi) >= int(s)
+                        for s, e in spans
+                    )
+                    # overlap alone lets a true START line launder a wild
+                    # END ("lines 195-3045" against a [195, 260] chunk):
+                    # the span must also stay near the retrieved bounds
+                    within = (
+                        int(lo) >= min(int(s) for s, _ in spans) - 200
+                        and int(hi) <= max(int(e) for _, e in spans) + 200
+                    )
+                    if not (overlaps and within):
+                        return symbol, "lines_not_in_context"
         return None
 
     # -- retrieval ----------------------------------------------------------------

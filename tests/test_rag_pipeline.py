@@ -366,3 +366,25 @@ def test_grounding_guard_can_be_disabled(monkeypatch):
     out = p.query("what does quantize_rows do?")
     assert out["meta"]["fallback_used"] is False
     assert "quantize_rows" in out["answer"]
+
+
+def test_grounding_guard_blocks_fabricated_line_span(monkeypatch):
+    """Symbol and path grounded but the claimed line span overlaps no
+    line-annotated hit at that path -> fabricated precision, blocked."""
+    hits = _hits(2)
+    hits[0].metadata.update(symbol="thing_0", start_line=10, end_line=40)
+    p = _guarded_pipeline(
+        "`thing_0` is defined in src/file0.py (lines 900-3000).",
+        hits,
+        monkeypatch,
+    )
+    out = p.query("where is thing_0 defined?")
+    assert out["meta"]["reason"] == "grounding_failed"
+
+    p2 = _guarded_pipeline(
+        "`thing_0` is defined in src/file0.py (lines 12-38).",
+        hits,
+        monkeypatch,
+    )
+    out2 = p2.query("where is thing_0 defined again?")
+    assert out2["meta"]["fallback_used"] is False
