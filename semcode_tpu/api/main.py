@@ -86,6 +86,7 @@ def create_app(
             max_batch=config.api_batch_max,
             window_ms=config.api_batch_window_ms,
             queue_max=config.api_queue_max,
+            split=getattr(config, "api_batch_split", 2),
         )
 
     @web.middleware
